@@ -1,0 +1,30 @@
+"""uckg_ray — Ray-Data-native knowledge-graph construction engine.
+
+Rebuilds the capabilities of the reference edogdu/UCKG pipeline
+(collect → parse → RML-template triple extraction → ontology merge →
+Neo4j materialize; see SURVEY.md) as a streaming ``ray.data.Dataset``
+pipeline over Parquet transcript tables
+``(conv_id, turn_idx, role, text, tool, ts)``:
+
+- ``stages.extract``      — batched mention detection + ontology-template
+                            triple emission (reference: the RML layer,
+                            ``mapping/*/*_rml.ttl`` + ``cve_collection.py:380-446``)
+- ``stages.link``         — dictionary lookup joins with found/miss stub
+                            semantics (reference: ``cve_collection.py:399-420``)
+                            and alias-based entity linking (graft addition)
+- ``stages.canonicalize`` — distributed min-label union-find over groupby
+                            shuffles (reference: Neo4j unique-URI identity,
+                            ``process/graph_updater.py:30-46``)
+- ``stages.materialize``  — exact (subj,pred,obj) dedup + global sort +
+                            node aggregation (reference: rdflib set-union +
+                            n10s multival arrays, ``neo4j/import/init.cypher``)
+- ``stages.dedup/text/similarity/windows`` — training-data-pipeline
+                            operators (exact/minhash/simhash/jaccard dedup,
+                            quality scoring, language id, ANN cosine top-k,
+                            tumbling windows) beyond the reference.
+
+Nothing in this package calls ``ray.init``/``ray.shutdown``; sessions are
+owned by the test fixture, ``bench.py`` and CLI entry points only.
+"""
+
+__version__ = "0.1.0"

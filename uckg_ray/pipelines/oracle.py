@@ -1,0 +1,195 @@
+"""Single-process pure-Python oracle for the KG pipeline.
+
+Independent re-implementation of the template semantics (separate
+per-type regex scans, plain dict/set lookups, no Arrow, no Ray) used by
+the pytest suite to compute (subj, pred, obj) precision/recall of the
+distributed pipeline (BASELINE.md target: P/R ≥ 0.95; we assert 1.0).
+Shares only the namespace constants with the engine — those are the
+spec, not the implementation.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import pyarrow.parquet as pq
+
+from uckg_ray import namespaces as ns
+from uckg_ray import patterns as px
+
+_RX = {name: re.compile(rx) for name, rx in px.MENTION_TYPES}
+_FRAC = re.compile(r"\.\d{4,}$")
+
+
+def _fmt_ts(ts) -> str:
+    # ts is a python datetime from pyarrow; truncate micros to millis
+    s = ts.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    return s[:23]
+
+
+def _fix_frac(s: str) -> str:
+    return _FRAC.sub("", s)
+
+
+def _titles(titles) -> str:
+    return "|".join(sorted(f"{t['lang']}={t['title']}" for t in (titles or [])))
+
+
+def _dedup_keep_order(xs):
+    seen, out = set(), []
+    for x in xs:
+        if x not in seen:
+            seen.add(x)
+            out.append(x)
+    return out
+
+
+def oracle_triples(transcripts_dir: str, fixture_dir: str,
+                   canonicalize: bool = False) -> set[tuple[str, str, str]]:
+    """Distinct (subj, pred, obj) set the pipeline must emit."""
+    cwe = pq.read_table(os.path.join(fixture_dir, "cwe_dict.parquet")).to_pylist()
+    cwe_names = {r["id_value"]: r["name"] for r in cwe}
+    cpe = pq.read_table(os.path.join(fixture_dir, "cpe_dict.parquet")).to_pylist()
+    cpe_lut = {r["cpeName"]: r for r in cpe}
+    alias = pq.read_table(os.path.join(fixture_dir, "alias_dict.parquet")).to_pylist()
+
+    # best alias candidate: max prior, tie → min entity_id
+    best: dict[str, tuple[float, str, str]] = {}
+    for r in alias:
+        cur = best.get(r["block_key"])
+        cand = (-r["prior"], r["entity_id"], r["entity_type"])
+        if cur is None or cand < cur:
+            best[r["block_key"]] = cand
+
+    T: set[tuple[str, str, str]] = set()
+    UCO, UCOEX, RT, RL = ns.UCO, ns.UCOEX, ns.RDF_TYPE, ns.RDFS_LABEL
+
+    files = sorted(glob.glob(os.path.join(transcripts_dir, "*.parquet")))
+    for f in files:
+        for row in pq.read_table(f).to_pylist():
+            txt = row["text"]
+            tsf = _fmt_ts(row["ts"])
+            cves = _dedup_keep_order(_RX["cve"].findall(txt))
+            cwes = [w for w in _dedup_keep_order(_RX["cwe"].findall(txt))
+                    if w in cwe_names]
+            capecs = _dedup_keep_order(_RX["capec"].findall(txt))
+            attacks = _dedup_keep_order(_RX["attack"].findall(txt))
+            d3s = _dedup_keep_order(_RX["d3fend"].findall(txt))
+            cpes = _dedup_keep_order(_RX["cpe"].findall(txt))
+            for v in cves:
+                T.add((UCO + "VULN-" + v, RT, UCO + "Vulnerability"))
+                T.add((UCO + "VULN-" + v, UCO + "hasCVE_ID", UCO + v))
+                T.add((UCO + "VULN-" + v, UCO + "publishedDateTime", tsf))
+                T.add((UCO + v, RT, UCO + "CVE"))
+                T.add((UCO + v, RL, v))
+            for w in cwes:
+                T.add((UCO + "ExploitTarget-" + w, RT, UCO + "ExploitTarget"))
+                T.add((UCO + "ExploitTarget-" + w, UCO + "hasWeakness", UCO + w))
+                T.add((UCO + w, RT, UCO + "CWE"))
+                T.add((UCO + w, UCO + "name", cwe_names[w]))
+                for v in cves:
+                    T.add((UCO + "ExploitTarget-" + w, UCO + "hasVulnerability",
+                           UCO + "VULN-" + v))
+            for p in capecs:
+                pi = "https://capec.mitre.org/data/definitions/" + p.split("-")[1] + ".html"
+                T.add((pi, RT, UCOEX + "CAPEC"))
+                T.add((pi, RL, p))
+                for w in cwes:
+                    T.add((pi, UCOEX + "hasRelatedWeakness", UCO + w))
+            for a in attacks:
+                T.add((UCOEX + a, RT, UCOEX + "MITREATTACK"))
+            for d in d3s:
+                T.add((UCOEX + d, RT, UCOEX + "MITRED3FEND"))
+                for a in attacks:
+                    T.add((UCOEX + d, UCOEX + "hasMITREATTACK", UCOEX + a))
+            for x in cpes:
+                xi = UCOEX + x
+                T.add((xi, RT, UCOEX + "CPE"))
+                r = cpe_lut.get(x)
+                if r is not None:
+                    T.add((xi, UCOEX + "cpeNameId", r["cpeNameId"]))
+                    T.add((xi, UCOEX + "lastModified", _fix_frac(r["lastModified"])))
+                    tt = _titles(r["titles"])
+                    if tt:
+                        T.add((xi, UCOEX + "titles", tt))
+                    T.add((xi, UCOEX + "dictionaryFound", "true"))
+                else:
+                    T.add((xi, UCOEX + "dictionaryFound", "false"))
+            if cpes:
+                for v in cves:
+                    T.add((UCO + v, UCOEX + "hasCPE", UCOEX + cpes[0]))
+            if row["role"] == "tool" and row["tool"]:
+                T.add((UCOEX + "tool-" + row["tool"], RT, UCOEX + "Tool"))
+                T.add((UCOEX + "tool-" + row["tool"], RL, row["tool"]))
+            for tok in _dedup_keep_order(txt.lower().split(" ")):
+                b = best.get(tok)
+                if b is not None:
+                    _, eid, etype = b
+                    T.add((ns.entity_iri(eid, etype), RT,
+                           ns.ENTITY_CLASS_IRI[etype]))
+
+    # side tables
+    for r in cwe:
+        ci = UCO + r["id_value"]
+        T.add((ci, RT, UCO + "CWE"))
+        T.add((ci, UCO + "name", r["name"]))
+        T.add((ci, UCO + "abstraction", r["abstraction"]))
+        T.add((ci, UCO + "status", r["status"]))
+        T.add((ci, UCO + "timeOfIntroduction", _fix_frac(r["time_of_introduction"])))
+        for rw in r["related_weaknesses"] or ():
+            T.add((ci, UCO + "relatedWeakness", UCO + rw["ID"]))
+        for ob in r["observed_examples"] or ():
+            oi = UCOEX + r["id_value"] + "-" + ob["Reference"]
+            T.add((oi, RT, UCOEX + "ObservedExample"))
+            T.add((oi, UCOEX + "exampleObservedIn", UCO + ob["Reference"]))
+        for ap in r["related_attack_patterns"] or ():
+            pi = ("https://capec.mitre.org/data/definitions/"
+                  + ap.split("-")[1] + ".html")
+            T.add((ci, UCOEX + "hasRelatedAttackPattern", pi))
+
+    nodes = pq.read_table(os.path.join(fixture_dir, "attack_nodes.parquet")).to_pylist()
+    rels = pq.read_table(
+        os.path.join(fixture_dir, "attack_relationships.parquet")).to_pylist()
+    nk = {(n["ID"], n["kind"]) for n in nodes}
+    for n in nodes:
+        ni = UCOEX + n["ID"]
+        T.add((ni, RT, ns.ATTACK_KIND_CLASS[n["kind"]]))
+        T.add((ni, UCOEX + "NAME", n["name"]))
+        T.add((ni, UCOEX + "URL", n["url"]))
+        T.add((ni, UCOEX + "DOMAIN", n["domain"]))
+    for r in rels:
+        if r["source_id"] is None:
+            continue
+        if (r["target_id"], r["target_type"]) not in nk:
+            continue
+        pred = ns.ATTACK_REL_PRED.get((r["source_type"], r["target_type"]))
+        if pred:
+            T.add((UCOEX + r["source_id"], pred, UCOEX + r["target_id"]))
+
+    if canonicalize:
+        from uckg_ray.stages.canonicalize import union_find_oracle
+        # observed aliases only
+        observed = set()
+        for f in files:
+            for row in pq.read_table(f, columns=["text"]).to_pylist():
+                for tok in row["text"].lower().split(" "):
+                    observed.add(tok)
+        pairs = [(r["block_key"], r["entity_id"]) for r in alias
+                 if r["block_key"] in observed]
+        canon = union_find_oracle(pairs)
+        etype = {r["entity_id"]: r["entity_type"] for r in alias}
+        iri_map = {}
+        for eid, c in canon.items():
+            if eid != c:
+                iri_map[ns.entity_iri(eid, etype[eid])] = ns.entity_iri(c, etype[c])
+        T = {(iri_map.get(s, s), p, iri_map.get(o, o)) for s, p, o in T}
+    return T
+
+
+def precision_recall(got: set, want: set) -> tuple[float, float]:
+    if not got or not want:
+        return (0.0, 0.0)
+    tp = len(got & want)
+    return tp / len(got), tp / len(want)

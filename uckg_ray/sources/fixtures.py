@@ -1,0 +1,520 @@
+"""Deterministic synthetic transcript + dictionary fixtures (FIXTURES.md).
+
+The graft input is a Parquet table of multi-turn conversation/agent
+transcripts ``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp[us])`` — BASELINE.json ``input_hint``. The driver's
+testdata has no such table, so we synthesise it deterministically (fixed
+seed, no wall-clock) at a size keyed to the scale factor, plus the
+dictionary side tables the KG stages consume:
+
+- ``cwe_dict``      — mirrors the parsed CWE dictionary
+                      (reference ``mapping/cwe/cwes.json`` record shape,
+                      ``data_collection/cwe_collection.py:98-392``)
+- ``cpe_dict``      — mirrors the SQLite ``cpe_data`` lookup table
+                      (``data_collection/cve_collection.py:85-92``)
+- ``alias_dict``    — entity-linking aliases (graft addition; single-token
+                      surface forms so the DuckDB oracle can match by word)
+- ``attack_nodes`` / ``attack_relationships`` — mirrors ``parse.py:113-249``
+
+Everything is derived from ``numpy.random.default_rng`` with fixed seeds;
+generation is idempotent and cached under ``/tmp/uckg_ray_fixtures/<sf>``
+(atomic rename, versioned manifest). Re-running with the same GEN_VERSION
+is a no-op; bumping GEN_VERSION invalidates the cache.
+
+A fixed "coverage conversation" exercising every template branch (empty
+text, dict-miss CWE/CPE, first-CPE-only rule, alias collisions, union-find
+merges, >3-digit datetime fractions, duplicate text) is appended at every
+scale so sf0.01 driver correctness runs hit all branches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GEN_VERSION = 5
+SEED = 42
+FIXTURE_ROOT = "/tmp/uckg_ray_fixtures"
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+_FILLER = (
+    "scan target host port service version banner probe result output command "
+    "run shell session payload exploit patch advisory vendor report finding "
+    "severity risk impact detail summary note check step plan next done ok fail "
+    "error retry log trace packet request response header body token auth user "
+    "admin config file path dir read write exec net dns http tls cert key hash"
+).split()
+
+_TOOLS = (
+    "nmap curl grep sqlmap hydra nikto metasploit wireshark tcpdump masscan "
+    "gobuster ffuf burp nessus openvas john hashcat aircrack netcat zap"
+).split()
+
+_STOP_EN = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+_STOP_DE = ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"]
+_STOP_FR = ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"]
+
+
+def n_turns_for_sf(sf_name: str) -> int:
+    """sf0.001→2k, sf0.01→60k, sf0.1→600k turns (FIXTURES.md §4)."""
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        return 2_000
+    return max(2_000, int(round(6_000_000 * sf)))
+
+
+# ---------------------------------------------------------------------------
+# mention pools (all deterministic)
+# ---------------------------------------------------------------------------
+
+def _mention_pools():
+    rng = np.random.default_rng([SEED, 1])
+    years = rng.integers(2015, 2025, size=200)
+    nums = rng.integers(1000, 9_999_999, size=200)
+    cves = [f"CVE-{y}-{n}" for y, n in zip(years, nums)]
+    cves[0] = "CVE-2021-44228"  # hub CVE (log4shell) — skew knob
+
+    cwe_ids_in_dict = sorted(rng.choice(np.arange(1, 1400), size=300, replace=False).tolist())
+    cwe_ids_out = sorted(rng.choice(np.arange(1400, 1600), size=50, replace=False).tolist())
+    cwes_in = [f"CWE-{i}" for i in cwe_ids_in_dict]
+    cwes_out = [f"CWE-{i}" for i in cwe_ids_out]
+
+    capecs = [f"CAPEC-{i}" for i in sorted(rng.choice(np.arange(1, 700), size=80, replace=False).tolist())]
+
+    t_base = sorted(rng.choice(np.arange(1000, 1700), size=120, replace=False).tolist())
+    attacks = []
+    for i, t in enumerate(t_base):
+        if i % 3 == 0:
+            attacks.append(f"T{t}.{(i % 3) + 1:03d}")
+        else:
+            attacks.append(f"T{t}")
+
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    d3s = []
+    for i in range(40):
+        ln = 2 + int(rng.integers(0, 6))
+        d3s.append("D3-" + "".join(letters[j] for j in rng.integers(0, 26, size=ln)))
+    d3s = sorted(set(d3s))
+
+    vendors = [f"vendor{i}" for i in range(30)]
+    products = [f"product{i}" for i in range(40)]
+    parts = ["a", "o", "h"]
+    cpe_pool = []
+    for i in range(250):
+        p = parts[int(rng.integers(0, 3))]
+        v = vendors[int(rng.integers(0, 30))]
+        pr = products[int(rng.integers(0, 40))]
+        ver = f"{int(rng.integers(0, 9))}.{int(rng.integers(0, 20))}"
+        cpe_pool.append(f"cpe:2.3:{p}:{v}:{pr}:{ver}")
+    cpe_pool = sorted(set(cpe_pool))
+    n_hit = int(len(cpe_pool) * 0.8)
+    cpe_hits, cpe_misses = cpe_pool[:n_hit], cpe_pool[n_hit:]
+
+    return {
+        "cves": cves,
+        "cwes_in": cwes_in,
+        "cwes_out": cwes_out,
+        "capecs": capecs,
+        "attacks": attacks,
+        "d3s": d3s,
+        "cpe_hits": cpe_hits,
+        "cpe_misses": cpe_misses,
+    }
+
+
+# ---------------------------------------------------------------------------
+# dictionaries
+# ---------------------------------------------------------------------------
+
+def _build_cwe_dict(pools) -> pa.Table:
+    rng = np.random.default_rng([SEED, 2])
+    rows = {k: [] for k in (
+        "id_value", "name", "abstraction", "structure", "status", "description",
+        "time_of_introduction", "related_weaknesses", "observed_examples",
+        "related_attack_patterns")}
+    abstr = ["Base", "Variant", "Class", "Compound"]
+    status = ["Stable", "Draft", "Incomplete"]
+    cwes, cves, capecs = pools["cwes_in"], pools["cves"], pools["capecs"]
+    for i, cid in enumerate(cwes):
+        rows["id_value"].append(cid)
+        rows["name"].append(f"Weakness {cid.split('-')[1]} name")
+        rows["abstraction"].append(abstr[int(rng.integers(0, 4))])
+        rows["structure"].append("Simple" if rng.random() < 0.8 else "Chain")
+        rows["status"].append(status[int(rng.integers(0, 3))])
+        rows["description"].append(f"description of {cid}")
+        # date-only → T00:00:00 promotion (cwe_collection.py:335-336); some with
+        # long fractions to exercise truncation (ontology_updater.py:7-30)
+        r = rng.random()
+        if r < 0.5:
+            rows["time_of_introduction"].append(f"20{10 + i % 15:02d}-0{1 + i % 9}-1{i % 9}T00:00:00")
+        else:
+            rows["time_of_introduction"].append(
+                f"20{10 + i % 15:02d}-0{1 + i % 9}-1{i % 9}T0{i % 9}:30:00.{int(rng.integers(0, 999999)):06d}"
+            )
+        nrel = int(rng.integers(0, 3))
+        rel = [{"ID": cwes[int(rng.integers(0, len(cwes)))], "Nature": "ChildOf"} for _ in range(nrel)]
+        rows["related_weaknesses"].append(rel)
+        nobs = int(rng.integers(0, 3))
+        obs = [
+            {"Reference": cves[int(rng.integers(0, len(cves)))], "Description": f"observed in the wild {j}"}
+            for j in range(nobs)
+        ]
+        rows["observed_examples"].append(obs)
+        nap = int(rng.integers(0, 3))
+        rows["related_attack_patterns"].append(
+            [capecs[int(rng.integers(0, len(capecs)))] for _ in range(nap)]
+        )
+    schema = pa.schema([
+        ("id_value", pa.string()), ("name", pa.string()), ("abstraction", pa.string()),
+        ("structure", pa.string()), ("status", pa.string()), ("description", pa.string()),
+        ("time_of_introduction", pa.string()),
+        ("related_weaknesses", pa.list_(pa.struct([("ID", pa.string()), ("Nature", pa.string())]))),
+        ("observed_examples", pa.list_(pa.struct([("Reference", pa.string()), ("Description", pa.string())]))),
+        ("related_attack_patterns", pa.list_(pa.string())),
+    ])
+    return pa.Table.from_pydict(rows, schema=schema)
+
+
+def _build_cpe_dict(pools) -> pa.Table:
+    rng = np.random.default_rng([SEED, 3])
+    names = list(pools["cpe_hits"])
+    # extra dictionary-only entries never mentioned in transcripts
+    extra = [f"cpe:2.3:a:extravendor{i}:extraproduct{i}:{i % 7}.{i % 11}" for i in range(200)]
+    names = names + extra
+    langs = ["en", "de", "fr", "es", "ja"]
+    rows = {"cpeName": [], "cpeNameId": [], "lastModified": [], "titles": []}
+    for i, name in enumerate(names):
+        rows["cpeName"].append(name)
+        rows["cpeNameId"].append("".join(f"{b:02x}" for b in rng.integers(0, 256, size=16)))
+        # ~half with >3 fractional digits → P6 truncation path
+        if rng.random() < 0.5:
+            rows["lastModified"].append(
+                f"20{15 + i % 10}-0{1 + i % 9}-2{i % 8}T1{i % 9}:05:33.{int(rng.integers(1000, 999999)):06d}"
+            )
+        else:
+            rows["lastModified"].append(f"20{15 + i % 10}-0{1 + i % 9}-2{i % 8}T1{i % 9}:05:33.{int(rng.integers(0, 999)):03d}")
+        ntit = 1 + int(rng.integers(0, 3))
+        chosen = rng.choice(len(langs), size=ntit, replace=False)
+        rows["titles"].append(
+            [{"lang": langs[j], "title": f"title {langs[j]} {name.split(':')[3]}"} for j in sorted(chosen.tolist())]
+        )
+    schema = pa.schema([
+        ("cpeName", pa.string()), ("cpeNameId", pa.string()), ("lastModified", pa.string()),
+        ("titles", pa.list_(pa.struct([("lang", pa.string()), ("title", pa.string())]))),
+    ])
+    return pa.Table.from_pydict(rows, schema=schema)
+
+
+def _build_alias_dict(pools) -> pa.Table:
+    """Single-token aliases → entities; includes collisions (one alias, two
+    entities), multi-alias entities, chained merges and a hub entity, so the
+    union-find canonicalization has real work (FIXTURES.md §2.3)."""
+    rows = []  # (alias, entity_id, entity_type, prior)
+
+    def add(alias, eid, etype, prior):
+        rows.append((alias, eid, etype, prior))
+
+    for t in _TOOLS:
+        add(t, f"tool:{t}", "tool", 1.0)
+    # hub entity with many aliases
+    for a in ["networkmapper", "portscan", "hostscan", "netprobe", "sweeper",
+              "mapper", "recon", "probe7", "scanx", "nmapper"]:
+        add(a, "tool:nmap", "tool", 0.8)
+    # chain merges: shared aliases union distinct entities
+    add("portscanner", "tool:nmap", "tool", 0.7)
+    add("portscanner", "tool:masscan", "tool", 0.6)
+    add("fuzzer", "tool:ffuf", "tool", 0.7)
+    add("fuzzer", "tool:gobuster", "tool", 0.65)
+    add("bruteforcer", "tool:hydra", "tool", 0.7)
+    add("bruteforcer", "tool:john", "tool", 0.5)
+    add("cracker", "tool:john", "tool", 0.8)
+    add("cracker", "tool:hashcat", "tool", 0.75)
+    # CWE aliases incl. a collision
+    add("xss", "CWE-79", "cwe", 0.95)
+    add("sqli", "CWE-89", "cwe", 0.95)
+    add("injection", "CWE-89", "cwe", 0.9)
+    add("injection", "CWE-77", "cwe", 0.6)
+    add("overflow", "CWE-120", "cwe", 0.85)
+    add("traversal", "CWE-22", "cwe", 0.9)
+    add("csrf", "CWE-352", "cwe", 0.9)
+    # CVE alias (hub)
+    add("log4shell", "CVE-2021-44228", "cve", 1.0)
+    add("heartbleed", "CVE-2014-0160", "cve", 1.0)
+    # attack technique aliases
+    add("phishing", "T1566", "attack", 0.9)
+    add("powershell", "T1059.001", "attack", 0.9)
+    return pa.Table.from_pydict(
+        {
+            "alias": [r[0] for r in rows],
+            "entity_id": [r[1] for r in rows],
+            "entity_type": [r[2] for r in rows],
+            "block_key": [r[0].lower() for r in rows],
+            "prior": [r[3] for r in rows],
+        },
+        schema=pa.schema([
+            ("alias", pa.string()), ("entity_id", pa.string()), ("entity_type", pa.string()),
+            ("block_key", pa.string()), ("prior", pa.float64()),
+        ]),
+    )
+
+
+def _build_attack_tables(pools):
+    """attack_nodes + attack_relationships — parse.py:113-249 shapes, with
+    null source_ids (dropped, parse.py:231-234) and dangling target_ids
+    (dropped by the referential join R11)."""
+    rng = np.random.default_rng([SEED, 4])
+    kinds = ["technique", "mitigation", "campaign", "group", "software", "tactic"]
+    ids, names, descs, urls, domains, kindcol = [], [], [], [], [], []
+    per_kind = {}
+    for k in kinds:
+        n = {"technique": 120, "mitigation": 40, "campaign": 25, "group": 30,
+             "software": 40, "tactic": 14}[k]
+        prefix = {"technique": "T", "mitigation": "M", "campaign": "C", "group": "G",
+                  "software": "S", "tactic": "TA"}[k]
+        if k == "technique":
+            kid = pools["attacks"]
+        else:
+            base = sorted(rng.choice(np.arange(1000, 1999), size=n, replace=False).tolist())
+            kid = [f"{prefix}{b}" for b in base]
+        per_kind[k] = kid
+        for i, x in enumerate(kid):
+            ids.append(x)
+            names.append(f"{k} {x}")
+            descs.append(f"description of {k} {x}")
+            urls.append(f"https://attack.mitre.org/{k}s/{x}")
+            domains.append("enterprise-attack")
+            kindcol.append(k)
+    nodes = pa.Table.from_pydict(
+        {"ID": ids, "name": names, "description": descs, "url": urls,
+         "domain": domains, "kind": kindcol},
+        schema=pa.schema([(c, pa.string()) for c in
+                          ("ID", "name", "description", "url", "domain", "kind")]),
+    )
+    rel_specs = [
+        ("mitigation", "technique", 80), ("campaign", "group", 20),
+        ("campaign", "software", 25), ("campaign", "technique", 40),
+        ("group", "software", 30), ("group", "technique", 50),
+        ("software", "technique", 60),
+    ]
+    src_ids, src_types, tgt_ids, tgt_types = [], [], [], []
+    for st, tt, n in rel_specs:
+        s_pool, t_pool = per_kind[st], per_kind[tt]
+        for i in range(n):
+            if rng.random() < 0.05:
+                src_ids.append(None)  # dropped rows (parse.py:231-234)
+            else:
+                src_ids.append(s_pool[int(rng.integers(0, len(s_pool)))])
+            if rng.random() < 0.08:
+                tgt_ids.append(f"X{int(rng.integers(9000, 9999))}")  # dangling target
+            else:
+                tgt_ids.append(t_pool[int(rng.integers(0, len(t_pool)))])
+            src_types.append(st)
+            tgt_types.append(tt)
+    rels = pa.Table.from_pydict(
+        {"source_id": src_ids, "source_type": src_types,
+         "target_id": tgt_ids, "target_type": tgt_types},
+        schema=pa.schema([(c, pa.string()) for c in
+                          ("source_id", "source_type", "target_id", "target_type")]),
+    )
+    return nodes, rels
+
+
+# ---------------------------------------------------------------------------
+# transcripts
+# ---------------------------------------------------------------------------
+
+_ROLES = ["user", "assistant", "system", "tool"]
+
+
+def _gen_transcripts(n_turns: int, out_dir: str) -> int:
+    """Write ~n_turns transcript rows as multiple parquet files.
+
+    Single rng pass; chunked writes (file boundaries don't affect content).
+    Mention insertion rates give each turn an expected ~1.3 entity mentions,
+    with 12% hub-CVE and 8% hub-alias skew.
+    """
+    pools = _mention_pools()
+    rng = np.random.default_rng([SEED, 5])
+    alias_tokens = ["nmap", "portscanner", "fuzzer", "bruteforcer", "cracker",
+                    "xss", "sqli", "injection", "overflow", "traversal", "csrf",
+                    "log4shell", "heartbleed", "phishing", "powershell",
+                    "networkmapper", "sweeper", "recon"]
+
+    files = 0
+    chunk_rows = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    total = 0
+    conv_i = 0
+    base_ts = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in us
+    # ~32 files so a 32-CPU read has per-file parallelism and shard-group
+    # resume has real granularity (content is chunking-independent)
+    chunk_size = max(1_000, -(-n_turns // 32))
+
+    def flush():
+        nonlocal files, chunk_rows
+        if not chunk_rows["conv_id"]:
+            return
+        tbl = pa.Table.from_pydict(
+            {
+                "conv_id": chunk_rows["conv_id"],
+                "turn_idx": pa.array(chunk_rows["turn_idx"], pa.int32()),
+                "role": chunk_rows["role"],
+                "text": chunk_rows["text"],
+                "tool": chunk_rows["tool"],
+                "ts": pa.array(chunk_rows["ts"], pa.timestamp("us")),
+            },
+            schema=TRANSCRIPT_SCHEMA,
+        )
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{files:05d}.parquet"))
+        files += 1
+        chunk_rows = {k: [] for k in chunk_rows}
+
+    while total < n_turns:
+        n_t = int(rng.integers(8, 25))
+        conv_id = f"conv-{conv_i:06d}"
+        conv_start = base_ts + conv_i * 3_600_000_000
+        for t in range(n_t):
+            role = _ROLES[int(rng.integers(0, 4))] if t > 0 else "system"
+            tool = _TOOLS[int(rng.integers(0, len(_TOOLS)))] if role == "tool" else ""
+            nw = int(rng.integers(6, 26))
+            words = [_FILLER[j] for j in rng.integers(0, len(_FILLER), size=nw)]
+            # sprinkle language-agnostic stopwords so lang-id has signal
+            for s in rng.integers(0, len(_STOP_EN), size=3):
+                words.append(_STOP_EN[s])
+            r = rng.random(8)
+            if r[0] < 0.30:
+                words.append(pools["cves"][int(rng.integers(0, len(pools["cves"])))])
+            if r[1] < 0.12:
+                words.append("CVE-2021-44228")  # hub skew
+            if r[2] < 0.25:
+                pool = pools["cwes_in"] if rng.random() < 0.85 else pools["cwes_out"]
+                words.append(pool[int(rng.integers(0, len(pool)))])
+            if r[3] < 0.12:
+                words.append(pools["capecs"][int(rng.integers(0, len(pools["capecs"])))])
+            if r[4] < 0.15:
+                words.append(pools["attacks"][int(rng.integers(0, len(pools["attacks"])))])
+            if r[5] < 0.08:
+                words.append(pools["d3s"][int(rng.integers(0, len(pools["d3s"])))])
+            if r[6] < 0.10:
+                pool = pools["cpe_hits"] if rng.random() < 0.8 else pools["cpe_misses"]
+                words.append(pool[int(rng.integers(0, len(pool)))])
+                if rng.random() < 0.3:  # second CPE → first-only link rule exercised
+                    words.append(pools["cpe_hits"][int(rng.integers(0, len(pools["cpe_hits"])))])
+            if r[7] < 0.20:
+                words.append(alias_tokens[int(rng.integers(0, len(alias_tokens)))])
+                if rng.random() < 0.4:
+                    words.append("nmap")  # hub alias skew
+            perm = rng.permutation(len(words))
+            text = " ".join(words[p] for p in perm)
+            chunk_rows["conv_id"].append(conv_id)
+            chunk_rows["turn_idx"].append(t)
+            chunk_rows["role"].append(role)
+            chunk_rows["text"].append(text)
+            chunk_rows["tool"].append(tool)
+            chunk_rows["ts"].append(conv_start + t * 30_000_000 + int(rng.integers(0, 1_000_000)))
+            total += 1
+        conv_i += 1
+        if len(chunk_rows["conv_id"]) >= chunk_size:
+            flush()
+
+    # fixed coverage conversation — every branch, identical at every sf
+    cov = [
+        ("system", "", "boot sequence ok"),
+        ("user", "", "please check CVE-2021-44228 and CVE-2014-0160 against CWE-79"),
+        ("assistant", "", f"found {pools['cwes_in'][0]} and also {pools['cwes_out'][0]} not in dict"),
+        ("tool", "nmap", f"scan output {pools['cpe_hits'][0]} {pools['cpe_hits'][1]} {pools['cpe_misses'][0]}"),
+        ("assistant", "", f"pattern {pools['capecs'][0]} relates {pools['cwes_in'][1]} technique {pools['attacks'][0]}"),
+        ("assistant", "", f"defense {pools['d3s'][0]} counters {pools['attacks'][1]}"),
+        ("user", "", "injection portscanner fuzzer bruteforcer cracker log4shell"),
+        ("user", "", "duplicate line duplicate line duplicate line"),
+        ("assistant", "", "duplicate line duplicate line duplicate line"),
+        ("tool", "curl", ""),
+        ("user", "", "xss sqli overflow traversal csrf phishing powershell heartbleed"),
+        ("assistant", "", f"multi {pools['cves'][1]} {pools['cves'][2]} {pools['cwes_in'][2]} CVE-2021-44228"),
+    ]
+    conv_id = "conv-coverage"
+    for t, (role, tool, text) in enumerate(cov):
+        chunk_rows["conv_id"].append(conv_id)
+        chunk_rows["turn_idx"].append(t)
+        chunk_rows["role"].append(role)
+        chunk_rows["text"].append(text)
+        chunk_rows["tool"].append(tool)
+        chunk_rows["ts"].append(base_ts + 999_999 * 1_000_000 + t * 30_000_000 + t * 123_457)
+        total += 1
+    flush()
+    return total
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def fixture_dir(sf_dir: str) -> str:
+    """Map a driver sf dir (e.g. /root/testdata/sf0.01) → fixture cache dir."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(FIXTURE_ROOT, sf_name)
+
+
+def ensure_fixtures(sf_dir: str) -> str:
+    """Generate (once, atomically) the transcript + dictionary fixtures for
+    the given scale dir; returns the fixture directory. Safe to call
+    concurrently from multiple processes."""
+    out = fixture_dir(sf_dir)
+    manifest = os.path.join(out, "MANIFEST.json")
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as f:
+                if json.load(f).get("gen_version") == GEN_VERSION:
+                    return out
+        except (json.JSONDecodeError, OSError):
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    tmp = f"{out}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.join(tmp, "transcripts"), exist_ok=True)
+
+    n = n_turns_for_sf(sf_name)
+    total = _gen_transcripts(n, os.path.join(tmp, "transcripts"))
+
+    pools = _mention_pools()
+    pq.write_table(_build_cwe_dict(pools), os.path.join(tmp, "cwe_dict.parquet"))
+    pq.write_table(_build_cpe_dict(pools), os.path.join(tmp, "cpe_dict.parquet"))
+    pq.write_table(_build_alias_dict(pools), os.path.join(tmp, "alias_dict.parquet"))
+    nodes, rels = _build_attack_tables(pools)
+    pq.write_table(nodes, os.path.join(tmp, "attack_nodes.parquet"))
+    pq.write_table(rels, os.path.join(tmp, "attack_relationships.parquet"))
+
+    with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+        json.dump({"gen_version": GEN_VERSION, "seed": SEED, "sf": sf_name,
+                   "n_turns": total}, f)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # another process won the race; use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def transcripts_path(sf_dir: str) -> str:
+    return os.path.join(ensure_fixtures(sf_dir), "transcripts")
+
+
+def dict_path(sf_dir: str, name: str) -> str:
+    return os.path.join(ensure_fixtures(sf_dir), f"{name}.parquet")

@@ -1,0 +1,286 @@
+"""Mention detection + ontology-template triple emission.
+
+Re-expresses the reference's RML layer (SURVEY.md §2.4, the six
+``mapping/*/*_rml.ttl`` files executed by mapper.jar) as native
+``map_batches`` transforms over Arrow batches of transcript turns.
+
+Reference-parity quirks kept on purpose (SURVEY.md §7.4):
+
+- CWE mentions are dictionary-gated (``cve_collection.py:384-389``).
+- Only the FIRST CPE mention of a turn links to the turn's CVEs
+  (first-node-first-cpeMatch, ``cve_collection.py:390-399``).
+- dictionary_found stub rows for CPE misses (``cve_collection.py:413-420``).
+- booleans rendered as lexical "true"/"false" strings typed xsd:boolean
+  (``mapping/cve/cve_rml.ttl:190-196``).
+- datetimes truncated, never rounded (P5/P6).
+
+``TripleEmitter`` is a callable class for an actor-pool ``map_batches``:
+dictionaries are loaded once per actor in ``__init__`` (reference loads
+the CWE dict once before its page loop, ``cve_collection.py:347``; CPE
+dict is its SQLite side table, ``cve_collection.py:261-287``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from uckg_ray import namespaces as ns
+from uckg_ray.functions.scalars import (
+    format_ts_millis_arrow,
+    titles_to_lang_string,
+    truncate_long_fraction,
+)
+from uckg_ray.patterns import COMBINED_RX
+from uckg_ray.schema import EDGE_SCHEMA, MENTION_SCHEMA
+
+
+def scan_mentions(text: str) -> list[tuple[str, str]]:
+    """All (ent_type, ent_id) occurrences in one combined left-to-right scan."""
+    out = []
+    for m in COMBINED_RX.finditer(text):
+        out.append((m.lastgroup, m.group()))
+    return out
+
+
+def extract_mentions(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches fn → mention rows (all occurrences, in order)."""
+    conv = batch.column("conv_id").to_pylist()
+    turn = batch.column("turn_idx").to_pylist()
+    texts = batch.column("text").to_pylist()
+    o_conv, o_turn, o_type, o_id = [], [], [], []
+    for c, t, txt in zip(conv, turn, texts):
+        for et, eid in scan_mentions(txt):
+            o_conv.append(c)
+            o_turn.append(t)
+            o_type.append(et)
+            o_id.append(eid)
+    return pa.Table.from_pydict(
+        {"conv_id": o_conv, "turn_idx": pa.array(o_turn, pa.int32()),
+         "ent_type": o_type, "ent_id": o_id},
+        schema=MENTION_SCHEMA,
+    )
+
+
+def _uniq(seq):
+    """Order-preserving dedup (first occurrence wins — 'first CPE' rule)."""
+    seen = set()
+    out = []
+    for x in seq:
+        if x not in seen:
+            seen.add(x)
+            out.append(x)
+    return out
+
+
+class TripleEmitter:
+    """Actor-pool stage: transcript turns → (subj,pred,obj,...) edge rows.
+
+    One actor loads the CWE dictionary (gate + names) and CPE dictionary
+    (lookup join J1) once; ``__call__`` runs per Arrow batch.
+    """
+
+    def __init__(self, cwe_dict_path: str, cpe_dict_path: str,
+                 alias_dict_path: str | None = None):
+        cwe = pq.read_table(cwe_dict_path, columns=["id_value", "name"])
+        self.cwe_names = dict(zip(cwe.column("id_value").to_pylist(),
+                                  cwe.column("name").to_pylist()))
+        self.cwe_ids = frozenset(self.cwe_names)
+        self.alias_best: dict[str, tuple[str, str]] = {}
+        if alias_dict_path is not None:
+            from uckg_ray.stages.link import best_candidates, load_alias_table
+            self.alias_best = best_candidates(load_alias_table(alias_dict_path))
+        cpe = pq.read_table(cpe_dict_path)
+        self.cpe_lookup = {}
+        for name, nid, lm, titles in zip(
+            cpe.column("cpeName").to_pylist(), cpe.column("cpeNameId").to_pylist(),
+            cpe.column("lastModified").to_pylist(), cpe.column("titles").to_pylist(),
+        ):
+            self.cpe_lookup[name] = (nid, truncate_long_fraction(lm),
+                                     titles_to_lang_string(titles))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pylist()
+        turn = batch.column("turn_idx").to_pylist()
+        role = batch.column("role").to_pylist()
+        texts = batch.column("text").to_pylist()
+        tool = batch.column("tool").to_pylist()
+        ts_fmt = format_ts_millis_arrow(batch.column("ts")).to_pylist()
+
+        S, P, O, LIT, DT, C, T = [], [], [], [], [], [], []
+
+        def emit(c, t, s, p, o, lit, dt):
+            S.append(s); P.append(p); O.append(o)
+            LIT.append(lit); DT.append(dt); C.append(c); T.append(t)
+
+        UCO, UCOEX = ns.UCO, ns.UCOEX
+        RT, RL = ns.RDF_TYPE, ns.RDFS_LABEL
+        for c, t, rl, txt, tl, tsf in zip(conv, turn, role, texts, tool, ts_fmt):
+            by_type: dict[str, list[str]] = {}
+            for et, eid in scan_mentions(txt):
+                by_type.setdefault(et, []).append(eid)
+            cves = _uniq(by_type.get("cve", ()))
+            cwes = [w for w in _uniq(by_type.get("cwe", ())) if w in self.cwe_ids]
+            capecs = _uniq(by_type.get("capec", ()))
+            attacks = _uniq(by_type.get("attack", ()))
+            d3s = _uniq(by_type.get("d3fend", ()))
+            cpes = _uniq(by_type.get("cpe", ()))
+
+            # R1/R2 — VULN + CVE node pair per CVE mention
+            for v in cves:
+                vi, ci = f"{UCO}VULN-{v}", f"{UCO}{v}"
+                emit(c, t, vi, RT, f"{UCO}Vulnerability", False, ns.IRI)
+                emit(c, t, vi, f"{UCO}hasCVE_ID", ci, False, ns.IRI)
+                emit(c, t, vi, f"{UCO}publishedDateTime", tsf, True, ns.XSD_DATETIME)
+                emit(c, t, ci, RT, f"{UCO}CVE", False, ns.IRI)
+                emit(c, t, ci, RL, v, True, ns.XSD_STRING)
+            # R4/R6/R7 — dictionary-gated CWE mentions + co-occurrence links
+            for w in cwes:
+                ei, wi = f"{UCO}ExploitTarget-{w}", f"{UCO}{w}"
+                emit(c, t, ei, RT, f"{UCO}ExploitTarget", False, ns.IRI)
+                emit(c, t, ei, f"{UCO}hasWeakness", wi, False, ns.IRI)
+                emit(c, t, wi, RT, f"{UCO}CWE", False, ns.IRI)
+                emit(c, t, wi, f"{UCO}name", self.cwe_names[w], True, ns.XSD_STRING)
+                for v in cves:
+                    emit(c, t, ei, f"{UCO}hasVulnerability", f"{UCO}VULN-{v}", False, ns.IRI)
+            # R8 — CAPEC URL subjects + related-weakness links
+            for p_ in capecs:
+                pi = ns.capec_iri(p_)
+                emit(c, t, pi, RT, f"{UCOEX}CAPEC", False, ns.IRI)
+                emit(c, t, pi, RL, p_, True, ns.XSD_STRING)
+                for w in cwes:
+                    emit(c, t, pi, f"{UCOEX}hasRelatedWeakness", f"{UCO}{w}", False, ns.IRI)
+            # R10 — ATT&CK technique stubs
+            for a in attacks:
+                emit(c, t, f"{UCOEX}{a}", RT, f"{UCOEX}MITREATTACK", False, ns.IRI)
+            # R12 — D3FEND + defense→technique links
+            for d in d3s:
+                di = f"{UCOEX}{d}"
+                emit(c, t, di, RT, f"{UCOEX}MITRED3FEND", False, ns.IRI)
+                for a in attacks:
+                    emit(c, t, di, f"{UCOEX}hasMITREATTACK", f"{UCOEX}{a}", False, ns.IRI)
+            # R3/J1 — CPE lookup join with found/miss stubs
+            for x in cpes:
+                xi = f"{UCOEX}{x}"
+                emit(c, t, xi, RT, f"{UCOEX}CPE", False, ns.IRI)
+                hit = self.cpe_lookup.get(x)
+                if hit is not None:
+                    nid, lm, titles = hit
+                    emit(c, t, xi, f"{UCOEX}cpeNameId", nid, True, ns.XSD_STRING)
+                    emit(c, t, xi, f"{UCOEX}lastModified", lm, True, ns.XSD_DATETIME)
+                    if titles:
+                        emit(c, t, xi, f"{UCOEX}titles", titles, True, ns.RDF_JSON)
+                    emit(c, t, xi, f"{UCOEX}dictionaryFound", "true", True, ns.XSD_BOOLEAN)
+                else:
+                    emit(c, t, xi, f"{UCOEX}dictionaryFound", "false", True, ns.XSD_BOOLEAN)
+            # P3 quirk — only the first CPE links to the turn's CVEs
+            if cpes:
+                first = f"{UCOEX}{cpes[0]}"
+                for v in cves:
+                    emit(c, t, f"{UCO}{v}", f"{UCOEX}hasCPE", first, False, ns.IRI)
+            # tool turns → Tool nodes (graft addition)
+            if rl == "tool" and tl:
+                ti = f"{UCOEX}tool-{tl}"
+                emit(c, t, ti, RT, f"{UCOEX}Tool", False, ns.IRI)
+                emit(c, t, ti, RL, tl, True, ns.XSD_STRING)
+            # alias-linked entities → rdf:type triples (graft entity linking;
+            # tokenization ≡ string_split(lower(text), ' ') in the oracle)
+            if self.alias_best:
+                for tok in _uniq(txt.lower().split(" ")):
+                    best = self.alias_best.get(tok)
+                    if best is not None:
+                        eid, etype = best
+                        emit(c, t, ns.entity_iri(eid, etype), RT,
+                             ns.ENTITY_CLASS_IRI[etype], False, ns.IRI)
+
+        return pa.Table.from_pydict(
+            {"subj": S, "pred": P, "obj": O,
+             "obj_is_literal": pa.array(LIT, pa.bool_()),
+             "obj_datatype": DT, "conv_id": C,
+             "turn_idx": pa.array(T, pa.int32())},
+            schema=EDGE_SCHEMA,
+        )
+
+
+# ---------------------------------------------------------------------------
+# side-table triples (small, driver-built Arrow tables unioned into the edge
+# stream — the reference's CWE/ATT&CK source pipelines, R5/R7/R10/R11)
+# ---------------------------------------------------------------------------
+
+def cwe_dict_triples(cwe_dict_path: str) -> pa.Table:
+    """CWE dictionary → triples (R5 observed examples with compound keys,
+    R7 property maps, related weaknesses/attack patterns)."""
+    tbl = pq.read_table(cwe_dict_path)
+    S, P, O, LIT, DT = [], [], [], [], []
+
+    def emit(s, p, o, lit, dt):
+        S.append(s); P.append(p); O.append(o); LIT.append(lit); DT.append(dt)
+
+    UCO, UCOEX = ns.UCO, ns.UCOEX
+    for row in tbl.to_pylist():
+        cid = row["id_value"]
+        ci = f"{UCO}{cid}"
+        emit(ci, ns.RDF_TYPE, f"{UCO}CWE", False, ns.IRI)
+        emit(ci, f"{UCO}name", row["name"], True, ns.XSD_STRING)
+        emit(ci, f"{UCO}abstraction", row["abstraction"], True, ns.XSD_STRING)
+        emit(ci, f"{UCO}status", row["status"], True, ns.XSD_STRING)
+        emit(ci, f"{UCO}timeOfIntroduction",
+             truncate_long_fraction(row["time_of_introduction"]), True, ns.XSD_DATETIME)
+        for rw in row["related_weaknesses"] or ():
+            emit(ci, f"{UCO}relatedWeakness", f"{UCO}{rw['ID']}", False, ns.IRI)
+        for ob in row["observed_examples"] or ():
+            oi = f"{UCOEX}{cid}-{ob['Reference']}"  # compound key R5
+            emit(oi, ns.RDF_TYPE, f"{UCOEX}ObservedExample", False, ns.IRI)
+            emit(oi, f"{UCOEX}exampleObservedIn", f"{UCO}{ob['Reference']}", False, ns.IRI)
+        for ap in row["related_attack_patterns"] or ():
+            emit(ci, f"{UCOEX}hasRelatedAttackPattern", ns.capec_iri(ap), False, ns.IRI)
+
+    n = len(S)
+    return pa.Table.from_pydict(
+        {"subj": S, "pred": P, "obj": O,
+         "obj_is_literal": pa.array(LIT, pa.bool_()),
+         "obj_datatype": DT, "conv_id": [""] * n,
+         "turn_idx": pa.array([-1] * n, pa.int32())},
+        schema=EDGE_SCHEMA,
+    )
+
+
+def attack_triples(nodes_path: str, rels_path: str) -> pa.Table:
+    """ATT&CK node maps (R10) + the seven referential relationship joins
+    (R11: edge emitted only when source_id is non-null AND the target id
+    exists as a node of the target type — mapping/attack/attack_rml.ttl:253-403)."""
+    nodes = pq.read_table(nodes_path)
+    rels = pq.read_table(rels_path)
+    S, P, O, LIT, DT = [], [], [], [], []
+
+    def emit(s, p, o, lit, dt):
+        S.append(s); P.append(p); O.append(o); LIT.append(lit); DT.append(dt)
+
+    UCOEX = ns.UCOEX
+    node_key = set()
+    for row in nodes.to_pylist():
+        ni = f"{UCOEX}{row['ID']}"
+        node_key.add((row["ID"], row["kind"]))
+        emit(ni, ns.RDF_TYPE, ns.ATTACK_KIND_CLASS[row["kind"]], False, ns.IRI)
+        emit(ni, f"{UCOEX}NAME", row["name"], True, ns.XSD_STRING)
+        emit(ni, f"{UCOEX}URL", row["url"], True, ns.XSD_STRING)
+        emit(ni, f"{UCOEX}DOMAIN", row["domain"], True, ns.XSD_STRING)
+    for row in rels.to_pylist():
+        if row["source_id"] is None:
+            continue  # parse.py:231-234 null-source drop
+        if (row["target_id"], row["target_type"]) not in node_key:
+            continue  # R11 referential join condition
+        pred = ns.ATTACK_REL_PRED.get((row["source_type"], row["target_type"]))
+        if pred is None:
+            continue
+        emit(f"{UCOEX}{row['source_id']}", pred, f"{UCOEX}{row['target_id']}",
+             False, ns.IRI)
+
+    n = len(S)
+    return pa.Table.from_pydict(
+        {"subj": S, "pred": P, "obj": O,
+         "obj_is_literal": pa.array(LIT, pa.bool_()),
+         "obj_datatype": DT, "conv_id": [""] * n,
+         "turn_idx": pa.array([-1] * n, pa.int32())},
+        schema=EDGE_SCHEMA,
+    )

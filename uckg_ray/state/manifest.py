@@ -1,0 +1,66 @@
+"""Per-partition lineage manifests for resumable runs.
+
+Mirrors the reference's checkpoint state (SQLite ``cve_meta`` offset row,
+``data_collection/cve_collection.py:311-336,462-475``) at a distributed
+granularity: each shard group writes its outputs plus a manifest JSON
+recording the input fingerprint, row counts, wall time and throughput;
+a rerun skips groups whose manifest matches the current inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+
+def shard_fingerprint(files: list[str]) -> str:
+    """Content-identity fingerprint of a group of input files (name+size),
+    the analogue of the reference's SHA-256 snapshot compare
+    (``process/shared_functions.py:58-64``)."""
+    h = hashlib.sha256()
+    for f in sorted(files):
+        h.update(f.encode())
+        h.update(str(os.path.getsize(f)).encode())
+    return h.hexdigest()
+
+
+def manifest_path(group_dir: str) -> str:
+    return os.path.join(group_dir, "manifest.json")
+
+
+def group_is_complete(group_dir: str, files: list[str]) -> bool:
+    mp = manifest_path(group_dir)
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as fh:
+            m = json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        return False
+    return m.get("fingerprint") == shard_fingerprint(files) and m.get("complete", False)
+
+
+def write_group_manifest(group_dir: str, files: list[str], *, rows_in: int,
+                         edges_out: int, wall_sec: float) -> dict:
+    m = {
+        "fingerprint": shard_fingerprint(files),
+        "input_files": sorted(os.path.basename(f) for f in files),
+        "rows_in": rows_in,
+        "edges_out": edges_out,
+        "wall_sec": round(wall_sec, 4),
+        "edges_per_sec": round(edges_out / wall_sec, 2) if wall_sec > 0 else None,
+        "complete": True,
+    }
+    tmp = manifest_path(group_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(m, fh, indent=1)
+    os.replace(tmp, manifest_path(group_dir))
+    return m
+
+
+def write_global_manifest(out_dir: str, payload: dict) -> None:
+    tmp = os.path.join(out_dir, "MANIFEST.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "MANIFEST.json"))
