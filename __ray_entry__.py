@@ -1,44 +1,647 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-edges pipeline on sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2 + the
+training-data operators) as sf_dir-parameterized callables.
+``oracle_sql()`` gives DuckDB-equivalent SQL for each oracle-checkable
+query; KG queries run over deterministic transcript fixtures generated
+under /tmp (uckg_ray.sources.fixtures — the graft input shape from
+BASELINE.json, synthesised because the driver testdata has no
+transcript table) which the SQL reads by absolute path.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from uckg_ray import namespaces as ns
+from uckg_ray import patterns as px
+from uckg_ray.sources import fixtures as fx
+
+SF01 = "/root/testdata/sf0.01"
+
+UCO, UCOEX = ns.UCO, ns.UCOEX
+RT, RL = ns.RDF_TYPE, ns.RDFS_LABEL
+CAPEC_PFX = "https://capec.mitre.org/data/definitions/"
+
+
+def _fixdir(sf_dir: str) -> str:
+    return fx.ensure_fixtures(sf_dir)
+
+
+def _tdir(sf_dir: str) -> str:
+    return os.path.join(_fixdir(sf_dir), "transcripts")
+
+
+def _rd(path):
+    import ray.data
+    return ray.data.read_parquet(path)
+
+
+def _table(sf_dir: str, name: str):
+    return _rd(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: transcripts → template extraction → union side tables →
+    exact dedup → sorted canonical edge table (sf0.001)."""
+    sf = "/root/testdata/sf0.001"
+    f = _fixdir(sf)
+    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
+    from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
+    turns = _rd(_tdir(sf))
+    edges = extract_edges(turns, f)
+    return distinct_edges(union_edge_sources(edges, side_table_edges(f)), sort=True)
+
+
+# ---------------------------------------------------------------------------
+# queries (Ray side)
+# ---------------------------------------------------------------------------
+
+def _q_kg_mentions(sf_dir: str):
+    from uckg_ray.stages.extract import extract_mentions
+    return _rd(_tdir(sf_dir)).map_batches(extract_mentions, batch_format="pyarrow")
+
+
+def _q_kg_edges(sf_dir: str):
+    f = _fixdir(sf_dir)
+    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
+    from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
+    edges = extract_edges(_rd(_tdir(sf_dir)), f)
+    return distinct_edges(union_edge_sources(edges, side_table_edges(f)), sort=True)
+
+
+def _q_kg_edges_canonical(sf_dir: str):
+    f = _fixdir(sf_dir)
+    from uckg_ray.pipelines.kg import (_apply_rewrite, build_canonical_rewriter,
+                                       extract_edges, side_table_edges)
+    from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
+    turns = _rd(_tdir(sf_dir))
+    rewrite = build_canonical_rewriter(turns, f)
+    edges = extract_edges(_rd(_tdir(sf_dir)), f)
+    all_edges = union_edge_sources(edges, side_table_edges(f)).map_batches(
+        lambda b: _apply_rewrite(b, rewrite), batch_format="pyarrow")
+    return distinct_edges(all_edges, sort=True)
+
+
+def _q_kg_nodes(sf_dir: str):
+    f = _fixdir(sf_dir)
+    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
+    from uckg_ray.stages.materialize import (distinct_edges, node_table,
+                                             union_edge_sources)
+    edges = extract_edges(_rd(_tdir(sf_dir)), f)
+    distinct = distinct_edges(
+        union_edge_sources(edges, side_table_edges(f)), sort=False)
+    return node_table(distinct)
+
+
+def _q_kg_cpe_link(sf_dir: str):
+    f = _fixdir(sf_dir)
+    from uckg_ray.stages.link import CpeLinkStage
+    return _rd(_tdir(sf_dir)).map_batches(
+        CpeLinkStage,
+        fn_constructor_args=(os.path.join(f, "cpe_dict.parquet"),),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+
+
+def _q_kg_linker(sf_dir: str):
+    f = _fixdir(sf_dir)
+    from uckg_ray.stages.link import AliasLinker
+    return _rd(_tdir(sf_dir)).map_batches(
+        AliasLinker,
+        fn_constructor_args=(os.path.join(f, "alias_dict.parquet"),),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+
+
+def _q_kg_canonical(sf_dir: str):
+    f = _fixdir(sf_dir)
+    from uckg_ray.stages.canonicalize import canonical_map, observed_alias_pairs
+    from uckg_ray.stages.link import AliasLinker, load_alias_table
+    links = _rd(_tdir(sf_dir)).map_batches(
+        AliasLinker,
+        fn_constructor_args=(os.path.join(f, "alias_dict.parquet"),),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    alias_df = load_alias_table(os.path.join(f, "alias_dict.parquet"))
+    return canonical_map(observed_alias_pairs(links, alias_df))
+
+
+def _q_kg_attack_rel(sf_dir: str):
+    f = _fixdir(sf_dir)
+    nodes = pq.read_table(os.path.join(f, "attack_nodes.parquet"))
+    node_key = set(zip(nodes.column("ID").to_pylist(),
+                       nodes.column("kind").to_pylist()))
+
+    def join(batch: pa.Table) -> pa.Table:
+        S, P, T = [], [], []
+        for r in batch.to_pylist():
+            if r["source_id"] is None:
+                continue
+            if (r["target_id"], r["target_type"]) not in node_key:
+                continue
+            pred = ns.ATTACK_REL_PRED.get((r["source_type"], r["target_type"]))
+            if pred is None:
+                continue
+            S.append(r["source_id"]); P.append(pred); T.append(r["target_id"])
+        return pa.Table.from_pydict({"source_id": S, "pred": P, "target_id": T})
+
+    return _rd(os.path.join(f, "attack_relationships.parquet")).map_batches(
+        join, batch_format="pyarrow")
+
+
+def _q_kg_turn_stats(sf_dir: str):
+    from ray.data.aggregate import Count
+    from uckg_ray.stages.extract import extract_mentions
+    m = _rd(_tdir(sf_dir)).map_batches(extract_mentions, batch_format="pyarrow")
+    return m.groupby(["conv_id", "ent_type"]).aggregate(Count(alias_name="n"))
+
+
+def _q_transcript_turns(sf_dir: str):
+    def h(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "text_md5": [hashlib.md5(t.encode()).hexdigest()
+                         for t in batch.column("text").to_pylist()],
+        })
+    return _rd(_tdir(sf_dir)).map_batches(h, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from uckg_ray.stages.dedup import exact_dedup
+    return exact_dedup(_table(sf_dir, "documents"))
+
+
+def _q_dedup_fingerprint(sf_dir: str):
+    from uckg_ray.stages.dedup import fingerprints
+    return fingerprints(_table(sf_dir, "documents"))
+
+
+def _q_dedup_token_jaccard(sf_dir: str):
+    from uckg_ray.stages.dedup import token_jaccard_pairs
+    return token_jaccard_pairs(_table(sf_dir, "documents"), num=2, den=3)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from uckg_ray.stages.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_table(sf_dir, "documents"), tau=0.5)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from uckg_ray.stages.dedup import simhash_pairs
+    return simhash_pairs(_table(sf_dir, "documents"), max_hamming=3)
+
+
+def _q_text_quality(sf_dir: str):
+    from uckg_ray.stages.text import quality_stats
+    return quality_stats(_table(sf_dir, "documents"))
+
+
+def _q_lang_id(sf_dir: str):
+    from uckg_ray.stages.text import lang_id
+    return lang_id(_table(sf_dir, "documents"))
+
+
+def _q_token_count(sf_dir: str):
+    from uckg_ray.stages.text import token_counts_by
+    return token_counts_by(_table(sf_dir, "documents"), "source")
+
+
+def _load_queries(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mask = pa.compute.less(t.column("vec_id"), 10)
+    qt = t.filter(mask)
+    Q = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qids = np.array(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    return Q, qids
+
+
+def _q_ann_cosine_topk(sf_dir: str):
+    from uckg_ray.stages.similarity import ann_cosine_topk
+    Q, qids = _load_queries(sf_dir)
+    return ann_cosine_topk(_table(sf_dir, "embeddings"), Q, qids, k=10)
+
+
+def _q_embed_neardup(sf_dir: str):
+    from uckg_ray.stages.similarity import embedding_neardup_pairs
+    return embedding_neardup_pairs(_table(sf_dir, "embeddings"), tau=0.45)
+
+
+def _q_events_window(sf_dir: str):
+    from uckg_ray.stages.windows import tumbling_window_agg
+    return tumbling_window_agg(_table(sf_dir, "events"))
+
+
+def _q_events_sessionize(sf_dir: str):
+    from uckg_ray.stages.windows import sessionize
+    return sessionize(_table(sf_dir, "events"), gap_minutes=30)
+
+
+def _q_q1_pricing(sf_dir: str):
+    from uckg_ray.stages.relational import q1_pricing
+    return q1_pricing(_table(sf_dir, "lineitem"))
+
+
+def _q_orders_by_nation(sf_dir: str):
+    from uckg_ray.stages.relational import orders_by_nation
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    return orders_by_nation(_table(sf_dir, "orders"), cust, nat)
+
+
+def _q_multimodal_features(sf_dir: str):
+    from uckg_ray.stages.multimodal import attach_binary_payload, binary_feature_stats
+    return binary_feature_stats(attach_binary_payload(_table(sf_dir, "documents")))
+
+
+def _q_multimodal_decode(sf_dir: str):
+    from uckg_ray.stages.multimodal import ImageDecodeStub, attach_binary_payload
+
+    def project(batch: pa.Table) -> pa.Table:
+        feats = batch.column("decoded_features")
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "n_features": pa.array(
+                [len(f) for f in feats.to_pylist()], pa.int64()),
+        })
+
+    ds = attach_binary_payload(_table(sf_dir, "documents"))
+    return ds.map_batches(
+        ImageDecodeStub, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+    ).map_batches(project, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "kg_mentions": _q_kg_mentions,
+        "kg_edges": _q_kg_edges,
+        "kg_edges_canonical": _q_kg_edges_canonical,
+        "kg_nodes": _q_kg_nodes,
+        "kg_cpe_link": _q_kg_cpe_link,
+        "kg_linker": _q_kg_linker,
+        "kg_canonical": _q_kg_canonical,
+        "kg_attack_rel": _q_kg_attack_rel,
+        "kg_turn_stats": _q_kg_turn_stats,
+        "transcript_turns": _q_transcript_turns,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_fingerprint": _q_dedup_fingerprint,
+        "dedup_token_jaccard": _q_dedup_token_jaccard,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "token_count": _q_token_count,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "embed_neardup": _q_embed_neardup,
+        "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "q1_pricing": _q_q1_pricing,
+        "orders_by_nation": _q_orders_by_nation,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; KG queries read the /tmp fixture parquet by path)
+# ---------------------------------------------------------------------------
+
+def _sql_paths(sf_dir: str = SF01) -> dict[str, str]:
+    f = fx.fixture_dir(sf_dir)
+    return {
+        "T": os.path.join(f, "transcripts", "*.parquet"),
+        "CWED": os.path.join(f, "cwe_dict.parquet"),
+        "CPED": os.path.join(f, "cpe_dict.parquet"),
+        "AD": os.path.join(f, "alias_dict.parquet"),
+        "AN": os.path.join(f, "attack_nodes.parquet"),
+        "AR": os.path.join(f, "attack_relationships.parquet"),
+    }
+
+
+def _mentions_cte(p) -> str:
+    terms = []
+    for name, rx in px.MENTION_TYPES:
+        terms.append(
+            f"SELECT conv_id, turn_idx, '{name}' AS ent_type, "
+            f"unnest(regexp_extract_all(text, '{rx}')) AS ent_id "
+            f"FROM read_parquet('{p['T']}')")
+    return " UNION ALL ".join(terms)
+
+
+# shared CTE block for the template-extraction queries
+def _kg_ctes(p) -> str:
+    return f"""
+tt AS (SELECT conv_id, turn_idx, role, tool, text,
+       left(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), 23) AS tsf
+       FROM read_parquet('{p['T']}')),
+cve AS (SELECT DISTINCT conv_id, turn_idx, tsf,
+        unnest(regexp_extract_all(text, '{px.CVE_RX}')) AS id FROM tt),
+cwe0 AS (SELECT DISTINCT conv_id, turn_idx,
+         unnest(regexp_extract_all(text, '{px.CWE_RX}')) AS id FROM tt),
+cwed AS (SELECT * FROM read_parquet('{p['CWED']}')),
+cwe AS (SELECT c.conv_id, c.turn_idx, c.id, d.name
+        FROM cwe0 c JOIN cwed d ON d.id_value = c.id),
+capec AS (SELECT DISTINCT conv_id, turn_idx,
+          unnest(regexp_extract_all(text, '{px.CAPEC_RX}')) AS id FROM tt),
+att AS (SELECT DISTINCT conv_id, turn_idx,
+        unnest(regexp_extract_all(text, '{px.ATTACK_RX}')) AS id FROM tt),
+d3 AS (SELECT DISTINCT conv_id, turn_idx,
+       unnest(regexp_extract_all(text, '{px.D3FEND_RX}')) AS id FROM tt),
+cpe AS (SELECT DISTINCT conv_id, turn_idx,
+        unnest(regexp_extract_all(text, '{px.CPE_RX}')) AS id FROM tt),
+cpefirst AS (SELECT conv_id, turn_idx,
+             regexp_extract_all(text, '{px.CPE_RX}')[1] AS id FROM tt
+             WHERE len(regexp_extract_all(text, '{px.CPE_RX}')) > 0),
+cped AS (SELECT cpeName, cpeNameId,
+         regexp_replace(lastModified, '\\.\\d{{4,}}$', '') AS lm,
+         array_to_string(list_sort(list_transform(titles,
+             x -> x['lang'] || '=' || x['title'])), '|') AS titles_s
+         FROM read_parquet('{p['CPED']}')),
+words AS (SELECT DISTINCT conv_id, turn_idx,
+          unnest(string_split(lower(text), ' ')) AS w FROM tt),
+ad AS (SELECT * FROM read_parquet('{p['AD']}')),
+abest AS (SELECT block_key, entity_id, entity_type FROM (
+   SELECT block_key, entity_id, entity_type,
+          row_number() OVER (PARTITION BY block_key
+                             ORDER BY prior DESC, entity_id) AS rn FROM ad)
+   WHERE rn = 1),
+alink AS (SELECT w.conv_id, w.turn_idx, w.w AS alias, b.entity_id, b.entity_type
+          FROM words w JOIN abest b ON b.block_key = w.w),
+an AS (SELECT * FROM read_parquet('{p['AN']}')),
+ar AS (SELECT * FROM read_parquet('{p['AR']}'))"""
+
+
+def _entity_iri_case(col_id: str = "entity_id", col_ty: str = "entity_type") -> str:
+    return f"""CASE {col_ty}
+  WHEN 'cve' THEN '{UCO}' || {col_id}
+  WHEN 'cwe' THEN '{UCO}' || {col_id}
+  WHEN 'capec' THEN '{CAPEC_PFX}' || split_part({col_id}, '-', 2) || '.html'
+  WHEN 'attack' THEN '{UCOEX}' || {col_id}
+  WHEN 'd3fend' THEN '{UCOEX}' || {col_id}
+  WHEN 'cpe' THEN '{UCOEX}' || {col_id}
+  WHEN 'tool' THEN '{UCOEX}tool-' || split_part({col_id}, ':', 2)
+  END"""
+
+
+def _entity_class_case(col_ty: str = "entity_type") -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in ns.ENTITY_CLASS_IRI.items())
+    return f"CASE {col_ty} {whens} END"
+
+
+def _attack_class_case() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in ns.ATTACK_KIND_CLASS.items())
+    return f"CASE kind {whens} END"
+
+
+def _attack_pred_case() -> str:
+    whens = " ".join(
+        f"WHEN source_type = '{s}' AND target_type = '{t}' THEN '{pred}'"
+        for (s, t), pred in ns.ATTACK_REL_PRED.items())
+    return f"CASE {whens} END"
+
+
+def _edges_union(p) -> str:
+    """All template emissions as UNION ALL terms over the shared CTEs."""
+    E = []  # (subj, pred, obj, lit, dt, from_clause)
+
+    def t(subj, pred, obj, lit, dt, frm):
+        E.append(f"SELECT {subj} AS subj, {pred} AS pred, {obj} AS obj, "
+                 f"{lit} AS obj_is_literal, '{dt}' AS obj_datatype FROM {frm}")
+
+    U, X = f"'{UCO}'", f"'{UCOEX}'"
+    # R1/R2 — CVE
+    t(f"{U} || 'VULN-' || id", f"'{RT}'", f"{U} || 'Vulnerability'", "false", "", "cve")
+    t(f"{U} || 'VULN-' || id", f"'{UCO}hasCVE_ID'", f"{U} || id", "false", "", "cve")
+    t(f"{U} || 'VULN-' || id", f"'{UCO}publishedDateTime'", "tsf", "true",
+      ns.XSD_DATETIME, "cve")
+    t(f"{U} || id", f"'{RT}'", f"{U} || 'CVE'", "false", "", "cve")
+    t(f"{U} || id", f"'{RL}'", "id", "true", ns.XSD_STRING, "cve")
+    # R4/R6/R7 — CWE (gated)
+    t(f"{U} || 'ExploitTarget-' || id", f"'{RT}'", f"{U} || 'ExploitTarget'",
+      "false", "", "cwe")
+    t(f"{U} || 'ExploitTarget-' || id", f"'{UCO}hasWeakness'", f"{U} || id",
+      "false", "", "cwe")
+    t(f"{U} || id", f"'{RT}'", f"{U} || 'CWE'", "false", "", "cwe")
+    t(f"{U} || id", f"'{UCO}name'", "name", "true", ns.XSD_STRING, "cwe")
+    t(f"{U} || 'ExploitTarget-' || w.id", f"'{UCO}hasVulnerability'",
+      f"{U} || 'VULN-' || v.id", "false", "",
+      "cwe w JOIN cve v ON v.conv_id = w.conv_id AND v.turn_idx = w.turn_idx")
+    # R8 — CAPEC
+    capec_iri = f"'{CAPEC_PFX}' || split_part(id, '-', 2) || '.html'"
+    t(capec_iri, f"'{RT}'", f"{X} || 'CAPEC'", "false", "", "capec")
+    t(capec_iri, f"'{RL}'", "id", "true", ns.XSD_STRING, "capec")
+    t(f"'{CAPEC_PFX}' || split_part(pp.id, '-', 2) || '.html'",
+      f"'{UCOEX}hasRelatedWeakness'", f"{U} || w.id", "false", "",
+      "capec pp JOIN cwe w ON w.conv_id = pp.conv_id AND w.turn_idx = pp.turn_idx")
+    # R10 — ATT&CK mentions
+    t(f"{X} || id", f"'{RT}'", f"{X} || 'MITREATTACK'", "false", "", "att")
+    # R12 — D3FEND
+    t(f"{X} || id", f"'{RT}'", f"{X} || 'MITRED3FEND'", "false", "", "d3")
+    t(f"{X} || d.id", f"'{UCOEX}hasMITREATTACK'", f"{X} || a.id", "false", "",
+      "d3 d JOIN att a ON a.conv_id = d.conv_id AND a.turn_idx = d.turn_idx")
+    # R3/J1 — CPE
+    t(f"{X} || id", f"'{RT}'", f"{X} || 'CPE'", "false", "", "cpe")
+    t(f"{X} || c.id", f"'{UCOEX}cpeNameId'", "d.cpeNameId", "true", ns.XSD_STRING,
+      "cpe c JOIN cped d ON d.cpeName = c.id")
+    t(f"{X} || c.id", f"'{UCOEX}lastModified'", "d.lm", "true", ns.XSD_DATETIME,
+      "cpe c JOIN cped d ON d.cpeName = c.id")
+    t(f"{X} || c.id", f"'{UCOEX}titles'", "d.titles_s", "true", ns.RDF_JSON,
+      "cpe c JOIN cped d ON d.cpeName = c.id WHERE d.titles_s <> ''")
+    t(f"{X} || c.id", f"'{UCOEX}dictionaryFound'", "'true'", "true", ns.XSD_BOOLEAN,
+      "cpe c JOIN cped d ON d.cpeName = c.id")
+    t(f"{X} || c.id", f"'{UCOEX}dictionaryFound'", "'false'", "true", ns.XSD_BOOLEAN,
+      "cpe c LEFT JOIN cped d ON d.cpeName = c.id WHERE d.cpeName IS NULL")
+    # P3 quirk — first CPE ↔ CVEs of the turn
+    t(f"{U} || v.id", f"'{UCOEX}hasCPE'", f"{X} || cf.id", "false", "",
+      "cpefirst cf JOIN cve v ON v.conv_id = cf.conv_id AND v.turn_idx = cf.turn_idx")
+    # tool turns
+    t(f"{X} || 'tool-' || tool", f"'{RT}'", f"{X} || 'Tool'", "false", "",
+      "tt WHERE role = 'tool' AND tool <> ''")
+    t(f"{X} || 'tool-' || tool", f"'{RL}'", "tool", "true", ns.XSD_STRING,
+      "tt WHERE role = 'tool' AND tool <> ''")
+    # alias links
+    t(_entity_iri_case(), f"'{RT}'", _entity_class_case(), "false", "", "alink")
+    # side table: CWE dictionary
+    t(f"{U} || id_value", f"'{RT}'", f"{U} || 'CWE'", "false", "", "cwed")
+    t(f"{U} || id_value", f"'{UCO}name'", "name", "true", ns.XSD_STRING, "cwed")
+    t(f"{U} || id_value", f"'{UCO}abstraction'", "abstraction", "true",
+      ns.XSD_STRING, "cwed")
+    t(f"{U} || id_value", f"'{UCO}status'", "status", "true", ns.XSD_STRING, "cwed")
+    t(f"{U} || id_value", f"'{UCO}timeOfIntroduction'",
+      "regexp_replace(time_of_introduction, '\\.\\d{4,}$', '')", "true",
+      ns.XSD_DATETIME, "cwed")
+    t(f"{U} || id_value", f"'{UCO}relatedWeakness'",
+      f"{U} || rw.ID", "false", "",
+      "(SELECT id_value, unnest(related_weaknesses) AS rw FROM cwed)")
+    t(f"{X} || id_value || '-' || ob.Reference", f"'{RT}'",
+      f"{X} || 'ObservedExample'", "false", "",
+      "(SELECT id_value, unnest(observed_examples) AS ob FROM cwed)")
+    t(f"{X} || id_value || '-' || ob.Reference", f"'{UCOEX}exampleObservedIn'",
+      f"{U} || ob.Reference", "false", "",
+      "(SELECT id_value, unnest(observed_examples) AS ob FROM cwed)")
+    t(f"{U} || id_value", f"'{UCOEX}hasRelatedAttackPattern'",
+      f"'{CAPEC_PFX}' || split_part(ap, '-', 2) || '.html'", "false", "",
+      "(SELECT id_value, unnest(related_attack_patterns) AS ap FROM cwed)")
+    # side table: ATT&CK nodes + referential relationships
+    t(f"{X} || ID", f"'{RT}'", _attack_class_case(), "false", "", "an")
+    t(f"{X} || ID", f"'{UCOEX}NAME'", "name", "true", ns.XSD_STRING, "an")
+    t(f"{X} || ID", f"'{UCOEX}URL'", "url", "true", ns.XSD_STRING, "an")
+    t(f"{X} || ID", f"'{UCOEX}DOMAIN'", "domain", "true", ns.XSD_STRING, "an")
+    t(f"{X} || r.source_id", _attack_pred_case().replace(
+        "source_type", "r.source_type").replace("target_type", "r.target_type"),
+      f"{X} || r.target_id", "false", "",
+      "ar r JOIN an n ON n.ID = r.target_id AND n.kind = r.target_type "
+      "WHERE r.source_id IS NOT NULL")
+    return " UNION ALL ".join(E)
+
+
+def _sql_kg_edges(p) -> str:
+    return (f"WITH {_kg_ctes(p)} "
+            f"SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype "
+            f"FROM ({_edges_union(p)})")
+
+
+def _sql_kg_nodes(p) -> str:
+    return f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)}))
+SELECT subj,
+       coalesce(string_agg(DISTINCT cls, '|' ORDER BY cls), '') AS classes,
+       count(*) AS n_edges,
+       count(*) FILTER (obj_is_literal) AS n_literals
+FROM (SELECT *, CASE WHEN pred = '{RT}' THEN obj END AS cls FROM edges)
+GROUP BY subj"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    p = _sql_paths(SF01)
+    fx.ensure_fixtures(SF01)
+    en = ", ".join(f"'{w}'" for w in
+                   ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"))
+    de = ", ".join(f"'{w}'" for w in
+                   ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"))
+    fr = ", ".join(f"'{w}'" for w in
+                   ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"))
+    return {
+        "kg_mentions": f"SELECT * FROM ({_mentions_cte(p)})",
+        "kg_edges": _sql_kg_edges(p),
+        "kg_nodes": _sql_kg_nodes(p),
+        "kg_cpe_link": f"""WITH {_kg_ctes(p)}
+SELECT c.conv_id, c.turn_idx, c.id AS cpeName, d.cpeNameId,
+       d.lm AS lastModified,
+       CASE WHEN d.cpeName IS NULL THEN NULL ELSE d.titles_s END AS titles,
+       d.cpeName IS NOT NULL AS dictionary_found
+FROM cpe c LEFT JOIN cped d ON d.cpeName = c.id""",
+        "kg_linker": f"""WITH {_kg_ctes(p)}
+SELECT conv_id, turn_idx, alias, entity_id, entity_type FROM alink""",
+        "kg_canonical": f"""WITH RECURSIVE
+tt AS (SELECT text FROM read_parquet('{p['T']}')),
+words AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w FROM tt),
+ad AS (SELECT * FROM read_parquet('{p['AD']}')),
+pairs AS (SELECT DISTINCT b.block_key AS alias, b.entity_id
+          FROM words w JOIN ad b ON b.block_key = w.w),
+e2 AS (SELECT 'A:' || alias AS s, 'E:' || entity_id AS d FROM pairs
+       UNION ALL SELECT 'E:' || entity_id, 'A:' || alias FROM pairs),
+comp(node, label) AS (
+  SELECT DISTINCT 'E:' || entity_id, 'E:' || entity_id FROM pairs
+  UNION
+  SELECT e.d, c.label FROM comp c JOIN e2 e ON e.s = c.node)
+SELECT substr(node, 3) AS entity_id, substr(min(label), 3) AS canonical_id
+FROM comp WHERE node LIKE 'E:%' GROUP BY node""",
+        "kg_attack_rel": f"""
+SELECT r.source_id, {_attack_pred_case().replace('source_type', 'r.source_type').replace('target_type', 'r.target_type')} AS pred,
+       r.target_id
+FROM read_parquet('{p['AR']}') r
+JOIN read_parquet('{p['AN']}') n ON n.ID = r.target_id AND n.kind = r.target_type
+WHERE r.source_id IS NOT NULL""",
+        "kg_turn_stats": (f"SELECT conv_id, ent_type, count(*) AS n FROM "
+                          f"({_mentions_cte(p)}) GROUP BY conv_id, ent_type"),
+        "transcript_turns": (f"SELECT conv_id, turn_idx, md5(text) AS text_md5 "
+                             f"FROM read_parquet('{p['T']}')"),
+        "dedup_exact": ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
+                        "FROM documents GROUP BY md5(text)"),
+        "dedup_fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint FROM documents"),
+        "dedup_token_jaccard": """
+WITH w AS (SELECT DISTINCT doc_id, source,
+           unnest(string_split(text, ' ')) AS word FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM w a JOIN w b ON a.word = b.word AND a.source = b.source
+                         AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
+FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE 3 * inter >= 2 * (sa.n + sb.n - inter)""",
+        "text_quality": f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq,
+       len(list_filter(toks, x -> x IN ({en}))) AS n_stop,
+       len(toks) BETWEEN 5 AND 1000 AND 2 * len(list_distinct(toks)) >= len(toks)
+           AS is_quality
+FROM s""",
+        "lang_id": f"""
+WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+h AS (SELECT doc_id,
+      len(list_filter(toks, x -> x IN ({en}))) AS he,
+      len(list_filter(toks, x -> x IN ({de}))) AS hd,
+      len(list_filter(toks, x -> x IN ({fr}))) AS hf FROM s)
+SELECT doc_id, CASE WHEN he = 0 AND hd = 0 AND hf = 0 THEN 'unk'
+  WHEN he >= hd AND he >= hf THEN 'en'
+  WHEN hd >= hf THEN 'de' ELSE 'fr' END AS lang_guess FROM h""",
+        "token_count": ("SELECT source, count(*) AS n_docs, "
+                        "sum(len(string_split(text, ' '))) AS n_tokens "
+                        "FROM documents GROUP BY source"),
+        "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.qid, b.vec_id AS nid,
+      list_cosine_similarity(q.e, CAST(b.embedding AS DOUBLE[])) AS sim
+      FROM q, embeddings b WHERE b.vec_id <> q.qid),
+r AS (SELECT qid, nid, row_number() OVER (
+        PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r WHERE rk <= 10""",
+        "embed_neardup": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+        "events_window": """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_c100
+FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c100,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c100,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_nation": """
+SELECT n.n_name, count(*) AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_total_c100
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name""",
+        "multimodal_features": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS payload_md5 FROM documents"),
+    }

@@ -1,0 +1,327 @@
+"""Deduplication operators over document tables — the training-data-
+pipeline side of the engine (beyond the reference's exact-IRI dedup A2).
+
+All operators are Dataset-native:
+
+- ``exact_dedup``      — md5(text) hash groupby, keep min doc_id
+                         (hash-partition + per-group first).
+- ``fingerprints``     — normalized-text rolling fingerprint (md5 of
+                         lowercased, punctuation-stripped text).
+- ``token_jaccard_pairs`` — exact word-set Jaccard near-dup pairs within
+                         a blocking column (all-pairs via inverted-index
+                         groupby; integer-arithmetic threshold so the
+                         DuckDB oracle matches bit-for-bit).
+- ``minhash_lsh_pairs``  — MinHash + banded LSH over word shingles with
+                         exact-Jaccard verification of candidates: the
+                         scale path (candidates ∝ true near-dups, not
+                         all pairs).
+- ``simhash_pairs``      — 64-bit SimHash + 4×16-bit band blocking,
+                         Hamming ≤ 3 verification (pigeonhole: 4 bands
+                         guarantee recall at radius 3).
+- ``embedding_neardup_pairs`` — cosine ≥ τ pairs over an embedding
+                         column (see stages/similarity.py for top-k).
+
+Deterministic hashing only (blake2b / md5 / crc-free), never Python's
+salted ``hash()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+_NORM_RX = re.compile(r"[^a-z0-9 ]")
+_SPACE_RX = re.compile(r" +")
+
+
+def _md5_col(texts: list[str]) -> list[str]:
+    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+
+def exact_dedup(docs: Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> Dataset:
+    """(text_hash, doc_id=min id with that text). Block-local min is the
+    combiner; the global groupby moves ≤ one row per distinct hash per
+    block. ≡ SQL: SELECT md5(text) text_hash, min(doc_id) doc_id ... GROUP BY 1."""
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "text_hash": _md5_col(batch.column(text_col).to_pylist()),
+            id_col: batch.column(id_col).to_pylist(),
+        })
+        part = df.groupby("text_hash", sort=False)[id_col].min().reset_index()
+        return pa.Table.from_pydict({
+            "text_hash": part["text_hash"].tolist(),
+            id_col: pa.array(part[id_col].tolist(), pa.int64()),
+        })
+    return (docs.map_batches(hash_partial, batch_format="pyarrow")
+            .groupby("text_hash").aggregate(Min(id_col, alias_name=id_col)))
+
+
+def normalize_text(t: str) -> str:
+    return _SPACE_RX.sub(" ", _NORM_RX.sub("", t.lower())).strip()
+
+
+def fingerprints(docs: Dataset, text_col: str = "text",
+                 id_col: str = "doc_id") -> Dataset:
+    """(doc_id, fingerprint) — md5 of normalized text. ≡ SQL
+    md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' +',' ','g')))."""
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "fingerprint": [hashlib.md5(normalize_text(t).encode()).hexdigest()
+                            for t in texts],
+        })
+    return docs.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact token-set Jaccard (inverted index; blocked)
+# ---------------------------------------------------------------------------
+
+def token_jaccard_pairs(docs: Dataset, *, block_col: str = "source",
+                        num: int = 2, den: int = 3) -> Dataset:
+    """Near-dup pairs (doc_a < doc_b, same block) with word-set Jaccard
+    ≥ num/den, reported as integer (inter, uni) so no float compare.
+
+    Distributed shape: explode distinct (block, word, doc) rows →
+    groupby word+block → pairs → groupby pair → Sum(inter) → filter with
+    broadcast doc set sizes. The blocking column bounds the all-pairs
+    blowup (same-word different-block docs never pair) — at scale, use
+    minhash_lsh_pairs instead; this operator is the exact oracle-checked
+    variant.
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blocks = batch.column(block_col).to_pylist()
+        texts = batch.column("text").to_pylist()
+        W, D, B = [], [], []
+        for i, b, t in zip(ids, blocks, texts):
+            for w in set(t.split(" ")):
+                W.append(w); D.append(i); B.append(b)
+        return pa.Table.from_pydict(
+            {"word": W, "doc_id": pa.array(D, pa.int64()), "block": B})
+
+    words = docs.map_batches(explode, batch_format="pyarrow")
+
+    # doc set sizes — small side, collected and broadcast
+    sizes_ds = (words.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id"), "n": pa.array([1] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Sum("n", alias_name="n")))
+    sizes = {r["doc_id"]: r["n"] for r in sizes_ds.take_all()}
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].tolist())
+        A, B_ = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                A.append(ids[i]); B_.append(ids[j])
+        return pd.DataFrame({"doc_a": A, "doc_b": B_,
+                             "one": np.ones(len(A), dtype=np.int64)})
+
+    pairs = (words.groupby(["word", "block"])
+             .map_groups(emit_pairs, batch_format="pandas")
+             .groupby(["doc_a", "doc_b"]).aggregate(Sum("one", alias_name="inter")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_pylist()
+        db = batch.column("doc_b").to_pylist()
+        inter = batch.column("inter").to_pylist()
+        uni = [sizes[a] + sizes[b] - i for a, b, i in zip(da, db, inter)]
+        keep = [den * i >= num * u for i, u in zip(inter, uni)]
+        return pa.Table.from_pydict({
+            "doc_a": pa.array(da, pa.int64()), "doc_b": pa.array(db, pa.int64()),
+            "inter": pa.array(inter, pa.int64()), "uni": pa.array(uni, pa.int64()),
+        }).filter(pa.array(keep))
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+class MinHasher:
+    """Per-actor state: permutation coefficients (seeded, deterministic).
+    n_perm minhashes over w-word shingles, banded for LSH."""
+
+    def __init__(self, n_perm: int = 64, n_bands: int = 16, shingle_w: int = 3,
+                 seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64)
+        self.n_perm, self.n_bands = n_perm, n_bands
+        self.rows_per_band = n_perm // n_bands
+        self.shingle_w = shingle_w
+
+    def shingles(self, text: str) -> set[str]:
+        toks = text.split(" ")
+        w = self.shingle_w
+        if len(toks) < w:
+            return {" ".join(toks)} if toks != [""] else set()
+        return {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
+
+    def signature(self, sh: set[str]) -> np.ndarray | None:
+        if not sh:
+            return None
+        hv = np.array([_stable64(s) % _MERSENNE for s in sh], dtype=np.uint64)
+        # (a*h + b) mod p, vectorized over perms × shingles via object ints
+        # kept in uint64 space with Python-int modmul per perm (n_perm small)
+        sig = np.empty(self.n_perm, dtype=np.uint64)
+        for k in range(self.n_perm):
+            sig[k] = np.min((int(self.a[k]) * hv.astype(object) + int(self.b[k]))
+                            % _MERSENNE)
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        D, BAND, H = [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.signature(self.shingles(t))
+            if sig is None:
+                continue
+            for band in range(self.n_bands):
+                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                D.append(i); BAND.append(band); H.append(h)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(D, pa.int64()),
+            "band": pa.array(BAND, pa.int32()), "band_hash": H})
+
+
+def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
+                      n_bands: int = 16, shingle_w: int = 3,
+                      concurrency=(1, 8), batch_size: int = 2048) -> Dataset:
+    """Candidate generation: shingle → minhash → band-bucket groupby;
+    verification: exact shingle Jaccard ≥ tau over the candidate pairs
+    (shingle sets re-derived in the verify stage from a broadcast of the
+    candidate docs' texts — the candidate set is small relative to the
+    corpus; at extreme scale verification becomes a pair-partitioned
+    join instead)."""
+    sigs = docs.map_batches(
+        MinHasher, fn_constructor_kwargs=dict(
+            n_perm=n_perm, n_bands=n_bands, shingle_w=shingle_w),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        A, B = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                A.append(ids[i]); B.append(ids[j])
+        return pd.DataFrame({"doc_a": A, "doc_b": B})
+
+    cand = (sigs.groupby(["band", "band_hash"])
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"]).map_groups(
+                lambda g: g.head(1), batch_format="pandas"))
+
+    cand_rows = cand.take_all()
+    if not cand_rows:
+        import ray.data
+        return ray.data.from_arrow(pa.Table.from_pydict(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}))
+    need = set()
+    for r in cand_rows:
+        need.add(r["doc_a"]); need.add(r["doc_b"])
+
+    hasher = MinHasher(n_perm, n_bands, shingle_w)
+    texts: dict[int, set] = {}
+    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if i in need:
+                texts[i] = hasher.shingles(t)
+    A, B = [], []
+    for r in cand_rows:
+        sa, sb = texts.get(r["doc_a"]), texts.get(r["doc_b"])
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= tau:
+            A.append(r["doc_a"]); B.append(r["doc_b"])
+    import ray.data
+    pairs_sorted = sorted(zip(A, B))
+    return ray.data.from_arrow(pa.Table.from_pydict(
+        {"doc_a": pa.array([x for x, _ in pairs_sorted], pa.int64()),
+         "doc_b": pa.array([y for _, y in pairs_sorted], pa.int64())}))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(tokens: list[str]) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for w in set(tokens):
+        h = _stable64(w)
+        bits = np.array([(h >> k) & 1 for k in range(64)], dtype=np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for k in range(64):
+        if acc[k] > 0:
+            out |= (1 << k)
+    return out
+
+
+def simhash_signatures(docs: Dataset) -> Dataset:
+    def sh(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sigs = [simhash64(t.split(" ")) for t in texts]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash": pa.array(sigs, pa.uint64())})
+    return docs.map_batches(sh, batch_format="pyarrow")
+
+
+def simhash_pairs(docs: Dataset, *, max_hamming: int = 3) -> Dataset:
+    """Hamming ≤ k near-dup pairs via (k+1)-band exact-match blocking over
+    the 64-bit simhash (pigeonhole guarantees full recall)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sigs = batch.column("simhash").to_pylist()
+        D, BI, BV, S = [], [], [], []
+        for i, s in zip(ids, sigs):
+            for b in range(n_bands):
+                D.append(i); BI.append(b)
+                BV.append((s >> (b * width)) & ((1 << width) - 1))
+                S.append(s)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(D, pa.int64()), "band": pa.array(BI, pa.int32()),
+            "band_val": pa.array(BV, pa.uint64()), "simhash": pa.array(S, pa.uint64())})
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(group["doc_id"], group["simhash"])))
+        A, B = [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if bin(int(rows[i][1]) ^ int(rows[j][1])).count("1") <= max_hamming:
+                    A.append(rows[i][0]); B.append(rows[j][0])
+        return pd.DataFrame({"doc_a": A, "doc_b": B})
+
+    sigs = simhash_signatures(docs)
+    return (sigs.map_batches(bands, batch_format="pyarrow")
+            .groupby(["band", "band_val"])
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"]).map_groups(
+                lambda g: g.head(1), batch_format="pandas"))

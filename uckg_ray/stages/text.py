@@ -1,0 +1,93 @@
+"""Text-analysis operators for training-data pipelines: quality scoring,
+language id, token counting. All outputs are integer/boolean/string so
+the DuckDB oracle can match value-hashes exactly (no float formatting).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+# marker stopword sets for the n-gram-free language heuristic; mirrored
+# verbatim in the oracle SQL (IN lists)
+STOP_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+STOP_DE = ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu")
+STOP_FR = ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que")
+
+
+def quality_stats(docs: Dataset) -> Dataset:
+    """(doc_id, n_tokens, n_uniq, n_stop, is_quality).
+
+    is_quality: 5 ≤ n_tokens ≤ 1000 AND 2*n_uniq ≥ n_tokens (integer
+    repetitiveness test — a vectorizable stand-in for Gopher-style
+    repetition filters)."""
+    en = set(STOP_EN)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        NT, NU, NS, Q = [], [], [], []
+        for t in texts:
+            toks = t.split(" ")
+            nt = len(toks)
+            nu = len(set(toks))
+            ns = sum(1 for w in toks if w in en)
+            NT.append(nt); NU.append(nu); NS.append(ns)
+            Q.append(5 <= nt <= 1000 and 2 * nu >= nt)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(NT, pa.int64()),
+            "n_uniq": pa.array(NU, pa.int64()),
+            "n_stop": pa.array(NS, pa.int64()),
+            "is_quality": pa.array(Q, pa.bool_()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def lang_id(docs: Dataset) -> Dataset:
+    """(doc_id, lang_guess) — argmax of marker-stopword hits over
+    {en, de, fr}; ties broken en > de > fr; all-zero → 'unk'."""
+    sets = [("en", set(STOP_EN)), ("de", set(STOP_DE)), ("fr", set(STOP_FR))]
+
+    def guess(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            toks = t.lower().split(" ")
+            scores = [(sum(1 for w in toks if w in s), name) for name, s in sets]
+            best_n = max(n for n, _ in scores)
+            if best_n == 0:
+                out.append("unk")
+            else:
+                out.append(next(name for n, name in scores if n == best_n))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()), "lang_guess": out})
+
+    return docs.map_batches(guess, batch_format="pyarrow")
+
+
+def token_counts_by(docs: Dataset, group_col: str = "source") -> Dataset:
+    """(group, n_docs, n_tokens) — corpus token accounting, pre-aggregated
+    per block before the (tiny) groupby."""
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        texts = batch.column("text").to_pylist()
+        agg: dict[str, list[int]] = {}
+        for g, t in zip(groups, texts):
+            e = agg.setdefault(g, [0, 0])
+            e[0] += 1
+            e[1] += len(t.split(" "))
+        return pa.Table.from_pydict({
+            group_col: list(agg),
+            "n_docs": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "n_tokens": pa.array([v[1] for v in agg.values()], pa.int64()),
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens")))

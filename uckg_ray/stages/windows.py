@@ -1,0 +1,74 @@
+"""Stream-shaped operators over the ordered `events` log.
+
+Ray Data has no event-time windowing; tumbling windows are expressed as
+a computed window-key column + groupby (the ordering assumption: events
+are processed by (user_id, window) key, not arrival order — ts is data,
+not time). Sums are carried as integer cents so the DuckDB oracle
+matches bit-for-bit (float accumulation order never matters).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def tumbling_window_agg(events: Dataset, *, every: str = "hour") -> Dataset:
+    """(user_id, window_start, n_events, sum_value_c100) per tumbling
+    window. Per-block partial aggregation is the combiner; the global
+    groupby moves ≤ one row per (user, window) per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column("ts"), unit=every)
+        users = batch.column("user_id").to_pylist()
+        vals = np.asarray(batch.column("value").to_pylist(), dtype=np.float64)
+        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+        wl = win.to_pylist()
+        agg: dict[tuple, list[int]] = {}
+        for u, w, c in zip(users, wl, cents):
+            e = agg.setdefault((u, w), [0, 0])
+            e[0] += 1
+            e[1] += int(c)
+        keys = list(agg)
+        return pa.Table.from_pydict({
+            "user_id": pa.array([k[0] for k in keys], pa.int64()),
+            "window_start": pa.array([k[1] for k in keys], pa.timestamp("us")),
+            "n_events": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "sum_value_c100": pa.array([v[1] for v in agg.values()], pa.int64()),
+        })
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby(["user_id", "window_start"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_value_c100", alias_name="sum_value_c100")))
+
+
+def sessionize(events: Dataset, *, gap_minutes: int = 30) -> Dataset:
+    """Session windows per user: a new session starts when the gap from
+    the previous event exceeds `gap_minutes`. Per-user map_groups over
+    ts-sorted groups (the one place ordering matters — sorted inside the
+    group, not relying on block arrival order).
+    Output: (user_id, session_start, n_events, duration_us)."""
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].astype("int64").to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_session) - 1
+        out = []
+        for s in np.unique(sid):
+            m = sid == s
+            out.append((g["user_id"].iloc[0], ts[m][0], int(m.sum()),
+                        int(ts[m][-1] - ts[m][0])))
+        return pd.DataFrame(out, columns=["user_id", "session_start_us",
+                                          "n_events", "duration_us"])
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
