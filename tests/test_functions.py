@@ -1,0 +1,62 @@
+"""Unit tests for scalar functions and mention patterns (SURVEY.md §5.1)."""
+
+import pyarrow as pa
+
+from uckg_ray.functions.scalars import (
+    format_ts_millis_arrow,
+    titles_to_lang_string,
+    truncate_long_fraction,
+)
+from uckg_ray.patterns import COMBINED_RX
+from uckg_ray.stages.extract import scan_mentions
+
+
+def test_truncate_long_fraction():
+    # >3 fractional digits → fraction dropped entirely (P6 parity quirk)
+    assert truncate_long_fraction("2024-01-01T00:00:00.123456") == "2024-01-01T00:00:00"
+    assert truncate_long_fraction("2024-01-01T00:00:00.1234") == "2024-01-01T00:00:00"
+    # ≤3 digits → untouched
+    assert truncate_long_fraction("2024-01-01T00:00:00.123") == "2024-01-01T00:00:00.123"
+    assert truncate_long_fraction("2024-01-01T00:00:00") == "2024-01-01T00:00:00"
+
+
+def test_format_ts_millis():
+    ts = pa.array([1_704_067_200_123_456], pa.timestamp("us"))
+    out = format_ts_millis_arrow(ts).to_pylist()
+    assert out == ["2024-01-01T00:00:00.123"]  # truncated, not rounded
+
+
+def test_titles_lang_string():
+    assert titles_to_lang_string(None) == ""
+    assert titles_to_lang_string([]) == ""
+    got = titles_to_lang_string(
+        [{"lang": "fr", "title": "b"}, {"lang": "en", "title": "a"}])
+    assert got == "en=a|fr=b"  # sorted by lang
+
+
+def test_mention_patterns():
+    txt = ("see CVE-2021-44228 and CWE-79 via CAPEC-66 using T1059.001 "
+           "and T1234 defended by D3-NTA on cpe:2.3:a:vendor1:product2:1.5 done")
+    got = scan_mentions(txt)
+    assert ("cve", "CVE-2021-44228") in got
+    assert ("cwe", "CWE-79") in got
+    assert ("capec", "CAPEC-66") in got
+    assert ("attack", "T1059.001") in got
+    assert ("attack", "T1234") in got
+    assert ("d3fend", "D3-NTA") in got
+    assert ("cpe", "cpe:2.3:a:vendor1:product2:1.5") in got
+
+
+def test_cpe_pattern_does_not_eat_sentence_period():
+    got = scan_mentions("found cpe:2.3:o:v1:p2:3.10. next")
+    assert got == [("cpe", "cpe:2.3:o:v1:p2:3.10")]
+
+
+def test_attack_boundary():
+    # T#### must be a standalone token (\b boundaries)
+    assert scan_mentions("AT1234 T12345 T1234") == [("attack", "T1234")]
+
+
+def test_combined_scan_order():
+    assert [g for g, _ in COMBINED_RX.groupindex.items()] == [
+        "cve", "cwe", "capec", "attack", "d3fend", "cpe"]

@@ -1,0 +1,66 @@
+"""Text analysis + window operators: quick semantic checks."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_quality_and_lang(ray_session):
+    import ray.data
+    from uckg_ray.stages.text import lang_id, quality_stats
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the cat and the dog in the house for fun on it",
+                 "der hund ist nicht mit der katze auf zu",
+                 "x x x x x x x x x x"],
+    }))
+    q = {r["doc_id"]: r for r in quality_stats(ds).take_all()}
+    assert q[0]["is_quality"] is True
+    assert q[2]["is_quality"] is False  # 10 tokens, 1 unique → repetitive
+    langs = {r["doc_id"]: r["lang_guess"] for r in lang_id(ds).take_all()}
+    assert langs[0] == "en" and langs[1] == "de" and langs[2] == "unk"
+
+
+def test_tumbling_window(ray_session):
+    import ray.data
+    from uckg_ray.stages.windows import tumbling_window_agg
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 00:50",
+                         "2024-01-01 01:10", "2024-01-01 00:20"])
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 1, 2], "ts": ts,
+        "value": [1.00, 2.00, 3.00, 4.50]}))
+    rows = {(r["user_id"], str(r["window_start"])):
+            (r["n_events"], r["sum_value_c100"])
+            for r in tumbling_window_agg(ds).take_all()}
+    assert rows[(1, "2024-01-01 00:00:00")] == (2, 300)
+    assert rows[(1, "2024-01-01 01:00:00")] == (1, 300)
+    assert rows[(2, "2024-01-01 00:00:00")] == (1, 450)
+
+
+def test_sessionize(ray_session):
+    import ray.data
+    from uckg_ray.stages.windows import sessionize
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                         "2024-01-01 02:00"])
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [7, 7, 7], "ts": ts, "value": [0.0, 0.0, 0.0]}))
+    rows = sessionize(ds, gap_minutes=30).take_all()
+    assert len(rows) == 2
+    n_by_start = {r["session_start_us"]: r["n_events"] for r in rows}
+    assert sorted(n_by_start.values()) == [1, 2]
+
+
+def test_multimodal_stub(ray_session):
+    import pytest
+    import ray.data
+    from uckg_ray.stages.multimodal import (ImageDecodeStub,
+                                            attach_binary_payload)
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["abc"]}))
+    with_payload = attach_binary_payload(ds)
+    # real decode path is explicitly stubbed
+    with pytest.raises(Exception):
+        with_payload.map_batches(ImageDecodeStub, batch_format="pyarrow",
+                                 concurrency=1).take_all()
+    rows = with_payload.map_batches(
+        ImageDecodeStub, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", concurrency=1).take_all()
+    assert len(rows[0]["decoded_features"]) == 8

@@ -59,7 +59,7 @@ def sessionize(events: Dataset, *, gap_minutes: int = 30) -> Dataset:
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts")
-        ts = g["ts"].astype("int64").to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         new_session = np.ones(len(ts), dtype=bool)
         new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
         sid = np.cumsum(new_session) - 1
