@@ -263,6 +263,53 @@ def _q_orders_by_nation(sf_dir: str):
     return orders_by_nation(_table(sf_dir, "orders"), cust, nat)
 
 
+def _q_kg_custom_spec(sf_dir: str):
+    """User-extension surface: a declarative ExtractorSpec (no engine
+    code) emitting (TURN iri, hasRole, role) + tool-turn constants."""
+    from uckg_ray.specs import ExtractorSpec, apply_specs
+    specs = [
+        ExtractorSpec(
+            name="turn-role",
+            subject_template=f"{UCOEX}TURN-{{conv_id}}-{{turn_idx}}",
+            predicate=f"{UCOEX}hasRole",
+            object_column="role", object_is_literal=True,
+            object_datatype="xsd:string"),
+        ExtractorSpec(
+            name="tool-turn",
+            subject_template=f"{UCOEX}TURN-{{conv_id}}-{{turn_idx}}",
+            predicate=f"{UCOEX}usedTool",
+            object_column="tool", object_is_literal=True,
+            object_datatype="xsd:string",
+            where_col="role", where_val="tool"),
+    ]
+    return apply_specs(_rd(_tdir(sf_dir)), specs)
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    """Scale-path ANN: hyperplane-LSH bucket the corpus, rescore only
+    in-bucket candidates (multi-probe over all query buckets)."""
+    import ray.data
+    from uckg_ray.stages.similarity import HyperplaneLSH, ann_cosine_topk
+    Q, qids = _load_queries(sf_dir)
+    emb = _table(sf_dir, "embeddings")
+    lsh = HyperplaneLSH(Q.shape[1], n_planes=4)
+    bucketed = emb.map_batches(HyperplaneLSH, fn_constructor_args=(Q.shape[1], 4),
+                               batch_format="pyarrow", concurrency=1)
+    qsig = (Q @ lsh.planes.T) > 0
+    qbuckets = set()
+    for row in qsig:
+        s = 0
+        for k, bit in enumerate(row):
+            s |= int(bit) << k
+        qbuckets.add(s)
+    bucket_set = pa.array(sorted(qbuckets), pa.int64())
+    cand = bucketed.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b.column("bucket"),
+                                            value_set=bucket_set)),
+        batch_format="pyarrow")
+    return ann_cosine_topk(cand.drop_columns(["bucket"]), Q, qids, k=10)
+
+
 def _q_multimodal_features(sf_dir: str):
     from uckg_ray.stages.multimodal import attach_binary_payload, binary_feature_stats
     return binary_feature_stats(attach_binary_payload(_table(sf_dir, "documents")))
@@ -307,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "kg_custom_spec": _q_kg_custom_spec,
         "embed_neardup": _q_embed_neardup,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
@@ -644,4 +693,13 @@ GROUP BY n.n_name""",
         "multimodal_features": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS payload_md5 FROM documents"),
+        "kg_custom_spec": f"""
+SELECT '{UCOEX}TURN-' || conv_id || '-' || turn_idx AS subj,
+       '{UCOEX}hasRole' AS pred, role AS obj, true AS obj_is_literal,
+       'xsd:string' AS obj_datatype, conv_id, turn_idx
+FROM read_parquet('{p['T']}')
+UNION ALL
+SELECT '{UCOEX}TURN-' || conv_id || '-' || turn_idx,
+       '{UCOEX}usedTool', tool, true, 'xsd:string', conv_id, turn_idx
+FROM read_parquet('{p['T']}') WHERE role = 'tool'""",
     }

@@ -1,0 +1,121 @@
+"""Benchmark harness.
+
+    python bench.py               # headline + per-query timings, ONE JSON line
+    python bench.py --scaling     # same job at 8 and 32 CPUs in fresh
+                                  # processes → throughputs + efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+Headline = full KG build (extract → link → canonicalize → dedup → sort →
+write edges+nodes) over the transcript fixture for the sf dir; the
+metric of record is triples/sec (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from uckg_ray.sources import fixtures as fx
+    from uckg_ray.pipelines.kg import build_kg
+    import __ray_entry__ as entrymod
+
+    fdir = fx.ensure_fixtures(sf_dir)          # untimed (cached after 1st run)
+    tdir = os.path.join(fdir, "transcripts")
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import ray.data
+    ray.data.read_parquet(tdir).count()
+
+    out_dir = "/tmp/uckg_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = build_kg(tdir, fdir, out_dir, resume=False)
+    headline = time.perf_counter() - t0
+
+    queries = {"kg_build": round(headline, 3)}
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        res = fn(sf_dir)
+        # consume to completion
+        try:
+            from ray.data import Dataset
+            if isinstance(res, Dataset):
+                n = res.count()
+            else:
+                n = len(res)
+        except Exception:
+            n = -1
+        queries[name] = round(time.perf_counter() - t, 3)
+        return n
+
+    q = entrymod.queries()
+    for name in ("kg_edges", "kg_mentions", "dedup_minhash", "dedup_simhash",
+                 "ann_cosine_topk", "events_window", "q1_pricing",
+                 "text_quality", "token_count"):
+        timed(name, q[name])
+
+    result = {
+        "metric": "kg_build_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "n_turns": manifest["n_turns"],
+        "n_distinct_edges": manifest["n_distinct_edges"],
+        "triples_per_sec": round(manifest["n_distinct_edges"] / headline, 1),
+        "turns_per_sec": round(manifest["n_turns"] / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tput_lo = r_lo["turns_per_sec"]
+    tput_hi = r_hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": tput_lo, "turns_per_sec_hi": tput_hi,
+        "triples_per_sec_lo": r_lo["triples_per_sec"],
+        "triples_per_sec_hi": r_hi["triples_per_sec"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -75,7 +75,7 @@ def test_grouping_invariance_and_resume(ray_session, sf_small_fixtures, built,
                                         tmp_path):
     out_ref, _ = built
     out = str(tmp_path / "kg_grouped")
-    cfg = PipelineConfig(files_per_group=2, batch_size=512)
+    cfg = PipelineConfig(files_per_group=1, batch_size=512)
     kg_for_sf(SF, out, cfg)
     assert _rows(out) == _rows(out_ref)
     # kill one shard group; resume must rebuild only it and reproduce

@@ -12,10 +12,12 @@ class PipelineConfig:
     # ~10-20 narrow edge rows, so 4096 turns ≈ 50-80k edge rows per output
     # batch — well under block-size limits even with IRI-length strings.
     batch_size: int = 4096
-    # extraction actor pool: (min, max) autoscaling; each actor holds the
-    # CWE/CPE/alias dictionaries loaded once in __init__.
-    concurrency_min: int = 2
-    concurrency_max: int = 16
+    # extraction actor pool: sized from the cluster at pipeline build time
+    # (None → ~3/4 of cluster CPUs, fixed size so there is no autoscale
+    # ramp); each actor holds the CWE/CPE/alias dictionaries loaded once
+    # in __init__.
+    concurrency_min: int | None = None
+    concurrency_max: int | None = None
     # resume granularity: input parquet files per checkpointed shard group
     # (None = single group — max pipelining; set smaller for finer resume,
     # mirroring the reference's 2000-record page checkpoint at a
@@ -23,7 +25,26 @@ class PipelineConfig:
     files_per_group: int | None = None
     # canonicalization label-propagation bound (alias graphs are shallow)
     cc_max_iters: int = 15
+    # union-find placement: at or below this many candidate pairs the
+    # component computation runs driver-side (the pair set is bounded by
+    # the alias dictionary — the pipeline's small side); above it, the
+    # distributed groupby label-propagation path takes over.
+    cc_driver_max_pairs: int = 200_000
+    force_distributed_cc: bool = False
 
     @property
-    def concurrency(self) -> tuple[int, int]:
+    def concurrency(self) -> tuple[int, int] | int:
+        if self.concurrency_min is None or self.concurrency_max is None:
+            import ray
+            cpus = int(ray.cluster_resources().get("CPU", 8)) \
+                if ray.is_initialized() else 8
+            lo = self.concurrency_min
+            hi = self.concurrency_max
+            if hi is None:
+                # actors permanently reserve their CPU: leave ~1/4 of the
+                # cluster for read/write tasks or the pipeline starves
+                hi = max(2, (cpus * 3) // 4)
+            if lo is None:
+                lo = hi  # fixed-size pool: full parallelism from the start
+            return (lo, hi) if lo != hi else hi
         return (self.concurrency_min, self.concurrency_max)

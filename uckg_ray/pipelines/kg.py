@@ -50,9 +50,12 @@ def read_transcripts(paths: list[str] | str) -> Dataset:
 
 
 def extract_edges(turns: Dataset, fixture_dir: str,
-                  cfg: PipelineConfig | None = None) -> Dataset:
+                  cfg: PipelineConfig | None = None, *,
+                  mark_aliases: bool = False) -> Dataset:
     """Transcript turns → edge stream with lineage (one text pass: regex
-    mention templates + dictionary gate + CPE lookup join + alias link)."""
+    mention templates + dictionary gate + CPE lookup join + alias link).
+    With ``mark_aliases`` the stream also carries observed-alias marker
+    rows so canonicalization needs no second pass over the text."""
     cfg = cfg or PipelineConfig()
     return turns.map_batches(
         TripleEmitter,
@@ -60,6 +63,7 @@ def extract_edges(turns: Dataset, fixture_dir: str,
             os.path.join(fixture_dir, "cwe_dict.parquet"),
             os.path.join(fixture_dir, "cpe_dict.parquet"),
             os.path.join(fixture_dir, "alias_dict.parquet"),
+            mark_aliases,
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
@@ -82,11 +86,46 @@ def _groups(files: list[str], files_per_group: int | None) -> list[list[str]]:
     return [files[i:i + files_per_group] for i in range(0, len(files), files_per_group)]
 
 
+def rewriter_from_observed_aliases(observed: set[str], fixture_dir: str,
+                                   cfg: PipelineConfig | None = None
+                                   ) -> dict[str, str]:
+    """IRI → canonical-IRI map for the entities reachable from the
+    observed aliases. Union-find runs driver-side when the candidate
+    pair set is small (it is bounded by the alias dictionary, the
+    pipeline's small side); the distributed label-propagation path
+    (stages/canonicalize.connected_components) is used when the
+    dictionary outgrows ``cfg.cc_driver_max_pairs`` — same result,
+    shuffle-based."""
+    import pandas as pd
+
+    cfg = cfg or PipelineConfig()
+    alias_df = load_alias_table(os.path.join(fixture_dir, "alias_dict.parquet"))
+    cand = alias_df[alias_df["block_key"].isin(observed)]
+    pairs = list(dict.fromkeys(zip(cand["block_key"], cand["entity_id"])))
+    if not pairs:
+        return {}
+    if len(pairs) <= cfg.cc_driver_max_pairs and not cfg.force_distributed_cc:
+        from uckg_ray.stages.canonicalize import union_find_oracle
+        canon = union_find_oracle(pairs)
+    else:
+        import ray.data
+        pairs_ds = ray.data.from_pandas(
+            pd.DataFrame(pairs, columns=["alias", "entity_id"]))
+        cmap = canonical_map(pairs_ds)
+        canon = dict(zip(cmap["entity_id"], cmap["canonical_id"]))
+    etype = dict(zip(alias_df["entity_id"], alias_df["entity_type"]))
+    rewrite: dict[str, str] = {}
+    for eid, c in canon.items():
+        if eid != c:
+            rewrite[ns.entity_iri(eid, etype[eid])] = ns.entity_iri(c, etype[c])
+    return rewrite
+
+
 def build_canonical_rewriter(turns: Dataset, fixture_dir: str,
                              cfg: PipelineConfig | None = None) -> dict[str, str]:
-    """IRI → canonical IRI map from the distributed union-find over
-    observed alias/entity pairs. Small by construction (bounded by the
-    alias dictionary), broadcast into the rewrite stage."""
+    """Rewriter via an explicit AliasLinker pass over the turns (used by
+    the standalone kg_edges_canonical query; build_kg instead derives the
+    observed aliases from marker rows in its single extraction pass)."""
     cfg = cfg or PipelineConfig()
     alias_df = load_alias_table(os.path.join(fixture_dir, "alias_dict.parquet"))
     links = turns.map_batches(
@@ -97,25 +136,33 @@ def build_canonical_rewriter(turns: Dataset, fixture_dir: str,
         concurrency=cfg.concurrency,
         num_cpus=1,
     )
-    pairs = observed_alias_pairs(links, alias_df)
-    cmap = canonical_map(pairs)
-    etype = dict(zip(alias_df["entity_id"], alias_df["entity_type"]))
-    rewrite: dict[str, str] = {}
-    for eid, canon in zip(cmap["entity_id"], cmap["canonical_id"]):
-        if eid != canon:
-            rewrite[ns.entity_iri(eid, etype[eid])] = ns.entity_iri(canon, etype[canon])
-    return rewrite
+    observed_ds = links.map_batches(
+        lambda b: b.select(["alias"]), batch_format="pyarrow").unique("alias")
+    return rewriter_from_observed_aliases(set(observed_ds), fixture_dir, cfg)
 
 
 def _apply_rewrite(batch: pa.Table, rewrite: dict[str, str]) -> pa.Table:
+    """Vectorized IRI rewrite: index_in against the (small) canonical map,
+    take + coalesce — no Python row loop."""
     if not rewrite:
         return batch
-    subj = [rewrite.get(s, s) for s in batch.column("subj").to_pylist()]
-    obj_raw = batch.column("obj").to_pylist()
-    lit = batch.column("obj_is_literal").to_pylist()
-    obj = [o if l else rewrite.get(o, o) for o, l in zip(obj_raw, lit)]
-    return batch.set_column(0, "subj", pa.array(subj, pa.string())) \
-                .set_column(2, "obj", pa.array(obj, pa.string()))
+    import pyarrow.compute as pc
+    keys = pa.array(list(rewrite.keys()), pa.string())
+    vals = pa.array(list(rewrite.values()), pa.string())
+
+    def sub(col):
+        idx = pc.index_in(col, keys)
+        return pc.coalesce(pc.take(vals, idx), col.combine_chunks()
+                           if isinstance(col, pa.ChunkedArray) else col)
+
+    subj = sub(batch.column("subj"))
+    obj_col = batch.column("obj")
+    obj_new = sub(obj_col)
+    lit = batch.column("obj_is_literal")
+    obj = pa.compute.if_else(
+        lit, obj_col.combine_chunks() if isinstance(obj_col, pa.ChunkedArray)
+        else obj_col, obj_new)
+    return batch.set_column(0, "subj", subj).set_column(2, "obj", obj)
 
 
 def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
@@ -141,12 +188,13 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
             continue
         t0 = time.perf_counter()
         turns = read_transcripts(gfiles)
-        edges = extract_edges(turns, fixture_dir, cfg)
+        edges = extract_edges(turns, fixture_dir, cfg,
+                              mark_aliases=canonicalize)
         tmp_dir = gdir + ".tmp"
         import shutil
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(gdir, ignore_errors=True)
-        edges.write_parquet(tmp_dir)
+        edges.write_parquet(tmp_dir, min_rows_per_file=100_000)
         os.replace(tmp_dir, gdir)
         rows_in = sum(pa.parquet.read_metadata(f).num_rows for f in gfiles)
         edges_out = sum(
@@ -156,18 +204,46 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
             gdir, gfiles, rows_in=rows_in, edges_out=edges_out,
             wall_sec=time.perf_counter() - t0))
 
-    # phase B — finalize from shard outputs (narrow rows only)
-    shard_edges = ray.data.read_parquet(
-        sorted(glob.glob(os.path.join(shards_root, "group-*", "*.parquet"))))
-    side = side_table_edges(fixture_dir)
-    all_edges = union_edge_sources(shard_edges, side)
+    # phase B — finalize from shard outputs (narrow rows only; transcript
+    # text is never re-read)
+    from uckg_ray.stages.extract import ALIAS_MARKER_PRED
+
+    t_phase_a = time.perf_counter() - t_start
+    shard_files = sorted(glob.glob(os.path.join(shards_root, "group-*", "*.parquet")))
+    # block-count control: ~1 block per core — fewer, bigger blocks make
+    # the combiner collapse more and cut per-task scheduling overhead
+    # (measured 6× on the dedup+sort phase at sf0.1)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    shard_edges = ray.data.read_parquet(shard_files, override_num_blocks=n_cpus)
 
     rewrite: dict[str, str] = {}
     if canonicalize:
-        turns_all = read_transcripts(files)
-        rewrite = build_canonical_rewriter(turns_all, fixture_dir, cfg)
-        all_edges = all_edges.map_batches(
-            lambda b: _apply_rewrite(b, rewrite), batch_format="pyarrow")
+        # observed aliases from the marker rows: a column-pruned,
+        # predicate-pushed read of the narrow shard output — the
+        # data-scale step of canonicalization
+        observed = set(
+            ray.data.read_parquet(
+                shard_files, columns=["subj"],
+                filter=(pa.compute.field("pred") == ALIAS_MARKER_PRED),
+                override_num_blocks=n_cpus)
+            .unique("subj"))
+        rewrite = rewriter_from_observed_aliases(observed, fixture_dir, cfg)
+    t_canon = time.perf_counter() - t_start - t_phase_a
+
+    from uckg_ray.stages.materialize import _local_dedup
+
+    def finalize_batch(batch: pa.Table) -> pa.Table:
+        # fused: drop marker rows, canonical-rewrite, block-local dedup
+        keep = pa.compute.not_equal(batch.column("pred"), ALIAS_MARKER_PRED)
+        return _local_dedup(_apply_rewrite(batch.filter(keep), rewrite))
+
+    side = side_table_edges(fixture_dir)
+    if rewrite:
+        side = _apply_rewrite(side, rewrite)
+    from uckg_ray.schema import EDGE_KEY_COLS
+    all_edges = union_edge_sources(
+        shard_edges.map_batches(finalize_batch, batch_format="pyarrow", batch_size=None),
+        side.select(EDGE_KEY_COLS))
 
     final = distinct_edges(all_edges, sort=True)
     edges_dir = os.path.join(out_dir, "edges")
@@ -176,11 +252,15 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     shutil.rmtree(edges_dir, ignore_errors=True)
     shutil.rmtree(nodes_dir, ignore_errors=True)
     final.write_parquet(edges_dir)
+    t_edges = time.perf_counter() - t_start - t_phase_a - t_canon
 
     final_read = ray.data.read_parquet(
-        sorted(glob.glob(os.path.join(edges_dir, "*.parquet"))))
+        sorted(glob.glob(os.path.join(edges_dir, "*.parquet"))),
+        override_num_blocks=n_cpus)
     nodes = node_table(final_read)
     nodes.write_parquet(nodes_dir)
+    t_nodes = (time.perf_counter() - t_start
+               - t_phase_a - t_canon - t_edges)
 
     n_edges = sum(pa.parquet.read_metadata(f).num_rows
                   for f in glob.glob(os.path.join(edges_dir, "*.parquet")))
@@ -197,6 +277,10 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         "n_canonical_rewrites": len(rewrite),
         "wall_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
+        "phase_sec": {"extract_write": round(t_phase_a, 3),
+                      "canonicalize": round(t_canon, 3),
+                      "dedup_sort_write": round(t_edges, 3),
+                      "nodes": round(t_nodes, 3)},
         "groups": group_stats,
     }
     mf.write_global_manifest(out_dir, payload)

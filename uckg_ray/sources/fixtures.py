@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 5
+GEN_VERSION = 6
 SEED = 42
 FIXTURE_ROOT = "/tmp/uckg_ray_fixtures"
 
@@ -71,12 +71,15 @@ _STOP_FR = ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"]
 
 
 def n_turns_for_sf(sf_name: str) -> int:
-    """sf0.001→2k, sf0.01→60k, sf0.1→600k turns (FIXTURES.md §4)."""
+    """sf0.001→6k, sf0.01→60k turns; the bench tier (sf ≥ 0.05) is ×8
+    (sf0.1→4.8M turns) so compute dominates fixed scheduling costs in
+    the scaling measurement (FIXTURES.md §4: 'sf-bench ~600,000+')."""
     try:
         sf = float(sf_name.replace("sf", ""))
     except ValueError:
         return 2_000
-    return max(2_000, int(round(6_000_000 * sf)))
+    mult = 48_000_000 if sf >= 0.05 else 6_000_000
+    return max(2_000, int(round(mult * sf)))
 
 
 # ---------------------------------------------------------------------------
@@ -341,53 +344,31 @@ def _build_attack_tables(pools):
 
 _ROLES = ["user", "assistant", "system", "tool"]
 
+_ALIAS_TOKENS = ["nmap", "portscanner", "fuzzer", "bruteforcer", "cracker",
+                 "xss", "sqli", "injection", "overflow", "traversal", "csrf",
+                 "log4shell", "heartbleed", "phishing", "powershell",
+                 "networkmapper", "sweeper", "recon"]
 
-def _gen_transcripts(n_turns: int, out_dir: str) -> int:
-    """Write ~n_turns transcript rows as multiple parquet files.
+_BASE_TS = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in us
+_CONVS_PER_CHUNK = 1_000          # ≈16k turns per chunk/file
 
-    Single rng pass; chunked writes (file boundaries don't affect content).
-    Mention insertion rates give each turn an expected ~1.3 entity mentions,
-    with 12% hub-CVE and 8% hub-alias skew.
-    """
+
+def _gen_chunk(args) -> int:
+    """Generate one chunk (a fixed conversation range) with its own seeded
+    rng — content is independent of worker count and chunk scheduling.
+    Mention insertion rates give each turn an expected ~1.3 entity
+    mentions, with 12% hub-CVE and 8% hub-alias skew."""
+    chunk_idx, n_convs, out_dir = args
     pools = _mention_pools()
-    rng = np.random.default_rng([SEED, 5])
-    alias_tokens = ["nmap", "portscanner", "fuzzer", "bruteforcer", "cracker",
-                    "xss", "sqli", "injection", "overflow", "traversal", "csrf",
-                    "log4shell", "heartbleed", "phishing", "powershell",
-                    "networkmapper", "sweeper", "recon"]
-
-    files = 0
+    rng = np.random.default_rng([SEED, 5, chunk_idx])
+    alias_tokens = _ALIAS_TOKENS
     chunk_rows = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
     total = 0
-    conv_i = 0
-    base_ts = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in us
-    # ~32 files so a 32-CPU read has per-file parallelism and shard-group
-    # resume has real granularity (content is chunking-independent)
-    chunk_size = max(1_000, -(-n_turns // 32))
-
-    def flush():
-        nonlocal files, chunk_rows
-        if not chunk_rows["conv_id"]:
-            return
-        tbl = pa.Table.from_pydict(
-            {
-                "conv_id": chunk_rows["conv_id"],
-                "turn_idx": pa.array(chunk_rows["turn_idx"], pa.int32()),
-                "role": chunk_rows["role"],
-                "text": chunk_rows["text"],
-                "tool": chunk_rows["tool"],
-                "ts": pa.array(chunk_rows["ts"], pa.timestamp("us")),
-            },
-            schema=TRANSCRIPT_SCHEMA,
-        )
-        pq.write_table(tbl, os.path.join(out_dir, f"part-{files:05d}.parquet"))
-        files += 1
-        chunk_rows = {k: [] for k in chunk_rows}
-
-    while total < n_turns:
+    for ci in range(n_convs):
+        conv_i = chunk_idx * _CONVS_PER_CHUNK + ci
         n_t = int(rng.integers(8, 25))
         conv_id = f"conv-{conv_i:06d}"
-        conv_start = base_ts + conv_i * 3_600_000_000
+        conv_start = _BASE_TS + conv_i * 3_600_000_000
         for t in range(n_t):
             role = _ROLES[int(rng.integers(0, 4))] if t > 0 else "system"
             tool = _TOOLS[int(rng.integers(0, len(_TOOLS)))] if role == "tool" else ""
@@ -428,11 +409,25 @@ def _gen_transcripts(n_turns: int, out_dir: str) -> int:
             chunk_rows["tool"].append(tool)
             chunk_rows["ts"].append(conv_start + t * 30_000_000 + int(rng.integers(0, 1_000_000)))
             total += 1
-        conv_i += 1
-        if len(chunk_rows["conv_id"]) >= chunk_size:
-            flush()
+    tbl = pa.Table.from_pydict(
+        {
+            "conv_id": chunk_rows["conv_id"],
+            "turn_idx": pa.array(chunk_rows["turn_idx"], pa.int32()),
+            "role": chunk_rows["role"],
+            "text": chunk_rows["text"],
+            "tool": chunk_rows["tool"],
+            "ts": pa.array(chunk_rows["ts"], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    pq.write_table(tbl, os.path.join(out_dir, f"part-{chunk_idx:05d}.parquet"))
+    return total
 
-    # fixed coverage conversation — every branch, identical at every sf
+
+def _gen_coverage(out_dir: str) -> int:
+    """Fixed coverage conversation — every template branch, identical at
+    every sf (its own file so chunk content never shifts with sf)."""
+    pools = _mention_pools()
     cov = [
         ("system", "", "boot sequence ok"),
         ("user", "", "please check CVE-2021-44228 and CVE-2014-0160 against CWE-79"),
@@ -447,17 +442,56 @@ def _gen_transcripts(n_turns: int, out_dir: str) -> int:
         ("user", "", "xss sqli overflow traversal csrf phishing powershell heartbleed"),
         ("assistant", "", f"multi {pools['cves'][1]} {pools['cves'][2]} {pools['cwes_in'][2]} CVE-2021-44228"),
     ]
-    conv_id = "conv-coverage"
+    rows = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
     for t, (role, tool, text) in enumerate(cov):
-        chunk_rows["conv_id"].append(conv_id)
-        chunk_rows["turn_idx"].append(t)
-        chunk_rows["role"].append(role)
-        chunk_rows["text"].append(text)
-        chunk_rows["tool"].append(tool)
-        chunk_rows["ts"].append(base_ts + 999_999 * 1_000_000 + t * 30_000_000 + t * 123_457)
-        total += 1
-    flush()
-    return total
+        rows["conv_id"].append("conv-coverage")
+        rows["turn_idx"].append(t)
+        rows["role"].append(role)
+        rows["text"].append(text)
+        rows["tool"].append(tool)
+        rows["ts"].append(_BASE_TS + 999_999 * 1_000_000 + t * 30_000_000 + t * 123_457)
+    tbl = pa.Table.from_pydict(
+        {
+            "conv_id": rows["conv_id"],
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "role": rows["role"],
+            "text": rows["text"],
+            "tool": rows["tool"],
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "part-coverage.parquet"))
+    return len(cov)
+
+
+def _gen_transcripts(n_turns: int, out_dir: str, parallel: bool = False) -> int:
+    """Write ~n_turns transcript rows as one parquet file per chunk.
+    Chunks carry independent seeded rngs, so output is deterministic
+    regardless of worker count or chunking. ``parallel`` is only enabled
+    from the clean `python -m uckg_ray.sources.fixtures` subprocess (a
+    fork pool inside a Ray-connected process is unsafe)."""
+    n_convs_total = max(125, -(-n_turns // 16))  # E[turns/conv] = 16
+    tasks = []
+    i = 0
+    remaining = n_convs_total
+    while remaining > 0:
+        c = min(_CONVS_PER_CHUNK, remaining)
+        tasks.append((i, c, out_dir))
+        remaining -= c
+        i += 1
+    counts: list[int] | None = None
+    if parallel and len(tasks) >= 4:
+        try:
+            import concurrent.futures as cf
+            workers = min(12, os.cpu_count() or 4, len(tasks))
+            with cf.ProcessPoolExecutor(max_workers=workers) as ex:
+                counts = list(ex.map(_gen_chunk, tasks))
+        except Exception:
+            counts = None
+    if counts is None:
+        counts = [_gen_chunk(t) for t in tasks]
+    return sum(counts) + _gen_coverage(out_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -470,20 +504,46 @@ def fixture_dir(sf_dir: str) -> str:
     return os.path.join(FIXTURE_ROOT, sf_name)
 
 
+def _have_fixtures(out: str) -> bool:
+    manifest = os.path.join(out, "MANIFEST.json")
+    if not os.path.exists(manifest):
+        return False
+    try:
+        with open(manifest) as f:
+            return json.load(f).get("gen_version") == GEN_VERSION
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
 def ensure_fixtures(sf_dir: str) -> str:
     """Generate (once, atomically) the transcript + dictionary fixtures for
     the given scale dir; returns the fixture directory. Safe to call
-    concurrently from multiple processes."""
+    concurrently from multiple processes. Large tiers are generated by a
+    clean `python -m uckg_ray.sources.fixtures` subprocess so the chunk
+    pool can fork without inheriting Ray state."""
     out = fixture_dir(sf_dir)
-    manifest = os.path.join(out, "MANIFEST.json")
-    if os.path.exists(manifest):
+    if _have_fixtures(out):
+        return out
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    if n_turns_for_sf(sf_name) > 200_000:
+        import subprocess
+        import sys
         try:
-            with open(manifest) as f:
-                if json.load(f).get("gen_version") == GEN_VERSION:
-                    return out
-        except (json.JSONDecodeError, OSError):
+            subprocess.run([sys.executable, "-m", "uckg_ray.sources.fixtures",
+                            sf_dir], check=False, capture_output=True,
+                           timeout=1800)
+        except Exception:
             pass
-        shutil.rmtree(out, ignore_errors=True)
+        if _have_fixtures(out):
+            return out
+    return _generate(sf_dir, parallel=False)
+
+
+def _generate(sf_dir: str, parallel: bool) -> str:
+    out = fixture_dir(sf_dir)
+    if _have_fixtures(out):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     tmp = f"{out}.tmp-{os.getpid()}"
@@ -491,7 +551,8 @@ def ensure_fixtures(sf_dir: str) -> str:
     os.makedirs(os.path.join(tmp, "transcripts"), exist_ok=True)
 
     n = n_turns_for_sf(sf_name)
-    total = _gen_transcripts(n, os.path.join(tmp, "transcripts"))
+    total = _gen_transcripts(n, os.path.join(tmp, "transcripts"),
+                             parallel=parallel)
 
     pools = _mention_pools()
     pq.write_table(_build_cwe_dict(pools), os.path.join(tmp, "cwe_dict.parquet"))
@@ -518,3 +579,8 @@ def transcripts_path(sf_dir: str) -> str:
 
 def dict_path(sf_dir: str, name: str) -> str:
     return os.path.join(ensure_fixtures(sf_dir), f"{name}.parquet")
+
+
+if __name__ == "__main__":
+    import sys
+    _generate(sys.argv[1], parallel=True)

@@ -60,7 +60,7 @@ def exact_dedup(docs: Dataset, text_col: str = "text",
             "text_hash": part["text_hash"].tolist(),
             id_col: pa.array(part[id_col].tolist(), pa.int64()),
         })
-    return (docs.map_batches(hash_partial, batch_format="pyarrow")
+    return (docs.map_batches(hash_partial, batch_format="pyarrow", batch_size=None)
             .groupby("text_hash").aggregate(Min(id_col, alias_name=id_col)))
 
 
@@ -120,13 +120,10 @@ def token_jaccard_pairs(docs: Dataset, *, block_col: str = "source",
     sizes = {r["doc_id"]: r["n"] for r in sizes_ds.take_all()}
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        A, B_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                A.append(ids[i]); B_.append(ids[j])
-        return pd.DataFrame({"doc_a": A, "doc_b": B_,
-                             "one": np.ones(len(A), dtype=np.int64)})
+        ids = np.sort(group["doc_id"].unique())
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju],
+                             "one": np.ones(len(iu), dtype=np.int64)})
 
     pairs = (words.groupby(["word", "block"])
              .map_groups(emit_pairs, batch_format="pandas")
@@ -164,8 +161,11 @@ class MinHasher:
     def __init__(self, n_perm: int = 64, n_bands: int = 16, shingle_w: int = 3,
                  seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
-        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64)
+        # odd multipliers for multiply-add hashing in uint64 space
+        # (wraparound IS the modulus — fully vectorized, no bigints)
+        self.a = (rng.integers(1, 2**62, size=n_perm, dtype=np.uint64)
+                  .astype(np.uint64) | np.uint64(1))
+        self.b = rng.integers(0, 2**62, size=n_perm, dtype=np.uint64)
         self.n_perm, self.n_bands = n_perm, n_bands
         self.rows_per_band = n_perm // n_bands
         self.shingle_w = shingle_w
@@ -180,14 +180,11 @@ class MinHasher:
     def signature(self, sh: set[str]) -> np.ndarray | None:
         if not sh:
             return None
-        hv = np.array([_stable64(s) % _MERSENNE for s in sh], dtype=np.uint64)
-        # (a*h + b) mod p, vectorized over perms × shingles via object ints
-        # kept in uint64 space with Python-int modmul per perm (n_perm small)
-        sig = np.empty(self.n_perm, dtype=np.uint64)
-        for k in range(self.n_perm):
-            sig[k] = np.min((int(self.a[k]) * hv.astype(object) + int(self.b[k]))
-                            % _MERSENNE)
-        return sig
+        hv = np.fromiter((_stable64(s) for s in sh), dtype=np.uint64,
+                         count=len(sh))
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * hv[None, :] + self.b[:, None]
+        return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -221,12 +218,9 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        A, B = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                A.append(ids[i]); B.append(ids[j])
-        return pd.DataFrame({"doc_a": A, "doc_b": B})
+        ids = np.sort(group["doc_id"].unique())
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju]})
 
     cand = (sigs.groupby(["band", "band_hash"])
             .map_groups(bucket_pairs, batch_format="pandas")
@@ -268,15 +262,16 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
 # ---------------------------------------------------------------------------
 
 def simhash64(tokens: list[str]) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for w in set(tokens):
-        h = _stable64(w)
-        bits = np.array([(h >> k) & 1 for k in range(64)], dtype=np.int64)
-        acc += bits * 2 - 1
+    toks = list(set(tokens))
+    if not toks:
+        return 0
+    digs = b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest()
+                    for w in toks)
+    bits = np.unpackbits(np.frombuffer(digs, dtype=np.uint8)).reshape(-1, 64)
+    acc = bits.astype(np.int32).sum(axis=0) * 2 - len(toks)
     out = 0
-    for k in range(64):
-        if acc[k] > 0:
-            out |= (1 << k)
+    for k in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(k)
     return out
 
 

@@ -35,6 +35,10 @@ from uckg_ray.patterns import COMBINED_RX
 from uckg_ray.schema import EDGE_SCHEMA, MENTION_SCHEMA
 
 
+# sentinel predicate for observed-alias marker rows (never in final output)
+ALIAS_MARKER_PRED = "__alias__"
+
+
 def scan_mentions(text: str) -> list[tuple[str, str]]:
     """All (ent_type, ent_id) occurrences in one combined left-to-right scan."""
     out = []
@@ -81,7 +85,9 @@ class TripleEmitter:
     """
 
     def __init__(self, cwe_dict_path: str, cpe_dict_path: str,
-                 alias_dict_path: str | None = None):
+                 alias_dict_path: str | None = None,
+                 mark_aliases: bool = False):
+        self.mark_aliases = mark_aliases
         cwe = pq.read_table(cwe_dict_path, columns=["id_value", "name"])
         self.cwe_names = dict(zip(cwe.column("id_value").to_pylist(),
                                   cwe.column("name").to_pylist()))
@@ -192,6 +198,12 @@ class TripleEmitter:
                         eid, etype = best
                         emit(c, t, ns.entity_iri(eid, etype), RT,
                              ns.ENTITY_CLASS_IRI[etype], False, ns.IRI)
+                        if self.mark_aliases:
+                            # internal marker row (filtered out of the final
+                            # table): records the observed alias so phase B
+                            # can build the union-find input without a second
+                            # pass over the transcript text
+                            emit(c, t, tok, ALIAS_MARKER_PRED, "", False, "")
 
         return pa.Table.from_pydict(
             {"subj": S, "pred": P, "obj": O,

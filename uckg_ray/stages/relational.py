@@ -13,7 +13,7 @@ from ray.data.aggregate import Sum
 
 
 def _cents(col) -> np.ndarray:
-    vals = np.asarray(col.to_pylist(), dtype=np.float64)
+    vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
     return np.floor(vals * 100 + 0.5).astype(np.int64)
 
 
@@ -25,8 +25,7 @@ def q1_pricing(lineitem: Dataset, cutoff: str = "1998-09-01") -> Dataset:
     cut = np.datetime64(cutoff)
 
     def prep(batch: pa.Table) -> pa.Table:
-        ship = np.asarray(batch.column("l_shipdate").to_pylist(),
-                          dtype="datetime64[us]")
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
         keep = ship <= cut
         b = batch.filter(pa.array(keep))
         qty = _cents(b.column("l_quantity"))
@@ -39,7 +38,7 @@ def q1_pricing(lineitem: Dataset, cutoff: str = "1998-09-01") -> Dataset:
             "n": pa.array(np.ones(len(qty), dtype=np.int64), pa.int64()),
         })
 
-    return (lineitem.map_batches(prep, batch_format="pyarrow")
+    return (lineitem.map_batches(prep, batch_format="pyarrow", batch_size=None)
             .groupby(["l_returnflag", "l_linestatus"])
             .aggregate(Sum("qty_c100", alias_name="sum_qty_c100"),
                        Sum("price_c100", alias_name="sum_price_c100"),
@@ -58,16 +57,17 @@ def orders_by_nation(orders: Dataset, customer_tbl: pa.Table,
                            nation_tbl.column("n_name").to_pylist()))
 
     def join(batch: pa.Table) -> pa.Table:
-        cust = batch.column("o_custkey").to_pylist()
+        import pandas as pd
+        cust = pd.Series(batch.column("o_custkey").to_numpy(zero_copy_only=False))
         total = _cents(batch.column("o_totalprice"))
-        names = [nation_name[cust_nation[c]] for c in cust]
+        names = cust.map(cust_nation).map(nation_name).tolist()
         return pa.Table.from_pydict({
             "n_name": names,
             "total_c100": pa.array(total, pa.int64()),
             "n": pa.array(np.ones(len(names), dtype=np.int64), pa.int64()),
         })
 
-    return (orders.map_batches(join, batch_format="pyarrow")
+    return (orders.map_batches(join, batch_format="pyarrow", batch_size=None)
             .groupby("n_name")
             .aggregate(Sum("n", alias_name="n_orders"),
                        Sum("total_c100", alias_name="sum_total_c100")))

@@ -87,7 +87,7 @@ def token_counts_by(docs: Dataset, group_col: str = "source") -> Dataset:
             "n_tokens": pa.array([v[1] for v in agg.values()], pa.int64()),
         })
 
-    return (docs.map_batches(partial, batch_format="pyarrow")
+    return (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby(group_col)
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("n_tokens", alias_name="n_tokens")))

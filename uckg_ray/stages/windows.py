@@ -23,25 +23,27 @@ def tumbling_window_agg(events: Dataset, *, every: str = "hour") -> Dataset:
     groupby moves ≤ one row per (user, window) per block."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
         win = pc.floor_temporal(batch.column("ts"), unit=every)
-        users = batch.column("user_id").to_pylist()
-        vals = np.asarray(batch.column("value").to_pylist(), dtype=np.float64)
-        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
-        wl = win.to_pylist()
-        agg: dict[tuple, list[int]] = {}
-        for u, w, c in zip(users, wl, cents):
-            e = agg.setdefault((u, w), [0, 0])
-            e[0] += 1
-            e[1] += int(c)
-        keys = list(agg)
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+            "window_start": win.to_numpy(zero_copy_only=False),
+            "c": np.floor(vals * 100 + 0.5).astype(np.int64),
+        })
+        g = (df.groupby(["user_id", "window_start"], sort=False)["c"]
+             .agg(n_events="size", sum_value_c100="sum").reset_index())
         return pa.Table.from_pydict({
-            "user_id": pa.array([k[0] for k in keys], pa.int64()),
-            "window_start": pa.array([k[1] for k in keys], pa.timestamp("us")),
-            "n_events": pa.array([v[0] for v in agg.values()], pa.int64()),
-            "sum_value_c100": pa.array([v[1] for v in agg.values()], pa.int64()),
+            "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+            "window_start": pa.array(
+                g["window_start"].to_numpy().astype("datetime64[us]"),
+                pa.timestamp("us")),
+            "n_events": pa.array(g["n_events"].to_numpy(np.int64), pa.int64()),
+            "sum_value_c100": pa.array(
+                g["sum_value_c100"].to_numpy(np.int64), pa.int64()),
         })
 
-    return (events.map_batches(partial, batch_format="pyarrow")
+    return (events.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby(["user_id", "window_start"])
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("sum_value_c100", alias_name="sum_value_c100")))
