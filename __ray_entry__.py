@@ -565,6 +565,41 @@ def _sql_kg_edges(p) -> str:
             f"FROM ({_edges_union(p)})")
 
 
+def _sql_kg_edges_canonical(p) -> str:
+    """Full canonicalized edge table: the template UNION plus the
+    union-find canonical map (recursive CTE) applied as an IRI rewrite
+    on non-literal subjects/objects — mirrors build_kg's rewrite stage."""
+    iri_old = _entity_iri_case("c.entity_id", "t.entity_type")
+    iri_new = _entity_iri_case("c.canonical_id", "t2.entity_type")
+    return f"""WITH RECURSIVE {_kg_ctes(p)},
+edges0 AS (SELECT subj, pred, obj, obj_is_literal, obj_datatype
+           FROM ({_edges_union(p)})),
+pairs AS (SELECT DISTINCT b.block_key AS alias, b.entity_id
+          FROM words w JOIN ad b ON b.block_key = w.w),
+e2 AS (SELECT 'A:' || alias AS s, 'E:' || entity_id AS d FROM pairs
+       UNION ALL SELECT 'E:' || entity_id, 'A:' || alias FROM pairs),
+comp(node, label) AS (
+  SELECT DISTINCT 'E:' || entity_id, 'E:' || entity_id FROM pairs
+  UNION
+  SELECT e.d, c.label FROM comp c JOIN e2 e ON e.s = c.node),
+canon AS (SELECT substr(node, 3) AS entity_id,
+                 substr(min(label), 3) AS canonical_id
+          FROM comp WHERE node LIKE 'E:%' GROUP BY node),
+etypes AS (SELECT DISTINCT entity_id, entity_type FROM ad),
+iri_map AS (SELECT {iri_old} AS old_iri, {iri_new} AS new_iri
+            FROM canon c
+            JOIN etypes t ON t.entity_id = c.entity_id
+            JOIN etypes t2 ON t2.entity_id = c.canonical_id
+            WHERE c.entity_id <> c.canonical_id)
+SELECT DISTINCT coalesce(ms.new_iri, e.subj) AS subj, e.pred,
+       CASE WHEN e.obj_is_literal THEN e.obj
+            ELSE coalesce(mo.new_iri, e.obj) END AS obj,
+       e.obj_is_literal, e.obj_datatype
+FROM edges0 e
+LEFT JOIN iri_map ms ON ms.old_iri = e.subj
+LEFT JOIN iri_map mo ON mo.old_iri = e.obj"""
+
+
 def _sql_kg_nodes(p) -> str:
     return f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
@@ -589,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_mentions": f"SELECT * FROM ({_mentions_cte(p)})",
         "kg_edges": _sql_kg_edges(p),
+        "kg_edges_canonical": _sql_kg_edges_canonical(p),
         "kg_nodes": _sql_kg_nodes(p),
         "kg_cpe_link": f"""WITH {_kg_ctes(p)}
 SELECT c.conv_id, c.turn_idx, c.id AS cpeName, d.cpeNameId,

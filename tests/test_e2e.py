@@ -87,6 +87,39 @@ def test_grouping_invariance_and_resume(ray_session, sf_small_fixtures, built,
     assert _rows(out) == _rows(out_ref)
 
 
+def test_incremental_append(ray_session, sf_small_fixtures, tmp_path):
+    """The reference's daily incremental re-sync (ingestion_dag.py:27-77):
+    appending new input files re-extracts only the new shard groups and
+    folds their triples into the canonical graph."""
+    import pyarrow as pa
+    tdir = os.path.join(sf_small_fixtures, "transcripts")
+    inc_dir = str(tmp_path / "inc_transcripts")
+    os.makedirs(inc_dir)
+    base_files = sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+    for f in base_files:
+        shutil.copy(f, os.path.join(inc_dir, os.path.basename(f)))
+    out = str(tmp_path / "kg_inc")
+    cfg = PipelineConfig(files_per_group=1)
+    m1 = build_kg(inc_dir, sf_small_fixtures, out, cfg)
+    # append a new conversation file (sorts after existing part-* names)
+    new = pa.Table.from_pydict({
+        "conv_id": ["conv-new"] * 2,
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": ["user", "assistant"],
+        "text": ["brand new CVE-2030-99999 appears", "ack CVE-2030-99999"],
+        "tool": ["", ""],
+        "ts": pa.array([1, 2], pa.timestamp("us")),
+    })
+    pq.write_table(new, os.path.join(inc_dir, "part-zzz-new.parquet"))
+    m2 = build_kg(inc_dir, sf_small_fixtures, out, cfg)
+    assert m2["groups_skipped_by_resume"] == m1["n_groups"]  # old groups reused
+    assert m2["n_groups"] == m1["n_groups"] + 1
+    spo = _spo_set(out)
+    from uckg_ray import namespaces as ns
+    assert (ns.UCO + "CVE-2030-99999", ns.RDF_TYPE, ns.UCO + "CVE") in spo
+    assert m2["n_distinct_edges"] > m1["n_distinct_edges"]
+
+
 def test_idempotent_under_duplicated_input(ray_session, sf_small_fixtures,
                                            built, tmp_path):
     out_ref, _ = built

@@ -35,7 +35,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Min
 
 _NORM_RX = re.compile(r"[^a-z0-9 ]")
 _SPACE_RX = re.compile(r" +")
@@ -91,56 +91,41 @@ def token_jaccard_pairs(docs: Dataset, *, block_col: str = "source",
     """Near-dup pairs (doc_a < doc_b, same block) with word-set Jaccard
     ≥ num/den, reported as integer (inter, uni) so no float compare.
 
-    Distributed shape: explode distinct (block, word, doc) rows →
-    groupby word+block → pairs → groupby pair → Sum(inter) → filter with
-    broadcast doc set sizes. The blocking column bounds the all-pairs
-    blowup (same-word different-block docs never pair) — at scale, use
-    minhash_lsh_pairs instead; this operator is the exact oracle-checked
-    variant.
+    Distributed shape: one groupby shuffle on the blocking column, then
+    a fully vectorized all-pairs intersection per block (binary
+    doc×vocab matrix, M·Mᵀ). The blocking column bounds the quadratic
+    term (same-word different-block docs never pair) — at corpus scale,
+    use minhash_lsh_pairs instead; this operator is the exact,
+    oracle-checked variant.
     """
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        blocks = batch.column(block_col).to_pylist()
-        texts = batch.column("text").to_pylist()
-        W, D, B = [], [], []
-        for i, b, t in zip(ids, blocks, texts):
-            for w in set(t.split(" ")):
-                W.append(w); D.append(i); B.append(b)
-        return pa.Table.from_pydict(
-            {"word": W, "doc_id": pa.array(D, pa.int64()), "block": B})
-
-    words = docs.map_batches(explode, batch_format="pyarrow")
-
-    # doc set sizes — small side, collected and broadcast
-    sizes_ds = (words.map_batches(
-        lambda b: pa.Table.from_pydict(
-            {"doc_id": b.column("doc_id"), "n": pa.array([1] * b.num_rows, pa.int64())}),
-        batch_format="pyarrow")
-        .groupby("doc_id").aggregate(Sum("n", alias_name="n")))
-    sizes = {r["doc_id"]: r["n"] for r in sizes_ds.take_all()}
-
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].unique())
+    def per_block(group: pd.DataFrame) -> pd.DataFrame:
+        # one binary doc×vocab matrix per block; intersections = M·Mᵀ
+        ids = group["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        sets = [set(t.split(" ")) for t in group["text"].to_numpy()[order]]
+        vocab = {}
+        for s in sets:
+            for w in s:
+                vocab.setdefault(w, len(vocab))
+        M = np.zeros((len(ids), len(vocab)), dtype=np.int64)
+        for i, s in enumerate(sets):
+            for w in s:
+                M[i, vocab[w]] = 1
+        inter = M @ M.T
+        sizes = M.sum(axis=1)
         iu, ju = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju],
-                             "one": np.ones(len(iu), dtype=np.int64)})
+        it = inter[iu, ju]
+        uni = sizes[iu] + sizes[ju] - it
+        keep = den * it >= num * uni
+        return pd.DataFrame({
+            "doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
+            "inter": it[keep], "uni": uni[keep]})
 
-    pairs = (words.groupby(["word", "block"])
-             .map_groups(emit_pairs, batch_format="pandas")
-             .groupby(["doc_a", "doc_b"]).aggregate(Sum("one", alias_name="inter")))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        da = batch.column("doc_a").to_pylist()
-        db = batch.column("doc_b").to_pylist()
-        inter = batch.column("inter").to_pylist()
-        uni = [sizes[a] + sizes[b] - i for a, b, i in zip(da, db, inter)]
-        keep = [den * i >= num * u for i, u in zip(inter, uni)]
-        return pa.Table.from_pydict({
-            "doc_a": pa.array(da, pa.int64()), "doc_b": pa.array(db, pa.int64()),
-            "inter": pa.array(inter, pa.int64()), "uni": pa.array(uni, pa.int64()),
-        }).filter(pa.array(keep))
-
-    return pairs.map_batches(finish, batch_format="pyarrow")
+    return (docs.select_columns(["doc_id", block_col, "text"])
+            .groupby(block_col)
+            .map_groups(lambda g: per_block(g.drop(columns=[block_col])),
+                        batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
