@@ -310,6 +310,28 @@ def _q_ann_lsh_topk(sf_dir: str):
     return ann_cosine_topk(cand.drop_columns(["bucket"]), Q, qids, k=10)
 
 
+def _q_events_asof(sf_dir: str):
+    from uckg_ray.stages.joins import asof_join_events
+    return asof_join_events(_table(sf_dir, "events"),
+                            left_type="click", right_type="view")
+
+
+def _q_order_join(sf_dir: str):
+    from uckg_ray.stages.joins import hash_join_sum
+    return hash_join_sum(_table(sf_dir, "orders"), _table(sf_dir, "lineitem"))
+
+
+def _q_top_events_per_user(sf_dir: str):
+    from uckg_ray.stages.joins import topk_per_group
+    return topk_per_group(_table(sf_dir, "events"), group_col="user_id",
+                          value_col="value", id_col="event_id", k=3)
+
+
+def _q_train_test_split(sf_dir: str):
+    from uckg_ray.stages.joins import train_test_split
+    return train_test_split(_table(sf_dir, "documents"), id_col="doc_id")
+
+
 def _q_multimodal_features(sf_dir: str):
     from uckg_ray.stages.multimodal import attach_binary_payload, binary_feature_stats
     return binary_feature_stats(attach_binary_payload(_table(sf_dir, "documents")))
@@ -359,6 +381,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": _q_embed_neardup,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
+        "order_join": _q_order_join,
+        "top_events_per_user": _q_top_events_per_user,
+        "train_test_split": _q_train_test_split,
         "q1_pricing": _q_q1_pricing,
         "orders_by_nation": _q_orders_by_nation,
         "multimodal_features": _q_multimodal_features,
@@ -713,6 +739,25 @@ SELECT user_id, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_c100
 FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+        "events_asof": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "order_join": """
+SELECT o.o_orderstatus, count(*) AS n_items,
+       sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c100
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus""",
+        "top_events_per_user": """
+SELECT user_id, event_id, rank FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events) WHERE rank <= 3""",
+        "train_test_split": """
+SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+       THEN 'train' ELSE 'test' END AS split FROM documents""",
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus,
        sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c100,

@@ -1,0 +1,80 @@
+"""as-of join, shuffle hash join, per-group top-k, deterministic split."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events_ds(ray):
+    import ray.data
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:05",   # views u1
+        "2024-01-01 00:07", "2024-01-01 00:02",   # clicks u1
+        "2024-01-01 00:01",                        # click u2 (no prior view)
+    ])
+    return ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [1, 1, 1, 1, 2],
+        "event_type": ["view", "view", "click", "click", "click"],
+        "ts": ts, "value": [0.0, 0.0, 1.0, 2.0, 3.0]}))
+
+
+def test_asof_join(ray_session):
+    from uckg_ray.stages.joins import asof_join_events
+    rows = asof_join_events(_events_ds(ray_session), left_type="click",
+                            right_type="view").take_all()
+    got = {r["left_id"]: r["right_id"] for r in rows}
+    assert got[3] == 2      # click 00:07 → view 00:05
+    assert got[4] == 1      # click 00:02 → view 00:00
+    assert got[5] is None   # u2 has no prior view
+
+
+def test_topk_per_group(ray_session):
+    import ray.data
+    from uckg_ray.stages.joins import topk_per_group
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 4, 200),
+        "event_id": np.arange(200),
+        "value": rng.random(200).round(3)})
+    ds = ray.data.from_pandas(df)
+    rows = topk_per_group(ds, group_col="user_id", value_col="value",
+                          id_col="event_id", k=3).take_all()
+    got = {(r["user_id"], r["rank"]): r["event_id"] for r in rows}
+    for u in range(4):
+        sub = df[df.user_id == u].sort_values(["value", "event_id"],
+                                              ascending=[False, True]).head(3)
+        for rk, eid in enumerate(sub.event_id, 1):
+            assert got[(u, rk)] == eid
+
+
+def test_train_test_split_deterministic(ray_session):
+    import ray.data
+    from uckg_ray.stages.joins import train_test_split
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": range(1000)}))
+    rows = train_test_split(ds, id_col="doc_id", train_pct=80).take_all()
+    frac = sum(1 for r in rows if r["split"] == "train") / len(rows)
+    assert 0.75 < frac < 0.85
+    again = {r["doc_id"]: r["split"]
+             for r in train_test_split(ds, id_col="doc_id").take_all()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+def test_hash_join_sum(ray_session):
+    from uckg_ray.stages.joins import hash_join_sum
+    import ray.data
+    sf = "/root/testdata/sf0.001"
+    rows = hash_join_sum(
+        ray.data.read_parquet(f"{sf}/orders.parquet"),
+        ray.data.read_parquet(f"{sf}/lineitem.parquet"),
+        num_partitions=8).take_all()
+    import duckdb
+    want = duckdb.connect().execute(f"""
+        SELECT o.o_orderstatus, count(*) AS n,
+               sum(CAST(floor(l.l_extendedprice*100+0.5) AS BIGINT)) AS s
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/orders.parquet') o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1""").fetchall()
+    wmap = {r[0]: (r[1], r[2]) for r in want}
+    assert {r["o_orderstatus"]: (r["n_items"], r["sum_price_c100"])
+            for r in rows} == wmap

@@ -1,0 +1,140 @@
+"""Join operators beyond broadcast lookups.
+
+- ``asof_join_events`` — per-key as-of join over an ordered log (each
+  left event matched to the most recent right event at or before its
+  timestamp). Ray Data has no native as-of join; semantics allow the
+  groupby(key).map_groups + pd.merge_asof composition (SURVEY.md custom
+  operator path (a)). Partitioning assumption: all events of one key fit
+  one group — at 100 TB, pre-bucket by (key, time-range) and handle the
+  range boundary by overlapping one right row per bucket.
+
+- ``hash_join_sum`` — both-sides-large shuffle hash join via
+  ``Dataset.join`` (hash-partitioned on the key), demonstrated as
+  orders ⨝ lineitem → revenue by order status.
+
+- ``topk_per_group`` — per-group top-k with deterministic tie-breaks
+  (block-local partial top-k is the combiner; the global per-key merge
+  sees ≤ k rows per key per block).
+
+- ``train_test_split`` — deterministic multiplicative-hash split
+  (reproducible across engines: exact integer arithmetic, mirrored in
+  the SQL oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+_2_32 = 1 << 32
+
+
+def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
+                     key: str = "user_id") -> Dataset:
+    """For each `left_type` event: the most recent `right_type` event of
+    the same key with ts ≤ left ts. Output: (left_id, right_id, key) —
+    right_id null when no prior right event exists.
+    ≡ DuckDB: ``FROM left ASOF JOIN right ON key AND left.ts >= right.ts``
+    (but we keep unmatched lefts, i.e. ASOF LEFT JOIN)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
+        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
+        if len(left) == 0:
+            return pd.DataFrame({"left_id": pd.Series([], dtype="int64"),
+                                 "right_id": pd.Series([], dtype="int64"),
+                                 key: pd.Series([], dtype="int64")})
+        if len(right) == 0:
+            return pd.DataFrame({"left_id": left["event_id"].to_numpy(),
+                                 "right_id": np.full(len(left), np.nan),
+                                 key: left[key].to_numpy()})
+        m = pd.merge_asof(
+            left[["event_id", "ts"]].rename(columns={"event_id": "left_id"}),
+            right[["event_id", "ts"]].rename(columns={"event_id": "right_id"}),
+            on="ts", direction="backward")
+        m[key] = left[key].iloc[0]
+        return m[["left_id", "right_id", key]]
+
+    out = events.groupby(key).map_groups(per_key, batch_format="pandas")
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "left_id": b.column("left_id").cast(pa.int64()),
+            "right_id": b.column("right_id").cast(pa.int64()),
+            key: b.column(key).cast(pa.int64()),
+        })
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def hash_join_sum(orders: Dataset, lineitem: Dataset,
+                  num_partitions: int = 32) -> Dataset:
+    """orders ⨝ lineitem on orderkey (shuffle hash join, both sides
+    large) → (o_orderstatus, n_items, sum_price_c100)."""
+    from ray.data.aggregate import Sum
+
+    joined = lineitem.select_columns(["l_orderkey", "l_extendedprice"]).join(
+        orders.select_columns(["o_orderkey", "o_orderstatus"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        vals = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "price_c100": pa.array(
+                np.floor(vals * 100 + 0.5).astype(np.int64), pa.int64()),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64), pa.int64()),
+        })
+
+    return (joined.map_batches(prep, batch_format="pyarrow", batch_size=None)
+            .groupby("o_orderstatus")
+            .aggregate(Sum("n", alias_name="n_items"),
+                       Sum("price_c100", alias_name="sum_price_c100")))
+
+
+def topk_per_group(ds: Dataset, *, group_col: str, value_col: str,
+                   id_col: str, k: int = 3) -> Dataset:
+    """Top-k rows per group by value desc (ties → min id). Block-local
+    partial top-k is the combiner; the groupby merge sees ≤ k rows per
+    group per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, value_col, id_col]).to_pandas()
+        df = df.sort_values([group_col, value_col, id_col],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby(group_col, sort=False)
+                                    .head(k), preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([value_col, id_col],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[[group_col, id_col, "rank"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))
+
+
+def train_test_split(ds: Dataset, *, id_col: str, train_pct: int = 80
+                     ) -> Dataset:
+    """(id, split) with split = 'train' iff Knuth-hash(id) mod 100 <
+    train_pct. Exact integer arithmetic; ≡ SQL
+    ``(id * 2654435761) % 4294967296 % 100 < train_pct``."""
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(object)
+        h = [(int(i) * _KNUTH) % _2_32 % 100 for i in ids]
+        return pa.Table.from_pydict({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "split": ["train" if x < train_pct else "test" for x in h],
+        })
+
+    return ds.map_batches(split, batch_format="pyarrow")
