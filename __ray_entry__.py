@@ -109,6 +109,18 @@ def _q_kg_nodes(sf_dir: str):
     return node_table(distinct)
 
 
+def _q_kg_node_props(sf_dir: str):
+    """A4 multival property aggregation (n10s ARRAY semantics)."""
+    f = _fixdir(sf_dir)
+    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
+    from uckg_ray.stages.materialize import (distinct_edges, node_props,
+                                             union_edge_sources)
+    edges = extract_edges(_rd(_tdir(sf_dir)), f)
+    distinct = distinct_edges(
+        union_edge_sources(edges, side_table_edges(f)), sort=False)
+    return node_props(distinct)
+
+
 def _q_kg_cpe_link(sf_dir: str):
     f = _fixdir(sf_dir)
     from uckg_ray.stages.link import CpeLinkStage
@@ -361,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _q_kg_edges,
         "kg_edges_canonical": _q_kg_edges_canonical,
         "kg_nodes": _q_kg_nodes,
+        "kg_node_props": _q_kg_node_props,
         "kg_cpe_link": _q_kg_cpe_link,
         "kg_linker": _q_kg_linker,
         "kg_canonical": _q_kg_canonical,
@@ -652,6 +665,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": _sql_kg_edges(p),
         "kg_edges_canonical": _sql_kg_edges_canonical(p),
         "kg_nodes": _sql_kg_nodes(p),
+        "kg_node_props": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)}))
+SELECT subj, pred, string_agg(DISTINCT obj, ';;' ORDER BY obj) AS vals
+FROM edges WHERE obj_is_literal GROUP BY subj, pred""",
         "kg_cpe_link": f"""WITH {_kg_ctes(p)}
 SELECT c.conv_id, c.turn_idx, c.id AS cpeName, d.cpeNameId,
        d.lm AS lastModified,

@@ -166,6 +166,41 @@ def node_table(distinct: Dataset, num_partitions: int = 16) -> Dataset:
         batch_format="pyarrow")
 
 
+_VAL_SEP = ";;"
+
+
+def _props_partial(batch: pa.Table) -> pa.Table:
+    """Per-block partial of the multival property aggregation (A4,
+    neo4j/import/init.cypher:3-16): (subj, pred, sorted distinct literal
+    values joined by ';;'). ≤ one row per (subj, pred) per block."""
+    df = batch.to_pandas()
+    df = df[df["obj_is_literal"]]
+    g = (df.groupby(["subj", "pred"], sort=False)["obj"]
+         .agg(lambda s: _VAL_SEP.join(sorted(set(s)))).reset_index())
+    return pa.Table.from_pydict({
+        "subj": g["subj"].tolist(), "pred": g["pred"].tolist(),
+        "vals": g["obj"].tolist()})
+
+
+def _props_merge(group) -> "pd.DataFrame":
+    vals = set()
+    for v in group["vals"]:
+        vals.update(v.split(_VAL_SEP))
+    return pd.DataFrame({
+        "subj": [group["subj"].iloc[0]], "pred": [group["pred"].iloc[0]],
+        "vals": [_VAL_SEP.join(sorted(vals))]})
+
+
+def node_props(distinct: Dataset) -> Dataset:
+    """Multival property arrays per (subj, pred) over literal edges —
+    the n10s handleMultival:'ARRAY' semantics. Two-phase: block partial,
+    then a per-key merge over ≤ #blocks rows per key."""
+    partial = distinct.map_batches(_props_partial, batch_format="pyarrow",
+                                   batch_size=None)
+    return partial.groupby(["subj", "pred"]).map_groups(
+        _props_merge, batch_format="pandas")
+
+
 def union_edge_sources(*sources: Dataset | pa.Table) -> Dataset:
     """A5 graph union: per-source edge datasets/tables → one edge stream."""
     ds_list = []
