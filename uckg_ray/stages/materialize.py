@@ -166,39 +166,66 @@ def node_table(distinct: Dataset, num_partitions: int = 16) -> Dataset:
         batch_format="pyarrow")
 
 
-_VAL_SEP = ";;"
+_VAL_SEP = ";;"      # final output separator (mirrored in the SQL oracle)
+
+_PROPS_PARTIAL_SCHEMA = pa.schema(
+    [("k", pa.string()), ("subj", pa.string()), ("pred", pa.string()),
+     ("vals", pa.string())])
+_PROPS_SCHEMA = pa.schema(
+    [("subj", pa.string()), ("pred", pa.string()), ("vals", pa.string())])
 
 
 def _props_partial(batch: pa.Table) -> pa.Table:
     """Per-block partial of the multival property aggregation (A4,
-    neo4j/import/init.cypher:3-16): (subj, pred, sorted distinct literal
-    values joined by ';;'). ≤ one row per (subj, pred) per block."""
+    neo4j/import/init.cypher:3-16): ≤ one row per (subj, pred) per
+    block; values carried with the \\x1f separator (never occurs in
+    values), joined with ';;' only at final output."""
     df = batch.to_pandas()
     df = df[df["obj_is_literal"]]
+    if len(df) == 0:
+        return pa.Table.from_pydict(
+            {"k": [], "subj": [], "pred": [], "vals": []},
+            schema=_PROPS_PARTIAL_SCHEMA)
     g = (df.groupby(["subj", "pred"], sort=False)["obj"]
-         .agg(lambda s: _VAL_SEP.join(sorted(set(s)))).reset_index())
+         .agg(lambda s: _SEP.join(sorted(set(s)))).reset_index())
     return pa.Table.from_pydict({
+        "k": (g["subj"] + _SEP + g["pred"]).tolist(),
         "subj": g["subj"].tolist(), "pred": g["pred"].tolist(),
-        "vals": g["obj"].tolist()})
+        "vals": g["obj"].tolist()},
+        schema=_PROPS_PARTIAL_SCHEMA)
 
 
-def _props_merge(group) -> "pd.DataFrame":
-    vals = set()
-    for v in group["vals"]:
-        vals.update(v.split(_VAL_SEP))
-    return pd.DataFrame({
-        "subj": [group["subj"].iloc[0]], "pred": [group["pred"].iloc[0]],
-        "vals": [_VAL_SEP.join(sorted(vals))]})
+def _props_merge_partition(part: pa.Table) -> pa.Table:
+    """Vectorized merge of all partials in one hash partition: one pandas
+    groupby.agg per partition, not one Python call per key."""
+    df = part.to_pandas()
+
+    def merge_vals(series):
+        vals = set()
+        for v in series:
+            vals.update(v.split(_SEP))
+        return _VAL_SEP.join(sorted(vals))
+
+    g = (df.groupby(["subj", "pred"], sort=False)["vals"]
+         .agg(merge_vals).reset_index())
+    return pa.Table.from_pydict(
+        {"subj": g["subj"].tolist(), "pred": g["pred"].tolist(),
+         "vals": g["vals"].tolist()}, schema=_PROPS_SCHEMA)
 
 
-def node_props(distinct: Dataset) -> Dataset:
+def node_props(distinct: Dataset, num_partitions: int = 16) -> Dataset:
     """Multival property arrays per (subj, pred) over literal edges —
-    the n10s handleMultival:'ARRAY' semantics. Two-phase: block partial,
-    then a per-key merge over ≤ #blocks rows per key."""
+    the n10s handleMultival:'ARRAY' semantics. Two-phase: block partial
+    (≤ one row per key per block), then a hash-partitioned vectorized
+    merge (same shape as node_table)."""
     partial = distinct.map_batches(_props_partial, batch_format="pyarrow",
                                    batch_size=None)
-    return partial.groupby(["subj", "pred"]).map_groups(
-        _props_merge, batch_format="pandas")
+    parted = partial.map_batches(
+        lambda b: _add_hash_partition(b, num_partitions, col="k"),
+        batch_format="pyarrow", batch_size=None)
+    return parted.groupby("p").map_groups(
+        lambda t: _props_merge_partition(t.drop_columns(["p", "k"])),
+        batch_format="pyarrow")
 
 
 def union_edge_sources(*sources: Dataset | pa.Table) -> Dataset:
