@@ -48,6 +48,17 @@ def _rd(path):
     return ray.data.read_parquet(path)
 
 
+def _rd_turns(sf_dir: str):
+    """Transcript read with block-count control (~1 block per core):
+    bigger blocks make the downstream dedup combiner collapse more and
+    cut per-task scheduling overhead."""
+    import ray
+    import ray.data
+    n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return ray.data.read_parquet(_tdir(sf_dir), override_num_blocks=n_cpus)
+
+
 def _table(sf_dir: str, name: str):
     return _rd(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -74,14 +85,14 @@ def entry() -> Any:
 
 def _q_kg_mentions(sf_dir: str):
     from uckg_ray.stages.extract import extract_mentions
-    return _rd(_tdir(sf_dir)).map_batches(extract_mentions, batch_format="pyarrow")
+    return _rd_turns(sf_dir).map_batches(extract_mentions, batch_format="pyarrow")
 
 
 def _q_kg_edges(sf_dir: str):
     f = _fixdir(sf_dir)
     from uckg_ray.pipelines.kg import extract_edges, side_table_edges
     from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
-    edges = extract_edges(_rd(_tdir(sf_dir)), f)
+    edges = extract_edges(_rd_turns(sf_dir), f)
     return distinct_edges(union_edge_sources(edges, side_table_edges(f)), sort=True)
 
 
@@ -90,9 +101,9 @@ def _q_kg_edges_canonical(sf_dir: str):
     from uckg_ray.pipelines.kg import (_apply_rewrite, build_canonical_rewriter,
                                        extract_edges, side_table_edges)
     from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
-    turns = _rd(_tdir(sf_dir))
+    turns = _rd_turns(sf_dir)
     rewrite = build_canonical_rewriter(turns, f)
-    edges = extract_edges(_rd(_tdir(sf_dir)), f)
+    edges = extract_edges(_rd_turns(sf_dir), f)
     all_edges = union_edge_sources(edges, side_table_edges(f)).map_batches(
         lambda b: _apply_rewrite(b, rewrite), batch_format="pyarrow")
     return distinct_edges(all_edges, sort=True)
@@ -103,7 +114,7 @@ def _q_kg_nodes(sf_dir: str):
     from uckg_ray.pipelines.kg import extract_edges, side_table_edges
     from uckg_ray.stages.materialize import (distinct_edges, node_table,
                                              union_edge_sources)
-    edges = extract_edges(_rd(_tdir(sf_dir)), f)
+    edges = extract_edges(_rd_turns(sf_dir), f)
     distinct = distinct_edges(
         union_edge_sources(edges, side_table_edges(f)), sort=False)
     return node_table(distinct)
@@ -115,7 +126,7 @@ def _q_kg_node_props(sf_dir: str):
     from uckg_ray.pipelines.kg import extract_edges, side_table_edges
     from uckg_ray.stages.materialize import (distinct_edges, node_props,
                                              union_edge_sources)
-    edges = extract_edges(_rd(_tdir(sf_dir)), f)
+    edges = extract_edges(_rd_turns(sf_dir), f)
     distinct = distinct_edges(
         union_edge_sources(edges, side_table_edges(f)), sort=False)
     return node_props(distinct)
@@ -124,7 +135,7 @@ def _q_kg_node_props(sf_dir: str):
 def _q_kg_cpe_link(sf_dir: str):
     f = _fixdir(sf_dir)
     from uckg_ray.stages.link import CpeLinkStage
-    return _rd(_tdir(sf_dir)).map_batches(
+    return _rd_turns(sf_dir).map_batches(
         CpeLinkStage,
         fn_constructor_args=(os.path.join(f, "cpe_dict.parquet"),),
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
@@ -133,7 +144,7 @@ def _q_kg_cpe_link(sf_dir: str):
 def _q_kg_linker(sf_dir: str):
     f = _fixdir(sf_dir)
     from uckg_ray.stages.link import AliasLinker
-    return _rd(_tdir(sf_dir)).map_batches(
+    return _rd_turns(sf_dir).map_batches(
         AliasLinker,
         fn_constructor_args=(os.path.join(f, "alias_dict.parquet"),),
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
@@ -143,7 +154,7 @@ def _q_kg_canonical(sf_dir: str):
     f = _fixdir(sf_dir)
     from uckg_ray.stages.canonicalize import canonical_map, observed_alias_pairs
     from uckg_ray.stages.link import AliasLinker, load_alias_table
-    links = _rd(_tdir(sf_dir)).map_batches(
+    links = _rd_turns(sf_dir).map_batches(
         AliasLinker,
         fn_constructor_args=(os.path.join(f, "alias_dict.parquet"),),
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
@@ -177,7 +188,7 @@ def _q_kg_attack_rel(sf_dir: str):
 def _q_kg_turn_stats(sf_dir: str):
     from ray.data.aggregate import Count
     from uckg_ray.stages.extract import extract_mentions
-    m = _rd(_tdir(sf_dir)).map_batches(extract_mentions, batch_format="pyarrow")
+    m = _rd_turns(sf_dir).map_batches(extract_mentions, batch_format="pyarrow")
     return m.groupby(["conv_id", "ent_type"]).aggregate(Count(alias_name="n"))
 
 
@@ -189,7 +200,7 @@ def _q_transcript_turns(sf_dir: str):
             "text_md5": [hashlib.md5(t.encode()).hexdigest()
                          for t in batch.column("text").to_pylist()],
         })
-    return _rd(_tdir(sf_dir)).map_batches(h, batch_format="pyarrow")
+    return _rd_turns(sf_dir).map_batches(h, batch_format="pyarrow")
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -294,7 +305,7 @@ def _q_kg_custom_spec(sf_dir: str):
             object_datatype="xsd:string",
             where_col="role", where_val="tool"),
     ]
-    return apply_specs(_rd(_tdir(sf_dir)), specs)
+    return apply_specs(_rd_turns(sf_dir), specs)
 
 
 def _q_ann_lsh_topk(sf_dir: str):
