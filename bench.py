@@ -54,23 +54,22 @@ def run_bench() -> dict:
 
     def timed(name, fn):
         t = time.perf_counter()
-        res = fn(sf_dir)
-        # consume to completion
         try:
+            res = fn(sf_dir)
             from ray.data import Dataset
             if isinstance(res, Dataset):
-                n = res.count()
+                res.count()   # consume to completion
             else:
-                n = len(res)
-        except Exception:
-            n = -1
-        queries[name] = round(time.perf_counter() - t, 3)
-        return n
+                len(res)
+            queries[name] = round(time.perf_counter() - t, 3)
+        except Exception as e:               # keep the bench line emittable
+            queries[name] = f"error:{type(e).__name__}"
 
     q = entrymod.queries()
     for name in ("kg_edges", "kg_mentions", "dedup_minhash", "dedup_simhash",
-                 "ann_cosine_topk", "events_window", "q1_pricing",
-                 "text_quality", "token_count"):
+                 "dedup_token_jaccard", "ann_cosine_topk", "events_window",
+                 "events_asof", "order_join", "q1_pricing", "text_quality",
+                 "token_count", "kg_custom_spec"):
         timed(name, q[name])
 
     result = {

@@ -132,6 +132,49 @@ def token_jaccard_pairs(docs: Dataset, *, block_col: str = "source",
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
 
+def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
+                    num_partitions: int = 32) -> set[tuple[int, int]]:
+    """Candidate (doc_a < doc_b) pairs sharing any bucket: hash-partition
+    on the bucket key, emit pairs with one vectorized pandas pass per
+    partition, dedup the (small) candidate set on the driver."""
+    import polars as pl
+
+    def add_p(batch: pa.Table) -> pa.Table:
+        key = batch.column(bucket_cols[0]).cast(pa.string())
+        for c in bucket_cols[1:]:
+            key = pa.compute.binary_join_element_wise(
+                key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key,
+                batch.column(c).cast(pa.string()).combine_chunks(), "\x1f")
+        h = pl.from_arrow(key.combine_chunks()
+                          if isinstance(key, pa.ChunkedArray) else key).hash(seed=0)
+        return pa.Table.from_pydict({
+            "bkey": key, "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "p": pa.array((h % num_partitions).cast(pl.Int32).to_numpy(),
+                          pa.int32())})
+
+    def pairs_in_partition(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        A, B = [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            A.append(ids[iu]); B.append(ids[ju])
+        if not A:
+            return pa.Table.from_pydict(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())})
+        return pa.Table.from_pydict({
+            "doc_a": pa.array(np.concatenate(A), pa.int64()),
+            "doc_b": pa.array(np.concatenate(B), pa.int64())})
+
+    parted = sigs.map_batches(add_p, batch_format="pyarrow", batch_size=None)
+    pair_ds = parted.groupby("p").map_groups(
+        lambda t: pairs_in_partition(t.drop_columns(["p"])),
+        batch_format="pyarrow")
+    return {(r["doc_a"], r["doc_b"]) for r in pair_ds.take_all()}
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -202,21 +245,16 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
             n_perm=n_perm, n_bands=n_bands, shingle_w=shingle_w),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].unique())
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju]})
+    # hash-partition on band_hash, then ONE vectorized pair-emission pass
+    # per partition (not one Python call per bucket — 80k tiny buckets
+    # made the per-bucket map_groups the bottleneck)
+    cand_pairs = _bucketed_pairs(sigs, ["band", "band_hash"])
 
-    cand = (sigs.groupby(["band", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"]).map_groups(
-                lambda g: g.head(1), batch_format="pandas"))
-
-    cand_rows = cand.take_all()
-    if not cand_rows:
+    if not cand_pairs:
         import ray.data
         return ray.data.from_arrow(pa.Table.from_pydict(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}))
+    cand_rows = [{"doc_a": a, "doc_b": b} for a, b in sorted(cand_pairs)]
     need = set()
     for r in cand_rows:
         need.add(r["doc_a"]); need.add(r["doc_b"])
@@ -273,35 +311,34 @@ def simhash_signatures(docs: Dataset) -> Dataset:
 
 def simhash_pairs(docs: Dataset, *, max_hamming: int = 3) -> Dataset:
     """Hamming ≤ k near-dup pairs via (k+1)-band exact-match blocking over
-    the 64-bit simhash (pigeonhole guarantees full recall)."""
+    the 64-bit simhash (pigeonhole guarantees full recall). Candidate
+    generation uses the hash-partitioned vectorized bucket-pair pass;
+    verification probes a broadcast signature map (signatures are 8
+    bytes/doc — at extreme corpus scale, shard the verify by pair
+    partition instead)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
     def bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        sigs = batch.column("simhash").to_pylist()
-        D, BI, BV, S = [], [], [], []
-        for i, s in zip(ids, sigs):
+        sigs_ = batch.column("simhash").to_pylist()
+        D, BI, BV = [], [], []
+        for i, s in zip(ids, sigs_):
             for b in range(n_bands):
                 D.append(i); BI.append(b)
                 BV.append((s >> (b * width)) & ((1 << width) - 1))
-                S.append(s)
         return pa.Table.from_pydict({
             "doc_id": pa.array(D, pa.int64()), "band": pa.array(BI, pa.int32()),
-            "band_val": pa.array(BV, pa.uint64()), "simhash": pa.array(S, pa.uint64())})
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(group["doc_id"], group["simhash"])))
-        A, B = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if bin(int(rows[i][1]) ^ int(rows[j][1])).count("1") <= max_hamming:
-                    A.append(rows[i][0]); B.append(rows[j][0])
-        return pd.DataFrame({"doc_a": A, "doc_b": B})
+            "band_val": pa.array(BV, pa.uint64())})
 
     sigs = simhash_signatures(docs)
-    return (sigs.map_batches(bands, batch_format="pyarrow")
-            .groupby(["band", "band_val"])
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"]).map_groups(
-                lambda g: g.head(1), batch_format="pandas"))
+    sig_map = {r["doc_id"]: r["simhash"] for r in sigs.take_all()}
+    banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=None)
+    cand = _bucketed_pairs(banded, ["band", "band_val"])
+    verified = sorted(
+        (a, b) for a, b in cand
+        if bin(int(sig_map[a]) ^ int(sig_map[b])).count("1") <= max_hamming)
+    import ray.data
+    return ray.data.from_arrow(pa.Table.from_pydict({
+        "doc_a": pa.array([a for a, _ in verified], pa.int64()),
+        "doc_b": pa.array([b for _, b in verified], pa.int64())}))
