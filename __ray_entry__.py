@@ -258,6 +258,22 @@ def _q_ann_cosine_topk(sf_dir: str):
     return ann_cosine_topk(_table(sf_dir, "embeddings"), Q, qids, k=10)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN: seeded k-means coarse quantizer, 4-probe exact rescore."""
+    from uckg_ray.stages.similarity import IVFIndex, ivf_topk
+    Q, qids = _load_queries(sf_dir)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    train = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ivf = IVFIndex(train, n_centroids=16)
+    return ivf_topk(_table(sf_dir, "embeddings"), Q, qids, ivf,
+                    k=10, n_probe=4)
+
+
+def _q_token_count_regex(sf_dir: str):
+    from uckg_ray.stages.text import regex_token_counts_by
+    return regex_token_counts_by(_table(sf_dir, "documents"), "source")
+
+
 def _q_embed_neardup(sf_dir: str):
     from uckg_ray.stages.similarity import embedding_neardup_pairs
     return embedding_neardup_pairs(_table(sf_dir, "embeddings"), tau=0.45)
@@ -401,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "token_count_regex": _q_token_count_regex,
         "kg_custom_spec": _q_kg_custom_spec,
         "embed_neardup": _q_embed_neardup,
         "events_window": _q_events_window,
@@ -748,6 +766,10 @@ SELECT doc_id, CASE WHEN he = 0 AND hd = 0 AND hf = 0 THEN 'unk'
         "token_count": ("SELECT source, count(*) AS n_docs, "
                         "sum(len(string_split(text, ' '))) AS n_tokens "
                         "FROM documents GROUP BY source"),
+        "token_count_regex": (
+            r"SELECT source, count(*) AS n_docs, "
+            r"sum(len(regexp_extract_all(text, '\w+|[^\w\s]+'))) AS n_tokens "
+            r"FROM documents GROUP BY source"),
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
            FROM embeddings WHERE vec_id < 10),

@@ -77,3 +77,23 @@ def test_lsh_bucketed_ann_recall(ray_session):
            for r in ann_cosine_topk(cand, Q, qids, k=3).take_all()}
     hits = sum(1 for i in range(5) if got.get((i, 1)) == 100 + i)
     assert hits >= 4  # near-dup lands in the same bucket for ≥4/5 queries
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF probe (4 of 16 centroids) must recover the planted nearest
+    neighbors — the query's own cluster is always probed first."""
+    import ray.data
+    from uckg_ray.stages.similarity import IVFIndex, ivf_topk
+    rng = np.random.default_rng(21)
+    M = rng.standard_normal((400, 16))
+    for i in range(5):
+        M[200 + i] = M[i] + rng.standard_normal(16) * 0.01
+    ids = np.arange(400)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": ids, "embedding": [r.tolist() for r in M]}))
+    ivf = IVFIndex(M, n_centroids=8)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in ivf_topk(ds, M[:5], ids[:5], ivf, k=3,
+                             n_probe=3).take_all()}
+    hits = sum(1 for i in range(5) if got.get((i, 1)) == 200 + i)
+    assert hits == 5  # near-dup shares the query's own centroid

@@ -98,6 +98,61 @@ def embedding_neardup_pairs(emb: Dataset, *, tau: float = 0.45,
     return emb.map_batches(pairs, batch_format="pyarrow")
 
 
+class IVFIndex:
+    """IVF coarse quantizer: deterministic seeded k-means (fixed
+    iteration count, no RNG in the loop) over a sample, then bucket =
+    nearest centroid. Query path: probe the ``n_probe`` nearest
+    centroids and rescore exactly in-bucket — the classic
+    inverted-file ANN layout, expressed as a bucket column + filtered
+    exact top-k."""
+
+    def __init__(self, train: np.ndarray, n_centroids: int = 16,
+                 n_iters: int = 10, seed: int = 42):
+        X = train.astype(np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)
+        C = X[idx].copy()
+        for _ in range(n_iters):
+            assign = np.argmax(X @ C.T, axis=1)  # cosine on unit vectors
+            for k in range(len(C)):
+                m = assign == k
+                if m.any():
+                    v = X[m].mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        C[k] = v / n
+        self.centroids = C
+
+    def assign_batch(self, batch: pa.Table,
+                     vec_col: str = "embedding") -> pa.Table:
+        M = _emb_matrix(batch, vec_col)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        bucket = np.argmax(Mn @ self.centroids.T, axis=1).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def probe_buckets(self, queries: np.ndarray, n_probe: int = 4) -> set[int]:
+        Q = queries.astype(np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        sims = Qn @ self.centroids.T
+        out: set[int] = set()
+        for row in sims:
+            out.update(int(i) for i in np.argsort(-row)[:n_probe])
+        return out
+
+
+def ivf_topk(emb: Dataset, queries: np.ndarray, query_ids: np.ndarray,
+             ivf: IVFIndex, *, k: int = 10, n_probe: int = 4) -> Dataset:
+    """IVF ANN: restrict the exact rescoring to the probed buckets."""
+    buckets = pa.array(sorted(ivf.probe_buckets(queries, n_probe)), pa.int64())
+    bucketed = emb.map_batches(ivf.assign_batch, batch_format="pyarrow")
+    cand = bucketed.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b.column("bucket"),
+                                            value_set=buckets)),
+        batch_format="pyarrow").drop_columns(["bucket"])
+    return ann_cosine_topk(cand, queries, query_ids, k=k)
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures for bucketed ANN (the 100 TB path:
     bucket groupby → in-bucket exact rescore). Deterministic seed."""

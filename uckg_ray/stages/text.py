@@ -70,6 +70,35 @@ def lang_id(docs: Dataset) -> Dataset:
     return docs.map_batches(guess, batch_format="pyarrow")
 
 
+BPE_ISH_RX = r"\w+|[^\w\s]+"   # word runs + punctuation runs (GPT-2-ish)
+
+
+def regex_token_counts_by(docs: Dataset, group_col: str = "source") -> Dataset:
+    """(group, n_docs, n_tokens) under a BPE-ish regex tokenizer —
+    ≡ SQL sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')))."""
+    import re
+    rx = re.compile(BPE_ISH_RX)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_pylist()
+        texts = batch.column("text").to_pylist()
+        agg: dict[str, list[int]] = {}
+        for g, t in zip(groups, texts):
+            e = agg.setdefault(g, [0, 0])
+            e[0] += 1
+            e[1] += len(rx.findall(t))
+        return pa.Table.from_pydict({
+            group_col: list(agg),
+            "n_docs": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "n_tokens": pa.array([v[1] for v in agg.values()], pa.int64()),
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(group_col)
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens")))
+
+
 def token_counts_by(docs: Dataset, group_col: str = "source") -> Dataset:
     """(group, n_docs, n_tokens) — corpus token accounting, pre-aggregated
     per block before the (tiny) groupby."""
