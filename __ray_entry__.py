@@ -164,22 +164,15 @@ def _q_kg_canonical(sf_dir: str):
 
 def _q_kg_attack_rel(sf_dir: str):
     f = _fixdir(sf_dir)
+    from uckg_ray.stages.extract import attack_rel_rows
     nodes = pq.read_table(os.path.join(f, "attack_nodes.parquet"))
-    node_key = set(zip(nodes.column("ID").to_pylist(),
-                       nodes.column("kind").to_pylist()))
 
     def join(batch: pa.Table) -> pa.Table:
-        S, P, T = [], [], []
-        for r in batch.to_pylist():
-            if r["source_id"] is None:
-                continue
-            if (r["target_id"], r["target_type"]) not in node_key:
-                continue
-            pred = ns.ATTACK_REL_PRED.get((r["source_type"], r["target_type"]))
-            if pred is None:
-                continue
-            S.append(r["source_id"]); P.append(pred); T.append(r["target_id"])
-        return pa.Table.from_pydict({"source_id": S, "pred": P, "target_id": T})
+        rows = attack_rel_rows(nodes, batch)
+        return pa.Table.from_pydict({
+            "source_id": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "target_id": [r[2] for r in rows]})
 
     return _rd(os.path.join(f, "attack_relationships.parquet")).map_batches(
         join, batch_format="pyarrow")

@@ -40,9 +40,14 @@ def run_bench() -> dict:
     fdir = fx.ensure_fixtures(sf_dir)          # untimed (cached after 1st run)
     tdir = os.path.join(fdir, "transcripts")
 
-    # warm the page cache so we measure compute+shuffle, not first disk read
+    # warm the page cache so we measure compute+shuffle, not first disk
+    # read (count() alone would take the parquet-metadata fast path and
+    # read nothing — force full block reads)
+    import pyarrow as pa
     import ray.data
-    ray.data.read_parquet(tdir).count()
+    ray.data.read_parquet(tdir).map_batches(
+        lambda b: pa.table({"n": [b.num_rows]}), batch_format="pyarrow",
+        batch_size=None).count()
 
     out_dir = "/tmp/uckg_bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -120,6 +120,41 @@ def test_incremental_append(ray_session, sf_small_fixtures, tmp_path):
     assert m2["n_distinct_edges"] > m1["n_distinct_edges"]
 
 
+def test_stale_groups_pruned(ray_session, sf_small_fixtures, built, tmp_path):
+    """Rerunning into the same out_dir with fewer input files / different
+    grouping must not union stale shard outputs into the final table."""
+    out_ref, _ = built
+    tdir = os.path.join(sf_small_fixtures, "transcripts")
+    files = sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+    sub_dir = str(tmp_path / "subset_transcripts")
+    os.makedirs(sub_dir)
+    for f in files[:1]:
+        shutil.copy(f, os.path.join(sub_dir, os.path.basename(f)))
+    out = str(tmp_path / "kg_stale")
+    # first run: all files, one group per file
+    build_kg(tdir, sf_small_fixtures, out, PipelineConfig(files_per_group=1))
+    n_groups_before = len(glob.glob(os.path.join(out, "shards", "group-*")))
+    assert n_groups_before > 1
+    # second run: single file, default grouping → stale groups must go
+    m = build_kg(sub_dir, sf_small_fixtures, out, resume=False)
+    assert len(glob.glob(os.path.join(out, "shards", "group-*"))) == 1
+    # result must equal a fresh single-file build
+    out_fresh = str(tmp_path / "kg_fresh")
+    m2 = build_kg(sub_dir, sf_small_fixtures, out_fresh)
+    assert _spo_set(out) == _spo_set(out_fresh)
+
+
+def test_resume_honors_pipeline_flags(ray_session, sf_small_fixtures, tmp_path):
+    """A --no-canonicalize run's shards (no alias markers) must NOT be
+    reused by a canonicalizing resume."""
+    tdir = os.path.join(sf_small_fixtures, "transcripts")
+    out = str(tmp_path / "kg_flags")
+    build_kg(tdir, sf_small_fixtures, out, canonicalize=False)
+    m = build_kg(tdir, sf_small_fixtures, out, canonicalize=True)
+    assert m["groups_skipped_by_resume"] == 0      # flags differ → re-extract
+    assert m["n_canonical_rewrites"] > 0           # rewrites actually happen
+
+
 def test_idempotent_under_duplicated_input(ray_session, sf_small_fixtures,
                                            built, tmp_path):
     out_ref, _ = built

@@ -111,7 +111,7 @@ def rewriter_from_observed_aliases(observed: set[str], fixture_dir: str,
         import ray.data
         pairs_ds = ray.data.from_pandas(
             pd.DataFrame(pairs, columns=["alias", "entity_id"]))
-        cmap = canonical_map(pairs_ds)
+        cmap = canonical_map(pairs_ds, max_iters=cfg.cc_max_iters)
         canon = dict(zip(cmap["entity_id"], cmap["canonical_id"]))
     etype = dict(zip(alias_df["entity_id"], alias_df["entity_type"]))
     rewrite: dict[str, str] = {}
@@ -179,11 +179,21 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     shards_root = os.path.join(out_dir, "shards")
     os.makedirs(shards_root, exist_ok=True)
 
+    flags = f"mark_aliases={canonicalize}"
+    # prune group dirs that don't belong to the current grouping — stale
+    # outputs from a prior run with different inputs or files_per_group
+    # must never be unioned into the final table
+    import shutil as _sh
+    expected = {f"group-{gi:04d}" for gi in range(len(groups))}
+    for d in glob.glob(os.path.join(shards_root, "group-*")):
+        if os.path.basename(d) not in expected:
+            _sh.rmtree(d, ignore_errors=True)
+
     group_stats = []
     skipped = 0
     for gi, gfiles in enumerate(groups):
         gdir = os.path.join(shards_root, f"group-{gi:04d}")
-        if resume and mf.group_is_complete(gdir, gfiles):
+        if resume and mf.group_is_complete(gdir, gfiles, flags):
             skipped += 1
             continue
         t0 = time.perf_counter()
@@ -202,7 +212,7 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
             for f in glob.glob(os.path.join(gdir, "*.parquet")))
         group_stats.append(mf.write_group_manifest(
             gdir, gfiles, rows_in=rows_in, edges_out=edges_out,
-            wall_sec=time.perf_counter() - t0))
+            wall_sec=time.perf_counter() - t0, flags=flags))
 
     # phase B — finalize from shard outputs (narrow rows only; transcript
     # text is never re-read)

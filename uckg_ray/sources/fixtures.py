@@ -540,7 +540,22 @@ def ensure_fixtures(sf_dir: str) -> str:
 
 
 def _generate(sf_dir: str, parallel: bool) -> str:
+    """Generation under an exclusive flock: the validity re-check happens
+    while holding the lock, so a concurrent process can never rmtree a
+    VALID fixture set another process just finished (and may be reading)."""
+    import fcntl
+
     out = fixture_dir(sf_dir)
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    with open(out + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            return _generate_locked(sf_dir, out, parallel)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
+def _generate_locked(sf_dir: str, out: str, parallel: bool) -> str:
     if _have_fixtures(out):
         return out
     shutil.rmtree(out, ignore_errors=True)

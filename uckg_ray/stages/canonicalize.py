@@ -119,7 +119,7 @@ def observed_alias_pairs(link_rows: Dataset, alias_table: pd.DataFrame) -> Datas
     )
 
 
-def canonical_map(pairs: Dataset) -> pd.DataFrame:
+def canonical_map(pairs: Dataset, max_iters: int = 15) -> pd.DataFrame:
     """(alias, entity_id) pairs → (entity_id, canonical_id) via distributed
     connected components. The final component→canonical reduction is
     bounded by the dictionary size (documented small side)."""
@@ -130,7 +130,7 @@ def canonical_map(pairs: Dataset) -> pd.DataFrame:
         }),
         batch_format="pyarrow",
     )
-    cc = connected_components(prefixed, "src", "dst")
+    cc = connected_components(prefixed, "src", "dst", max_iters=max_iters)
     ent = cc.map_batches(
         lambda b: b.filter(
             pa.compute.starts_with(b.column("node"), "E:")),

@@ -331,7 +331,7 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3) -> Dataset:
             "doc_id": pa.array(D, pa.int64()), "band": pa.array(BI, pa.int32()),
             "band_val": pa.array(BV, pa.uint64())})
 
-    sigs = simhash_signatures(docs)
+    sigs = simhash_signatures(docs).materialize()  # consumed twice below
     sig_map = {r["doc_id"]: r["simhash"] for r in sigs.take_all()}
     banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=None)
     cand = _bucketed_pairs(banded, ["band", "band_val"])

@@ -257,6 +257,28 @@ def cwe_dict_triples(cwe_dict_path: str) -> pa.Table:
     )
 
 
+def attack_rel_rows(nodes_tbl: pa.Table, rels_tbl: pa.Table
+                    ) -> list[tuple[str, str, str]]:
+    """R11 referential relationship join, shared by the side-table triple
+    builder and the kg_attack_rel query: (source_id, pred, target_id)
+    rows where source_id is non-null AND the target exists as a node of
+    the target type (mapping/attack/attack_rml.ttl:253-403; null-source
+    drop per parse.py:231-234)."""
+    node_key = set(zip(nodes_tbl.column("ID").to_pylist(),
+                       nodes_tbl.column("kind").to_pylist()))
+    out = []
+    for row in rels_tbl.to_pylist():
+        if row["source_id"] is None:
+            continue
+        if (row["target_id"], row["target_type"]) not in node_key:
+            continue
+        pred = ns.ATTACK_REL_PRED.get((row["source_type"], row["target_type"]))
+        if pred is None:
+            continue
+        out.append((row["source_id"], pred, row["target_id"]))
+    return out
+
+
 def attack_triples(nodes_path: str, rels_path: str) -> pa.Table:
     """ATT&CK node maps (R10) + the seven referential relationship joins
     (R11: edge emitted only when source_id is non-null AND the target id
@@ -269,24 +291,14 @@ def attack_triples(nodes_path: str, rels_path: str) -> pa.Table:
         S.append(s); P.append(p); O.append(o); LIT.append(lit); DT.append(dt)
 
     UCOEX = ns.UCOEX
-    node_key = set()
     for row in nodes.to_pylist():
         ni = f"{UCOEX}{row['ID']}"
-        node_key.add((row["ID"], row["kind"]))
         emit(ni, ns.RDF_TYPE, ns.ATTACK_KIND_CLASS[row["kind"]], False, ns.IRI)
         emit(ni, f"{UCOEX}NAME", row["name"], True, ns.XSD_STRING)
         emit(ni, f"{UCOEX}URL", row["url"], True, ns.XSD_STRING)
         emit(ni, f"{UCOEX}DOMAIN", row["domain"], True, ns.XSD_STRING)
-    for row in rels.to_pylist():
-        if row["source_id"] is None:
-            continue  # parse.py:231-234 null-source drop
-        if (row["target_id"], row["target_type"]) not in node_key:
-            continue  # R11 referential join condition
-        pred = ns.ATTACK_REL_PRED.get((row["source_type"], row["target_type"]))
-        if pred is None:
-            continue
-        emit(f"{UCOEX}{row['source_id']}", pred, f"{UCOEX}{row['target_id']}",
-             False, ns.IRI)
+    for src, pred, tgt in attack_rel_rows(nodes, rels):
+        emit(f"{UCOEX}{src}", pred, f"{UCOEX}{tgt}", False, ns.IRI)
 
     n = len(S)
     return pa.Table.from_pydict(

@@ -53,8 +53,11 @@ def ann_cosine_topk(emb: Dataset, queries: np.ndarray, query_ids: np.ndarray,
             if len(cand_idx) == 0:
                 continue
             take = min(k, len(cand_idx))
-            top = cand_idx[np.argpartition(-s[cand_idx], take - 1)[:take]] \
-                if len(cand_idx) > take else cand_idx
+            # lexsort keeps the documented tie-break (sim desc, min id) at
+            # the partial-top-k boundary — argpartition would keep an
+            # arbitrary one of exactly-tied candidates
+            order = np.lexsort((ids[cand_idx], -s[cand_idx]))[:take]
+            top = cand_idx[order]
             for j in top:
                 QI.append(int(qids[qi])); NI.append(int(ids[j])); S.append(float(s[j]))
         return pa.Table.from_pydict({

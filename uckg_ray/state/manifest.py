@@ -29,7 +29,12 @@ def manifest_path(group_dir: str) -> str:
     return os.path.join(group_dir, "manifest.json")
 
 
-def group_is_complete(group_dir: str, files: list[str]) -> bool:
+def group_is_complete(group_dir: str, files: list[str],
+                      flags: str = "") -> bool:
+    """A group output is reusable only if BOTH the input fingerprint and
+    the pipeline flags (e.g. whether alias markers were emitted) match —
+    resuming a --no-canonicalize run into a canonicalizing one must
+    re-extract, not silently produce zero rewrites."""
     mp = manifest_path(group_dir)
     if not os.path.exists(mp):
         return False
@@ -38,13 +43,17 @@ def group_is_complete(group_dir: str, files: list[str]) -> bool:
             m = json.load(fh)
     except (json.JSONDecodeError, OSError):
         return False
-    return m.get("fingerprint") == shard_fingerprint(files) and m.get("complete", False)
+    return (m.get("fingerprint") == shard_fingerprint(files)
+            and m.get("flags", "") == flags
+            and m.get("complete", False))
 
 
 def write_group_manifest(group_dir: str, files: list[str], *, rows_in: int,
-                         edges_out: int, wall_sec: float) -> dict:
+                         edges_out: int, wall_sec: float,
+                         flags: str = "") -> dict:
     m = {
         "fingerprint": shard_fingerprint(files),
+        "flags": flags,
         "input_files": sorted(os.path.basename(f) for f in files),
         "rows_in": rows_in,
         "edges_out": edges_out,
