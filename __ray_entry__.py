@@ -783,6 +783,19 @@ SELECT user_id, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_c100
 FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+        "events_sessionize": """
+WITH o AS (SELECT user_id, ts,
+      CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       count(*) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, sid""",
+        "multimodal_decode": ("SELECT doc_id, CAST(8 AS BIGINT) AS n_features "
+                              "FROM documents"),
         "events_asof": """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')

@@ -335,9 +335,17 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3) -> Dataset:
     sig_map = {r["doc_id"]: r["simhash"] for r in sigs.take_all()}
     banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=None)
     cand = _bucketed_pairs(banded, ["band", "band_val"])
-    verified = sorted(
-        (a, b) for a, b in cand
-        if bin(int(sig_map[a]) ^ int(sig_map[b])).count("1") <= max_hamming)
+    if cand:
+        # vectorized Hamming verification: XOR the packed uint64 sigs,
+        # popcount via unpackbits on the byte view
+        pairs_arr = np.array(sorted(cand), dtype=np.int64)
+        sa = np.array([sig_map[a] for a in pairs_arr[:, 0]], dtype=np.uint64)
+        sb = np.array([sig_map[b] for b in pairs_arr[:, 1]], dtype=np.uint64)
+        x = (sa ^ sb).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1)
+        verified = [tuple(p) for p in pairs_arr[ham <= max_hamming]]
+    else:
+        verified = []
     import ray.data
     return ray.data.from_arrow(pa.Table.from_pydict({
         "doc_a": pa.array([a for a, _ in verified], pa.int64()),
