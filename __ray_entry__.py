@@ -132,6 +132,76 @@ def _q_kg_node_props(sf_dir: str):
     return node_props(distinct)
 
 
+def _q_kg_degree_topk(sf_dir: str):
+    """Graph query over the materialized KG: top-20 subjects by
+    out-degree (ties → min subj)."""
+    f = _fixdir(sf_dir)
+    from ray.data.aggregate import Count
+    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
+    from uckg_ray.stages.joins import topk_per_group
+    from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
+    import pandas as pd
+    edges = extract_edges(_rd_turns(sf_dir), f)
+    distinct = distinct_edges(
+        union_edge_sources(edges, side_table_edges(f)), sort=False)
+    deg = distinct.groupby("subj").aggregate(Count(alias_name="degree"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["degree", "subj"], ascending=[False, True]).head(20)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["subj", "degree", "rank"]]
+
+    # global top-k: single tiny merge over per-subject degrees
+    return deg.map_batches(
+        lambda b: pa.Table.from_pydict({"g": [0] * b.num_rows,
+                                        "subj": b.column("subj"),
+                                        "degree": b.column("degree")}),
+        batch_format="pyarrow").groupby("g").map_groups(
+            lambda g: merge(g.drop(columns=["g"])), batch_format="pandas")
+
+
+def _q_kg_two_hop(sf_dir: str):
+    """2-hop traversal on the KG via a shuffle join of the edge table
+    with itself: (et)-[hasWeakness]->(w)-[relatedWeakness]->(w2)."""
+    f = _fixdir(sf_dir)
+    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
+    from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
+    edges = extract_edges(_rd_turns(sf_dir), f)
+    # materialize the (small) distinct edge table BEFORE the self-join:
+    # Dataset.join spawns per-partition aggregator actors, and running
+    # them while the extraction actor pool still holds its CPUs
+    # deadlocks on a small cluster; it also avoids extracting twice.
+    distinct = distinct_edges(
+        union_edge_sources(edges, side_table_edges(f)), sort=False).materialize()
+
+    def hop1(b: pa.Table) -> pa.Table:
+        m = pa.compute.equal(b.column("pred"), UCO + "hasWeakness")
+        k = b.filter(m)
+        return pa.Table.from_pydict({"src": k.column("subj"),
+                                     "mid": k.column("obj")})
+
+    def hop2(b: pa.Table) -> pa.Table:
+        m = pa.compute.equal(b.column("pred"), UCO + "relatedWeakness")
+        k = b.filter(m)
+        return pa.Table.from_pydict({"mid2": k.column("subj"),
+                                     "dst": k.column("obj")})
+
+    h1 = distinct.map_batches(hop1, batch_format="pyarrow", batch_size=None)
+    h2 = distinct.map_batches(hop2, batch_format="pyarrow", batch_size=None)
+    joined = h1.join(h2, join_type="inner", num_partitions=4,
+                     on=("mid",), right_on=("mid2",))
+
+    def project(b: pa.Table) -> pa.Table:
+        return (b.select(["src", "mid", "dst"])
+                .group_by(["src", "mid", "dst"]).aggregate([]))
+
+    from ray.data.aggregate import Count
+    dedup = (joined.map_batches(project, batch_format="pyarrow", batch_size=None)
+             .groupby(["src", "mid", "dst"]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]))
+    return dedup
+
+
 def _q_kg_cpe_link(sf_dir: str):
     f = _fixdir(sf_dir)
     from uckg_ray.stages.link import CpeLinkStage
@@ -394,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges_canonical": _q_kg_edges_canonical,
         "kg_nodes": _q_kg_nodes,
         "kg_node_props": _q_kg_node_props,
+        "kg_degree_topk": _q_kg_degree_topk,
+        "kg_two_hop": _q_kg_two_hop,
         "kg_cpe_link": _q_kg_cpe_link,
         "kg_linker": _q_kg_linker,
         "kg_canonical": _q_kg_canonical,
@@ -692,6 +764,20 @@ edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)}))
 SELECT subj, pred, string_agg(DISTINCT obj, ';;' ORDER BY obj) AS vals
 FROM edges WHERE obj_is_literal GROUP BY subj, pred""",
+        "kg_degree_topk": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+deg AS (SELECT subj, count(*) AS degree FROM edges GROUP BY subj)
+SELECT subj, degree, rank FROM (
+  SELECT subj, degree,
+         row_number() OVER (ORDER BY degree DESC, subj) AS rank FROM deg)
+WHERE rank <= 20""",
+        "kg_two_hop": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)}))
+SELECT DISTINCT e1.subj AS src, e1.obj AS mid, e2.obj AS dst
+FROM edges e1 JOIN edges e2 ON e2.subj = e1.obj
+WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_cpe_link": f"""WITH {_kg_ctes(p)}
 SELECT c.conv_id, c.turn_idx, c.id AS cpeName, d.cpeNameId,
        d.lm AS lastModified,
