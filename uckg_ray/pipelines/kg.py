@@ -33,7 +33,7 @@ from ray.data import Dataset
 from uckg_ray import namespaces as ns
 from uckg_ray.config import PipelineConfig
 from uckg_ray.sources import fixtures as fx
-from uckg_ray.stages.canonicalize import canonical_map, observed_alias_pairs
+from uckg_ray.stages.canonicalize import canonical_map
 from uckg_ray.stages.extract import TripleEmitter, attack_triples, cwe_dict_triples
 from uckg_ray.stages.link import AliasLinker, load_alias_table
 from uckg_ray.stages.materialize import distinct_edges, node_table, union_edge_sources

@@ -133,10 +133,13 @@ def token_jaccard_pairs(docs: Dataset, *, block_col: str = "source",
 # ---------------------------------------------------------------------------
 
 def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
-                    num_partitions: int = 32) -> set[tuple[int, int]]:
+                    num_partitions: int = 32,
+                    verify=None) -> set[tuple[int, int]]:
     """Candidate (doc_a < doc_b) pairs sharing any bucket: hash-partition
     on the bucket key, emit pairs with one vectorized pandas pass per
-    partition, dedup the (small) candidate set on the driver."""
+    partition, dedup the (small) candidate set on the driver. An optional
+    ``verify(a_ids, b_ids) -> bool mask`` runs INSIDE the partition task
+    so dense buckets don't ship unverified candidates to the driver."""
     import polars as pl
 
     def add_p(batch: pa.Table) -> pa.Table:
@@ -165,9 +168,17 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
             return pa.Table.from_pydict(
                 {"doc_a": pa.array([], pa.int64()),
                  "doc_b": pa.array([], pa.int64())})
+        a = np.concatenate(A)
+        b = np.concatenate(B)
+        # in-partition dedup (a pair found by several bands collapses here)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = u[:, 0], u[:, 1]
+        if verify is not None:
+            keep = verify(a, b)
+            a, b = a[keep], b[keep]
         return pa.Table.from_pydict({
-            "doc_a": pa.array(np.concatenate(A), pa.int64()),
-            "doc_b": pa.array(np.concatenate(B), pa.int64())})
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64())})
 
     parted = sigs.map_batches(add_p, batch_format="pyarrow", batch_size=None)
     pair_ds = parted.groupby("p").map_groups(
@@ -332,20 +343,21 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3) -> Dataset:
             "band_val": pa.array(BV, pa.uint64())})
 
     sigs = simhash_signatures(docs).materialize()  # consumed twice below
-    sig_map = {r["doc_id"]: r["simhash"] for r in sigs.take_all()}
+    sig_rows = sigs.take_all()
+    max_id = max((r["doc_id"] for r in sig_rows), default=0)
+    sig_arr = np.zeros(max_id + 1, dtype=np.uint64)
+    for r in sig_rows:
+        sig_arr[r["doc_id"]] = r["simhash"]
+
+    def verify(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # vectorized Hamming: XOR packed uint64 sigs, popcount via
+        # unpackbits on the byte view — runs inside the partition task
+        x = (sig_arr[a] ^ sig_arr[b]).view(np.uint8).reshape(-1, 8)
+        return np.unpackbits(x, axis=1).sum(axis=1) <= max_hamming
+
     banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=None)
-    cand = _bucketed_pairs(banded, ["band", "band_val"])
-    if cand:
-        # vectorized Hamming verification: XOR the packed uint64 sigs,
-        # popcount via unpackbits on the byte view
-        pairs_arr = np.array(sorted(cand), dtype=np.int64)
-        sa = np.array([sig_map[a] for a in pairs_arr[:, 0]], dtype=np.uint64)
-        sb = np.array([sig_map[b] for b in pairs_arr[:, 1]], dtype=np.uint64)
-        x = (sa ^ sb).view(np.uint8).reshape(-1, 8)
-        ham = np.unpackbits(x, axis=1).sum(axis=1)
-        verified = [tuple(p) for p in pairs_arr[ham <= max_hamming]]
-    else:
-        verified = []
+    verified = sorted(_bucketed_pairs(banded, ["band", "band_val"],
+                                      verify=verify))
     import ray.data
     return ray.data.from_arrow(pa.Table.from_pydict({
         "doc_a": pa.array([a for a, _ in verified], pa.int64()),

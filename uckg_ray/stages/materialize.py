@@ -23,7 +23,6 @@ import pyarrow as pa
 
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 from uckg_ray import namespaces as ns
 from uckg_ray.schema import EDGE_KEY_COLS, NODE_SCHEMA

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 # marker stopword sets for the n-gram-free language heuristic; mirrored
 # verbatim in the oracle SQL (IN lists)
