@@ -342,17 +342,28 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3) -> Dataset:
             "doc_id": pa.array(D, pa.int64()), "band": pa.array(BI, pa.int32()),
             "band_val": pa.array(BV, pa.uint64())})
 
+    import ray
+
     sigs = simhash_signatures(docs).materialize()  # consumed twice below
     sig_rows = sigs.take_all()
-    max_id = max((r["doc_id"] for r in sig_rows), default=0)
-    sig_arr = np.zeros(max_id + 1, dtype=np.uint64)
-    for r in sig_rows:
-        sig_arr[r["doc_id"]] = r["simhash"]
+    ids_arr = np.array([r["doc_id"] for r in sig_rows], dtype=np.int64)
+    sig_vals = np.array([r["simhash"] for r in sig_rows], dtype=np.uint64)
+    order = np.argsort(ids_arr)
+    # id-agnostic lookup (searchsorted over sorted ids — works for any
+    # int64 doc_ids, unlike a dense array indexed by id) shared via
+    # ray.put so workers read it zero-copy instead of unpickling a
+    # private copy inside the UDF closure
+    ids_ref = ray.put(ids_arr[order])
+    sig_ref = ray.put(sig_vals[order])
 
     def verify(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         # vectorized Hamming: XOR packed uint64 sigs, popcount via
         # unpackbits on the byte view — runs inside the partition task
-        x = (sig_arr[a] ^ sig_arr[b]).view(np.uint8).reshape(-1, 8)
+        ids_sorted = ray.get(ids_ref)
+        sig_sorted = ray.get(sig_ref)
+        sa = sig_sorted[np.searchsorted(ids_sorted, a)]
+        sb = sig_sorted[np.searchsorted(ids_sorted, b)]
+        x = np.ascontiguousarray(sa ^ sb).view(np.uint8).reshape(-1, 8)
         return np.unpackbits(x, axis=1).sum(axis=1) <= max_hamming
 
     banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=None)
