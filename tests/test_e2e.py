@@ -169,3 +169,14 @@ def test_idempotent_under_duplicated_input(ray_session, sf_small_fixtures,
     out = str(tmp_path / "kg_dup")
     build_kg(dup_dir, sf_small_fixtures, out)
     assert _spo_set(out) == _spo_set(out_ref)
+
+
+def test_build_status(built):
+    from uckg_ray.state.manifest import build_status
+    out, _ = built
+    st = build_status(out)
+    assert st["state"] == "complete"
+    assert st["groups_complete"] == st["groups_total"] >= 1
+    assert st["final"]["n_distinct_edges"] > 0
+    # a fresh dir reports never_started
+    assert build_status("/tmp/definitely-missing-dir")["state"] == "never_started"

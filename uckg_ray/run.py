@@ -31,7 +31,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only used when starting a local session")
+    ap.add_argument("--status", action="store_true",
+                    help="report build status for --output and exit "
+                         "(no Ray session needed)")
     args = ap.parse_args(argv)
+
+    if args.status:
+        from uckg_ray.state.manifest import build_status
+        print(json.dumps(build_status(args.output)))
+        return 0
 
     import ray
     if not ray.is_initialized():

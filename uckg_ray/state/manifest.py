@@ -68,6 +68,45 @@ def write_group_manifest(group_dir: str, files: list[str], *, rows_in: int,
     return m
 
 
+def build_status(out_dir: str) -> dict:
+    """Status probe over a build output dir — the analogue of the
+    reference's ``check_status`` gates (``entry.py:29-71``,
+    ``shared_functions.py:121-174``): never-started / incomplete /
+    complete, with per-group progress and throughput from the lineage
+    manifests."""
+    shards_root = os.path.join(out_dir, "shards")
+    global_mf = os.path.join(out_dir, "MANIFEST.json")
+    groups = []
+    if os.path.isdir(shards_root):
+        for d in sorted(os.listdir(shards_root)):
+            mp = os.path.join(shards_root, d, "manifest.json")
+            if not d.startswith("group-"):
+                continue
+            try:
+                with open(mp) as fh:
+                    m = json.load(fh)
+                groups.append({"group": d, "complete": m.get("complete", False),
+                               "rows_in": m.get("rows_in"),
+                               "edges_out": m.get("edges_out"),
+                               "edges_per_sec": m.get("edges_per_sec")})
+            except (OSError, json.JSONDecodeError):
+                groups.append({"group": d, "complete": False})
+    state = "never_started"
+    if groups:
+        state = "incomplete"
+    final = None
+    if os.path.exists(global_mf):
+        try:
+            with open(global_mf) as fh:
+                final = json.load(fh)
+            state = "complete"
+        except (OSError, json.JSONDecodeError):
+            pass
+    return {"state": state,
+            "groups_complete": sum(1 for g in groups if g.get("complete")),
+            "groups_total": len(groups), "groups": groups, "final": final}
+
+
 def write_global_manifest(out_dir: str, payload: dict) -> None:
     tmp = os.path.join(out_dir, "MANIFEST.json.tmp")
     with open(tmp, "w") as fh:
