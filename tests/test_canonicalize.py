@@ -58,3 +58,16 @@ def test_fixture_alias_graph(ray_session, sf_small_fixtures):
     assert want["tool:hashcat"] == want["tool:hydra"]
     got = canonical_map(_pairs_ds(ray_session, pairs))
     assert dict(zip(got["entity_id"], got["canonical_id"])) == want
+
+
+def test_salted_cc_identical(ray_session):
+    """Explicit hub salting must not change results — hub graph with 200
+    aliases plus chain merges, salted vs unsalted."""
+    pairs = [(f"al{i}", "hub") for i in range(200)]
+    pairs += [("al0", "other"), ("x", "other"), ("x", "third"), ("y", "lone")]
+    ds = _pairs_ds(ray_session, pairs)
+    unsalted = canonical_map(ds, salt=1)
+    salted = canonical_map(_pairs_ds(ray_session, pairs), salt=4)
+    assert dict(zip(unsalted["entity_id"], unsalted["canonical_id"])) == \
+           dict(zip(salted["entity_id"], salted["canonical_id"])) == \
+           union_find_oracle(pairs)

@@ -31,6 +31,10 @@ class PipelineConfig:
     # distributed groupby label-propagation path takes over.
     cc_driver_max_pairs: int = 200_000
     force_distributed_cc: bool = False
+    # explicit hub-key salting for the distributed union-find: sub-group
+    # count per node in the message groupby (1 = off; hub fan-out is
+    # split across this many tasks when on)
+    cc_salt: int = 4
 
     @property
     def concurrency(self) -> tuple[int, int] | int:

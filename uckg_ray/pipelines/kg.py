@@ -111,7 +111,8 @@ def rewriter_from_observed_aliases(observed: set[str], fixture_dir: str,
         import ray.data
         pairs_ds = ray.data.from_pandas(
             pd.DataFrame(pairs, columns=["alias", "entity_id"]))
-        cmap = canonical_map(pairs_ds, max_iters=cfg.cc_max_iters)
+        cmap = canonical_map(pairs_ds, max_iters=cfg.cc_max_iters,
+                             salt=cfg.cc_salt)
         canon = dict(zip(cmap["entity_id"], cmap["canonical_id"]))
     etype = dict(zip(alias_df["entity_id"], alias_df["entity_type"]))
     rewrite: dict[str, str] = {}

@@ -51,6 +51,29 @@ def _propagate(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"node": nodes, "label": [ml] * len(nodes)})
 
 
+def _salt_batch(batch: pa.Table, salt: int) -> pa.Table:
+    """Explicit hub-key salting: split each node's rows into `salt`
+    sub-groups keyed by hash(nbr) so a hub's neighbor fan-out never
+    lands in one task; label rows are replicated into every sub-group
+    so each sub-group can compute the node's current min label."""
+    import polars as pl
+    node = batch.column("node").to_pylist()
+    nbr = batch.column("nbr").to_pylist()
+    label = batch.column("label").to_pylist()
+    N, B, L, S = [], [], [], []
+    nbr_salt = (pl.Series([x or "" for x in nbr]).hash(seed=1)
+                % salt).to_list()
+    for n, b, l, s in zip(node, nbr, label, nbr_salt):
+        if b is not None:                      # edge row → its salt bucket
+            N.append(n); B.append(b); L.append(l); S.append(int(s))
+        else:                                  # label row → every bucket
+            for k in range(salt):
+                N.append(n); B.append(b); L.append(l); S.append(k)
+    return pa.table({"node": N, "nbr": pa.array(B, pa.string()),
+                     "label": pa.array(L, pa.string()),
+                     "salt": pa.array(S, pa.int32())})
+
+
 def _fingerprint_batch(batch: pa.Table) -> pa.Table:
     h = []
     for n, l in zip(batch.column("node").to_pylist(),
@@ -61,9 +84,16 @@ def _fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 
 def connected_components(pairs: Dataset, src: str, dst: str,
-                         max_iters: int = 15) -> Dataset:
+                         max_iters: int = 15, salt: int = 1) -> Dataset:
     """(src, dst) edge Dataset → (node, label) with label = min node id of
-    the component. Pure groupby-shuffle label propagation."""
+    the component. Pure groupby-shuffle label propagation.
+
+    ``salt > 1`` enables explicit hub-key salting: the per-node message
+    groups are split into `salt` sub-groups by hash(neighbor), with
+    label rows replicated into each, so a hub entity with millions of
+    aliases fans out across `salt` tasks instead of one (north-star
+    skew handling). Results are identical to the unsalted path — the
+    final groupby(node).min merges the sub-group minima."""
     edges_sym = pairs.map_batches(
         lambda b: _symmetrize(b, src, dst), batch_format="pyarrow"
     ).materialize()
@@ -91,8 +121,17 @@ def connected_components(pairs: Dataset, src: str, dst: str,
             }),
             batch_format="pyarrow",
         )
-        msgs = labels_tagged.union(edges_tagged).groupby("node").map_groups(
-            _propagate, batch_format="pandas")
+        combined = labels_tagged.union(edges_tagged)
+        if salt > 1:
+            msgs = (combined.map_batches(
+                        lambda b: _salt_batch(b, salt),
+                        batch_format="pyarrow", batch_size=None)
+                    .groupby(["node", "salt"]).map_groups(
+                        lambda g: _propagate(g.drop(columns=["salt"])),
+                        batch_format="pandas"))
+        else:
+            msgs = combined.groupby("node").map_groups(
+                _propagate, batch_format="pandas")
         labels = msgs.groupby("node").aggregate(
             Min("label", alias_name="label")).materialize()
         fp = labels.map_batches(_fingerprint_batch, batch_format="pyarrow").sum("h")
@@ -119,7 +158,8 @@ def observed_alias_pairs(link_rows: Dataset, alias_table: pd.DataFrame) -> Datas
     )
 
 
-def canonical_map(pairs: Dataset, max_iters: int = 15) -> pd.DataFrame:
+def canonical_map(pairs: Dataset, max_iters: int = 15,
+                  salt: int = 1) -> pd.DataFrame:
     """(alias, entity_id) pairs → (entity_id, canonical_id) via distributed
     connected components. The final component→canonical reduction is
     bounded by the dictionary size (documented small side)."""
@@ -130,7 +170,8 @@ def canonical_map(pairs: Dataset, max_iters: int = 15) -> pd.DataFrame:
         }),
         batch_format="pyarrow",
     )
-    cc = connected_components(prefixed, "src", "dst", max_iters=max_iters)
+    cc = connected_components(prefixed, "src", "dst", max_iters=max_iters,
+                              salt=salt)
     ent = cc.map_batches(
         lambda b: b.filter(
             pa.compute.starts_with(b.column("node"), "E:")),
