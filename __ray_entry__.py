@@ -138,7 +138,6 @@ def _q_kg_degree_topk(sf_dir: str):
     f = _fixdir(sf_dir)
     from ray.data.aggregate import Count
     from uckg_ray.pipelines.kg import extract_edges, side_table_edges
-    from uckg_ray.stages.joins import topk_per_group
     from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
     import pandas as pd
     edges = extract_edges(_rd_turns(sf_dir), f)
@@ -748,12 +747,10 @@ GROUP BY subj"""
 def oracle_sql() -> dict[str, str]:
     p = _sql_paths(SF01)
     fx.ensure_fixtures(SF01)
-    en = ", ".join(f"'{w}'" for w in
-                   ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"))
-    de = ", ".join(f"'{w}'" for w in
-                   ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"))
-    fr = ", ".join(f"'{w}'" for w in
-                   ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"))
+    from uckg_ray.stages.text import STOP_DE, STOP_EN, STOP_FR
+    en = ", ".join(f"'{w}'" for w in STOP_EN)
+    de = ", ".join(f"'{w}'" for w in STOP_DE)
+    fr = ", ".join(f"'{w}'" for w in STOP_FR)
     return {
         "kg_mentions": f"SELECT * FROM ({_mentions_cte(p)})",
         "kg_edges": _sql_kg_edges(p),

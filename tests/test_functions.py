@@ -7,7 +7,7 @@ from uckg_ray.functions.scalars import (
     titles_to_lang_string,
     truncate_long_fraction,
 )
-from uckg_ray.patterns import COMBINED_RX
+from uckg_ray.patterns import MENTION_TYPES, PER_TYPE_RX
 from uckg_ray.stages.extract import scan_mentions
 
 
@@ -57,6 +57,10 @@ def test_attack_boundary():
     assert scan_mentions("AT1234 T12345 T1234") == [("attack", "T1234")]
 
 
-def test_combined_scan_order():
-    assert [g for g, _ in COMBINED_RX.groupindex.items()] == [
-        "cve", "cwe", "capec", "attack", "d3fend", "cpe"]
+def test_per_type_scan_no_prefix_swallowing():
+    # a combined alternation would let D3FEND consume 'D3-CVE' and lose
+    # the CVE; per-type passes must find both (oracle parity)
+    got = scan_mentions("mitigated by D3-CVE-2021-44228")
+    assert ("cve", "CVE-2021-44228") in got
+    assert ("d3fend", "D3-CVE") in got
+    assert [n for n, _ in PER_TYPE_RX] == [n for n, _ in MENTION_TYPES]

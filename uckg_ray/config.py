@@ -50,5 +50,6 @@ class PipelineConfig:
                 hi = max(2, (cpus * 3) // 4)
             if lo is None:
                 lo = hi  # fixed-size pool: full parallelism from the start
+            lo = min(lo, hi)  # a pinned floor never exceeds the ceiling
             return (lo, hi) if lo != hi else hi
         return (self.concurrency_min, self.concurrency_max)

@@ -4,9 +4,11 @@ same non-overlapping left-to-right ``findall`` semantics for these
 patterns, which is what the reference's dictionary probe expects
 (``data_collection/cve_collection.py:384-399``).
 
-Order in ``MENTION_TYPES`` is the classification order inside the single
-combined scan; the patterns are literal-prefix-disjoint so combined
-extraction ≡ per-type extraction (what the SQL oracle does).
+Extraction runs one pass PER TYPE (not a combined alternation): a
+combined scan is not equivalent — an earlier alternative can swallow
+the prefix of a later-type mention (e.g. ``D3-CVE-2021-44228``: the
+D3FEND branch consumes ``D3-CVE`` and the CVE is lost), while the SQL
+oracle's per-type ``regexp_extract_all`` still finds both.
 """
 
 from __future__ import annotations
@@ -29,6 +31,5 @@ MENTION_TYPES = [
     ("cpe", CPE_RX),
 ]
 
-COMBINED_RX = re.compile(
-    "|".join(f"(?P<{name}>{rx})" for name, rx in MENTION_TYPES)
-)
+PER_TYPE_RX = [(name, re.compile(rx)) for name, rx in MENTION_TYPES]
+CPE_COMPILED = re.compile(CPE_RX)

@@ -41,16 +41,7 @@ GEN_VERSION = 6
 SEED = 42
 FIXTURE_ROOT = "/tmp/uckg_ray_fixtures"
 
-TRANSCRIPT_SCHEMA = pa.schema(
-    [
-        ("conv_id", pa.string()),
-        ("turn_idx", pa.int32()),
-        ("role", pa.string()),
-        ("text", pa.string()),
-        ("tool", pa.string()),
-        ("ts", pa.timestamp("us")),
-    ]
-)
+from uckg_ray.schema import TRANSCRIPT_SCHEMA  # single source of truth
 
 _FILLER = (
     "scan target host port service version banner probe result output command "

@@ -86,6 +86,20 @@ def compile_specs(specs: list[ExtractorSpec]):
                 b = b.filter(mask)
                 cv = b.column("conv_id").to_pylist()
                 tn = b.column("turn_idx").to_pylist()
+            # drop rows where any referenced column is null — stringifying
+            # nulls would mint literal 'None' IRIs/values
+            import pyarrow.compute as pc2
+            needed = set(_FIELD_RX.findall(spec.subject_template))
+            if spec.object_column is not None:
+                needed.add(spec.object_column)
+            mask = None
+            for col in needed:
+                v = pc2.is_valid(b.column(col))
+                mask = v if mask is None else pc2.and_(mask, v)
+            if mask is not None:
+                b = b.filter(mask)
+                cv = b.column("conv_id").to_pylist()
+                tn = b.column("turn_idx").to_pylist()
             subs = _render_template(spec.subject_template, b)
             if spec.object_column is not None:
                 objs = [str(x) for x in b.column(spec.object_column).to_pylist()]

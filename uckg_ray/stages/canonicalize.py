@@ -138,6 +138,11 @@ def connected_components(pairs: Dataset, src: str, dst: str,
         if fp == prev_fp:
             break
         prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations (component diameter exceeds the bound) — raise "
+            "cc_max_iters; silent partial merges are never returned")
     return labels
 
 

@@ -31,7 +31,7 @@ from uckg_ray.functions.scalars import (
     titles_to_lang_string,
     truncate_long_fraction,
 )
-from uckg_ray.patterns import COMBINED_RX
+from uckg_ray.patterns import PER_TYPE_RX
 from uckg_ray.schema import EDGE_SCHEMA, MENTION_SCHEMA
 
 
@@ -40,10 +40,15 @@ ALIAS_MARKER_PRED = "__alias__"
 
 
 def scan_mentions(text: str) -> list[tuple[str, str]]:
-    """All (ent_type, ent_id) occurrences in one combined left-to-right scan."""
+    """All (ent_type, ent_id) occurrences — one independent pass per type
+    (type-major order), exactly the SQL oracle's per-type
+    regexp_extract_all semantics. Null-safe: None → no mentions."""
+    if not text:
+        return []
     out = []
-    for m in COMBINED_RX.finditer(text):
-        out.append((m.lastgroup, m.group()))
+    for name, rx in PER_TYPE_RX:
+        for m in rx.finditer(text):
+            out.append((name, m.group()))
     return out
 
 
@@ -122,6 +127,9 @@ class TripleEmitter:
         UCO, UCOEX = ns.UCO, ns.UCOEX
         RT, RL = ns.RDF_TYPE, ns.RDFS_LABEL
         for c, t, rl, txt, tl, tsf in zip(conv, turn, role, texts, tool, ts_fmt):
+            txt = txt or ""
+            tl = (tl or "").replace("\x1f", "")  # \x1f is the dedup key separator
+            tsf = tsf or ""
             by_type: dict[str, list[str]] = {}
             for et, eid in scan_mentions(txt):
                 by_type.setdefault(et, []).append(eid)

@@ -22,10 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from uckg_ray import namespaces as ns
 from uckg_ray.functions.scalars import titles_to_lang_string, truncate_long_fraction
-from uckg_ray.patterns import COMBINED_RX
-from uckg_ray.schema import EDGE_SCHEMA
+from uckg_ray.patterns import CPE_COMPILED
 
 
 class CpeLinkStage:
@@ -49,8 +47,8 @@ class CpeLinkStage:
         C, T, NAME, NID, LM, TI, FOUND = [], [], [], [], [], [], []
         for c, t, txt in zip(conv, turn, texts):
             seen = set()
-            for m in COMBINED_RX.finditer(txt):
-                if m.lastgroup != "cpe" or m.group() in seen:
+            for m in CPE_COMPILED.finditer(txt or ""):
+                if m.group() in seen:
                     continue
                 seen.add(m.group())
                 name = m.group()
@@ -91,11 +89,10 @@ class AliasLinker:
     ``string_split(lower(text), ' ')`` in the DuckDB oracle.
     """
 
-    def __init__(self, alias_dict_path: str, emit_edges: bool = False):
+    def __init__(self, alias_dict_path: str):
         df = load_alias_table(alias_dict_path)
         self.best = best_candidates(df)
         self.keys = frozenset(self.best)
-        self.emit_edges = emit_edges
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.select(["conv_id", "turn_idx", "text"]).to_pandas()
@@ -109,28 +106,12 @@ class AliasLinker:
             entity_id=[e[0] for e in ent],
             entity_type=[e[1] for e in ent],
         ).drop(columns=["word"])
-        if not self.emit_edges:
-            return pa.Table.from_pydict(
-                {
-                    "conv_id": ex["conv_id"].tolist(),
-                    "turn_idx": pa.array(ex["turn_idx"].tolist(), pa.int32()),
-                    "alias": ex["alias"].tolist(),
-                    "entity_id": ex["entity_id"].tolist(),
-                    "entity_type": ex["entity_type"].tolist(),
-                }
-            )
-        # edge emission: rdf:type triple for each linked entity occurrence
-        S, P, O, LIT, DT, C, T = [], [], [], [], [], [], []
-        for r in ex.itertuples():
-            S.append(ns.entity_iri(r.entity_id, r.entity_type))
-            P.append(ns.RDF_TYPE)
-            O.append(ns.ENTITY_CLASS_IRI[r.entity_type])
-            LIT.append(False); DT.append(ns.IRI)
-            C.append(r.conv_id); T.append(r.turn_idx)
         return pa.Table.from_pydict(
-            {"subj": S, "pred": P, "obj": O,
-             "obj_is_literal": pa.array(LIT, pa.bool_()),
-             "obj_datatype": DT, "conv_id": C,
-             "turn_idx": pa.array(T, pa.int32())},
-            schema=EDGE_SCHEMA,
+            {
+                "conv_id": ex["conv_id"].tolist(),
+                "turn_idx": pa.array(ex["turn_idx"].tolist(), pa.int32()),
+                "alias": ex["alias"].tolist(),
+                "entity_id": ex["entity_id"].tolist(),
+                "entity_type": ex["entity_type"].tolist(),
+            }
         )

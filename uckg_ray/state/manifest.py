@@ -20,8 +20,10 @@ def shard_fingerprint(files: list[str]) -> str:
     (``process/shared_functions.py:58-64``)."""
     h = hashlib.sha256()
     for f in sorted(files):
+        st = os.stat(f)
         h.update(f.encode())
-        h.update(str(os.path.getsize(f)).encode())
+        h.update(str(st.st_size).encode())
+        h.update(str(st.st_mtime_ns).encode())  # same-size rewrites invalidate
     return h.hexdigest()
 
 
@@ -99,7 +101,10 @@ def build_status(out_dir: str) -> dict:
         try:
             with open(global_mf) as fh:
                 final = json.load(fh)
-            state = "complete"
+            # a stale global manifest does not trump incomplete groups
+            # from a newer run into the same out_dir
+            if not groups or all(g.get("complete") for g in groups):
+                state = "complete"
         except (OSError, json.JSONDecodeError):
             pass
     return {"state": state,
