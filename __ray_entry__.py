@@ -840,11 +840,12 @@ SELECT doc_id, CASE WHEN he = 0 AND hd = 0 AND hf = 0 THEN 'unk'
   WHEN he >= hd AND he >= hf THEN 'en'
   WHEN hd >= hf THEN 'de' ELSE 'fr' END AS lang_guess FROM h""",
         "token_count": ("SELECT source, count(*) AS n_docs, "
-                        "sum(len(string_split(text, ' '))) AS n_tokens "
+                        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
                         "FROM documents GROUP BY source"),
         "token_count_regex": (
             r"SELECT source, count(*) AS n_docs, "
-            r"sum(len(regexp_extract_all(text, '\w+|[^\w\s]+'))) AS n_tokens "
+            r"CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]+'))) AS BIGINT)"
+            r" AS n_tokens "
             r"FROM documents GROUP BY source"),
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
@@ -864,7 +865,8 @@ WHERE a.vec_id < b.vec_id
         "events_window": """
 SELECT user_id, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_c100
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_c100
 FROM events GROUP BY user_id, date_trunc('hour', ts)""",
         "events_sessionize": """
 WITH o AS (SELECT user_id, ts,
@@ -886,7 +888,8 @@ SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "order_join": """
 SELECT o.o_orderstatus, count(*) AS n_items,
-       sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c100
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price_c100
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderstatus""",
         "top_events_per_user": """
@@ -900,14 +903,17 @@ SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
        THEN 'train' ELSE 'test' END AS split FROM documents""",
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c100,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c100,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c100,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price_c100,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus""",
         "orders_by_nation": """
 SELECT n.n_name, count(*) AS n_orders,
-       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_total_c100
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_total_c100
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name""",

@@ -61,9 +61,15 @@ def compare(name, ray_df, sql_df) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
+            if str(av.dtype) != str(bv.dtype):
+                # No coercion: the driver hashes raw values, so an int64-vs-
+                # HUGEINT(object) mismatch must be flagged, not papered over.
+                problems.append(f"column {c!r} dtype differs: ray={av.dtype} "
+                                f"sql={bv.dtype}")
+                continue
             try:
                 import pandas.testing as pdt
-                pdt.assert_series_equal(av, bv.astype(av.dtype), check_names=False)
+                pdt.assert_series_equal(av, bv, check_names=False)
             except Exception as e:
                 problems.append(f"column {c!r} values differ: {str(e).splitlines()[0]}")
     return problems
