@@ -508,6 +508,9 @@ def _sql_paths(sf_dir: str = SF01) -> dict[str, str]:
         "T": os.path.join(f, "transcripts", "*.parquet"),
         "CWED": os.path.join(f, "cwe_dict.parquet"),
         "CPED": os.path.join(f, "cpe_dict.parquet"),
+        "CVED": os.path.join(f, "cve_dict.parquet"),
+        "CAPD": os.path.join(f, "capec_dict.parquet"),
+        "D3D": os.path.join(f, "d3fend_dict.parquet"),
         "AD": os.path.join(f, "alias_dict.parquet"),
         "AN": os.path.join(f, "attack_nodes.parquet"),
         "AR": os.path.join(f, "attack_relationships.parquet"),
@@ -550,9 +553,12 @@ cpefirst AS (SELECT conv_id, turn_idx,
              WHERE len(regexp_extract_all(text, '{px.CPE_RX}')) > 0),
 cped AS (SELECT cpeName, cpeNameId,
          regexp_replace(lastModified, '\\.\\d{{4,}}$', '') AS lm,
-         array_to_string(list_sort(list_transform(titles,
-             x -> x['lang'] || '=' || x['title'])), '|') AS titles_s
+         CAST(to_json(map_from_entries(list_transform(list_sort(titles),
+             x -> (x.lang, x.title)))) AS VARCHAR) AS titles_s
          FROM read_parquet('{p['CPED']}')),
+cved AS (SELECT * FROM read_parquet('{p['CVED']}')),
+capd AS (SELECT * FROM read_parquet('{p['CAPD']}')),
+d3d AS (SELECT * FROM read_parquet('{p['D3D']}')),
 words AS (SELECT DISTINCT conv_id, turn_idx,
           unnest(string_split(lower(text), ' ')) AS w FROM tt),
 ad AS (SELECT * FROM read_parquet('{p['AD']}')),
@@ -642,7 +648,7 @@ def _edges_union(p) -> str:
     t(f"{X} || c.id", f"'{UCOEX}lastModified'", "d.lm", "true", ns.XSD_DATETIME,
       "cpe c JOIN cped d ON d.cpeName = c.id")
     t(f"{X} || c.id", f"'{UCOEX}titles'", "d.titles_s", "true", ns.RDF_JSON,
-      "cpe c JOIN cped d ON d.cpeName = c.id WHERE d.titles_s <> ''")
+      "cpe c JOIN cped d ON d.cpeName = c.id")
     t(f"{X} || c.id", f"'{UCOEX}dictionaryFound'", "'true'", "true", ns.XSD_BOOLEAN,
       "cpe c JOIN cped d ON d.cpeName = c.id")
     t(f"{X} || c.id", f"'{UCOEX}dictionaryFound'", "'false'", "true", ns.XSD_BOOLEAN,
@@ -657,30 +663,158 @@ def _edges_union(p) -> str:
       "tt WHERE role = 'tool' AND tool <> ''")
     # alias links
     t(_entity_iri_case(), f"'{RT}'", _entity_class_case(), "false", "", "alink")
-    # side table: CWE dictionary
+    # side table: CWE dictionary (full ClassA/ClassB maps, cwe_rml.ttl:46-278)
+    t(f"{U} || 'ExploitTarget-' || id_value", f"'{RT}'",
+      f"{U} || 'ExploitTarget'", "false", "", "cwed")
+    t(f"{U} || 'ExploitTarget-' || id_value", f"'{UCO}hasWeakness'",
+      f"{U} || id_value", "false", "", "cwed")
     t(f"{U} || id_value", f"'{RT}'", f"{U} || 'CWE'", "false", "", "cwed")
     t(f"{U} || id_value", f"'{UCO}name'", "name", "true", ns.XSD_STRING, "cwed")
+    t(f"{U} || id_value", f"'{UCO}cweID'", "id_value", "true", ns.XSD_STRING, "cwed")
+    t(f"{U} || id_value", f"'{UCO}description'", "description", "true",
+      ns.XSD_STRING, "cwed")
+    t(f"{U} || id_value", f"'{UCO}cweSummary'", "description", "true",
+      ns.XSD_STRING, "cwed")
     t(f"{U} || id_value", f"'{UCO}abstraction'", "abstraction", "true",
+      ns.XSD_STRING, "cwed")
+    t(f"{U} || id_value", f"'{UCO}structure'", "structure", "true",
       ns.XSD_STRING, "cwed")
     t(f"{U} || id_value", f"'{UCO}status'", "status", "true", ns.XSD_STRING, "cwed")
     t(f"{U} || id_value", f"'{UCO}timeOfIntroduction'",
       "regexp_replace(time_of_introduction, '\\.\\d{4,}$', '')", "true",
       ns.XSD_DATETIME, "cwed")
+    t(f"{U} || id_value", f"'{UCO}cweExtendedSummary'", "extended_summary",
+      "true", ns.XSD_STRING, "cwed WHERE extended_summary IS NOT NULL")
+    t(f"{U} || id_value", f"'{UCO}likelihoodOfExploit'", "likelihood_of_exploit",
+      "true", ns.XSD_STRING, "cwed WHERE likelihood_of_exploit IS NOT NULL")
+    for pred, col in (("commonConsequences", "common_consequences"),
+                      ("applicablePlatform", "applicable_platforms"),
+                      ("modesOfIntroduction", "modes_of_introduction"),
+                      ("detectionMethods", "detection_methods"),
+                      ("potentialMitigations", "potential_mitigations"),
+                      ("references", "references"),
+                      ("mappingNotes", "mapping_notes"),
+                      ("relatedAttackPatterns", "related_attack_patterns")):
+        # quoted: "references" is a SQL reserved word; CAST: to_json yields
+        # JSON type, which would hijack the UNION's obj column type
+        t(f"{U} || id_value", f"'{UCO}{pred}'",
+          f'CAST(to_json("{col}") AS VARCHAR)', "true",
+          ns.XSD_STRING, f'cwed WHERE "{col}" IS NOT NULL')
+    t(f"{U} || id_value", f"'{UCO}demonstrativeExamples'",
+      "demonstrative_examples", "true", ns.XSD_STRING,
+      "cwed WHERE demonstrative_examples IS NOT NULL")
     t(f"{U} || id_value", f"'{UCO}relatedWeakness'",
       f"{U} || rw.ID", "false", "",
       "(SELECT id_value, unnest(related_weaknesses) AS rw FROM cwed)")
     t(f"{X} || id_value || '-' || ob.Reference", f"'{RT}'",
       f"{X} || 'ObservedExample'", "false", "",
       "(SELECT id_value, unnest(observed_examples) AS ob FROM cwed)")
+    t(f"{X} || id_value || '-' || ob.Reference", f"'{UCOEX}DESCRIPTION'",
+      "ob.Description", "true", ns.XSD_STRING,
+      "(SELECT id_value, unnest(observed_examples) AS ob FROM cwed)")
     t(f"{X} || id_value || '-' || ob.Reference", f"'{UCOEX}exampleObservedIn'",
       f"{U} || ob.Reference", "false", "",
+      "(SELECT id_value, unnest(observed_examples) AS ob FROM cwed)")
+    t(f"{U} || id_value", f"'{UCOEX}hasObservedExample'",
+      f"{X} || id_value || '-' || ob.Reference", "false", "",
       "(SELECT id_value, unnest(observed_examples) AS ob FROM cwed)")
     t(f"{U} || id_value", f"'{UCOEX}hasRelatedAttackPattern'",
       f"'{CAPEC_PFX}' || split_part(ap, '-', 2) || '.html'", "false", "",
       "(SELECT id_value, unnest(related_attack_patterns) AS ap FROM cwed)")
+    # side table: CVE dictionary (cve_rml.ttl:20-145 VULMap/CVEMap literals)
+    t(f"{U} || 'VULN-' || cve_id", f"'{RT}'", f"{U} || 'Vulnerability'",
+      "false", "", "cved")
+    t(f"{U} || 'VULN-' || cve_id", f"'{UCO}publishedDateTime'",
+      "regexp_replace(published, '\\.\\d{4,}$', '')", "true",
+      ns.XSD_DATETIME, "cved")
+    t(f"{U} || 'VULN-' || cve_id", f"'{UCO}lastModifiedDateTime'",
+      "regexp_replace(last_modified, '\\.\\d{4,}$', '')", "true",
+      ns.XSD_DATETIME, "cved")
+    t(f"{U} || 'VULN-' || cve_id", f"'{UCO}summary'", "d.value", "true",
+      ns.XSD_STRING, "(SELECT cve_id, unnest(descriptions) AS d FROM cved)")
+    t(f"{U} || 'VULN-' || cve_id", f"'{UCO}hasCVE_ID'", f"{U} || cve_id",
+      "false", "", "cved")
+    t(f"{U} || cve_id", f"'{RT}'", f"{U} || 'CVE'", "false", "", "cved")
+    t(f"{U} || cve_id", f"'{RL}'", "cve_id", "true", ns.XSD_STRING, "cved")
+    for pred, col in (("vulnStatus", "vuln_status"),
+                      ("vectorString", "vector_string"),
+                      ("baseSeverity", "base_severity"),
+                      ("exploitabilityScore", "exploitability_score"),
+                      ("impactScore", "impact_score"),
+                      ("evaluatorSolution", "evaluator_solution")):
+        t(f"{U} || cve_id", f"'{UCO}{pred}'", col, "true", ns.XSD_STRING, "cved")
+    for pred, col in (("obtainAllPrivilege", "obtain_all_privilege"),
+                      ("userInteractionRequired", "user_interaction_required")):
+        t(f"{U} || cve_id", f"'{UCO}{pred}'",
+          f"CASE WHEN {col} THEN 'true' ELSE 'false' END", "true",
+          ns.XSD_STRING, "cved")
+    # side table: CAPEC dictionary (capec_rml.ttl full pattern map)
+    cap_s = f"'{CAPEC_PFX}' || id_num || '.html'"
+    t(cap_s, f"'{RT}'", f"{X} || 'CAPEC'", "false", "", "capd")
+    t(cap_s, f"'{RL}'", "'CAPEC-' || id_num || ': ' || name", "true",
+      ns.XSD_STRING, "capd")
+    t(cap_s, f"'{UCOEX}CAPEC_id'", "id_num", "true", ns.XSD_STRING, "capd")
+    t(cap_s, f"'{UCOEX}CAPEC_name'", "name", "true", ns.XSD_STRING, "capd")
+    t(cap_s, f"'{UCOEX}Abstraction'", "abstraction", "true", ns.XSD_STRING, "capd")
+    t(cap_s, f"'{UCOEX}Likelihood'", "likelihood", "true", ns.XSD_STRING, "capd")
+    t(cap_s, f"'{UCOEX}Severity'", "severity", "true", ns.XSD_STRING, "capd")
+    t(cap_s, f"'{UCOEX}Description'", "description", "true", ns.XSD_STRING, "capd")
+    for pred, col in (("ExtendedDescription", "extended_description"),
+                      ("RelatedAttPattern", "related_attack_patterns"),
+                      ("Prerequisites", "prerequisites"),
+                      ("Resources_Required", "resources"),
+                      ("Mitigations", "mitigations"),
+                      ("Example", "examples"),
+                      ("RelatedWeaknesses", "related_weaknesses"),
+                      ("TaxonomyMappingATTACK", "taxonomy_mappings")):
+        t(cap_s, f"'{UCOEX}{pred}'", "x", "true", ns.XSD_STRING,
+          f"(SELECT id_num, unnest({col}) AS x FROM capd)")
+    # §2.8 composite formatters: execution flow, skills, consequences
+    t(cap_s, f"'{UCOEX}ExecutionFlowTechnique'",
+      "'STEP-' || trim(st.Step) || ' (' || trim(st.Phase) || '): ' || "
+      "trim(st.Description) || coalesce(array_to_string(list_transform("
+      "range(len(st.Techniques)), i -> CASE WHEN trim(st.Techniques[i+1]) <> '' "
+      "THEN ' | TECHNIQUE-' || (i+1) || ': ' || trim(st.Techniques[i+1]) "
+      "ELSE '' END), ''), '')", "true", ns.XSD_STRING,
+      "(SELECT id_num, unnest(execution_flow) AS st FROM capd) "
+      "WHERE trim(st.Step) <> '' AND trim(st.Phase) <> '' "
+      "AND trim(st.Description) <> ''")
+    t(cap_s, f"'{UCOEX}Skills_Required'",
+      "'Level:' || trim(sk.Level) || ' - Description:' || trim(sk.Description)",
+      "true", ns.XSD_STRING,
+      "(SELECT id_num, unnest(skills) AS sk FROM capd) "
+      "WHERE trim(sk.Level) <> '' AND trim(sk.Description) <> ''")
+    t(cap_s, f"'{UCOEX}Consequences'",
+      "'SCOPE:' || array_to_string(list_transform(list_filter(co.Scope, "
+      "s -> trim(s) <> ''), s -> trim(s)), ',') || ' - IMPACT:' || "
+      "trim(co.Impact)", "true", ns.XSD_STRING,
+      "(SELECT id_num, unnest(consequences) AS co FROM capd) "
+      "WHERE len(list_filter(co.Scope, s -> trim(s) <> '')) > 0 "
+      "AND trim(co.Impact) <> ''")
+    t(cap_s, f"'{UCOEX}hasRelatedWeakness'", f"{U} || w", "false", "",
+      "(SELECT id_num, unnest(related_weaknesses) AS w FROM capd)")
+    t(f"{U} || w", f"'{RT}'", f"{U} || 'CWE'", "false", "",
+      "(SELECT unnest(related_weaknesses) AS w FROM capd)")
+    t(cap_s, f"'{UCOEX}hasTaxonomyMapping'", f"{X} || tm", "false", "",
+      "(SELECT id_num, unnest(taxonomy_mappings) AS tm FROM capd)")
+    t(f"{X} || tm", f"'{RT}'", f"{X} || 'MITREATTACK'", "false", "",
+      "(SELECT unnest(taxonomy_mappings) AS tm FROM capd)")
+    # side table: D3FEND dictionary (d3fend_rml.ttl:20-57)
+    t(f"{X} || id", f"'{RT}'", f"{X} || 'MITRED3FEND'", "false", "", "d3d")
+    t(f"{X} || id", f"'{UCOEX}MITRED3FEND_ID'", "id", "true", ns.XSD_STRING, "d3d")
+    t(f"{X} || id", f"'{UCOEX}MITRED3FEND_LABEL'", "label", "true",
+      ns.XSD_STRING, "d3d")
+    t(f"{X} || id", f"'{UCOEX}MITRED3FEND_DEFINITION'", "definition", "true",
+      ns.XSD_STRING, "d3d")
+    t(f"{X} || id", f"'{UCOEX}hasMITREATTACK'", f"{X} || off_tech_id",
+      "false", "", "d3d WHERE off_tech_id IS NOT NULL")
+    t(f"{X} || off_tech_id", f"'{RT}'", f"{X} || 'MITREATTACK'", "false", "",
+      "d3d WHERE off_tech_id IS NOT NULL")
     # side table: ATT&CK nodes + referential relationships
     t(f"{X} || ID", f"'{RT}'", _attack_class_case(), "false", "", "an")
     t(f"{X} || ID", f"'{UCOEX}NAME'", "name", "true", ns.XSD_STRING, "an")
+    t(f"{X} || ID", f"'{UCOEX}DESCRIPTION'", "description", "true",
+      ns.XSD_STRING, "an")
     t(f"{X} || ID", f"'{UCOEX}URL'", "url", "true", ns.XSD_STRING, "an")
     t(f"{X} || ID", f"'{UCOEX}DOMAIN'", "domain", "true", ns.XSD_STRING, "an")
     t(f"{X} || r.source_id", _attack_pred_case().replace(

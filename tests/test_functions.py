@@ -3,8 +3,13 @@
 import pyarrow as pa
 
 from uckg_ray.functions.scalars import (
+    capec_label,
+    consequence_strings,
+    execution_flow_strings,
     format_ts_millis_arrow,
-    titles_to_lang_string,
+    json_compact,
+    skill_strings,
+    titles_to_json,
     truncate_long_fraction,
 )
 from uckg_ray.patterns import MENTION_TYPES, PER_TYPE_RX
@@ -26,12 +31,47 @@ def test_format_ts_millis():
     assert out == ["2024-01-01T00:00:00.123"]  # truncated, not rounded
 
 
-def test_titles_lang_string():
-    assert titles_to_lang_string(None) == ""
-    assert titles_to_lang_string([]) == ""
-    got = titles_to_lang_string(
+def test_titles_json():
+    assert titles_to_json(None) == "{}"
+    assert titles_to_json([]) == "{}"
+    got = titles_to_json(
         [{"lang": "fr", "title": "b"}, {"lang": "en", "title": "a"}])
-    assert got == "en=a|fr=b"  # sorted by lang
+    assert got == '{"en":"a","fr":"b"}'  # compact, sorted by lang
+
+
+def test_json_compact():
+    assert json_compact(None) is None
+    assert (json_compact({"Scope": ["A"], "Note": None})
+            == '{"Scope":["A"],"Note":null}')  # insertion order, compact
+
+
+def test_capec_composite_formatters():
+    # execution flow: skip incomplete steps; techniques keep their 1-based
+    # index even when earlier techniques are empty (parse.py:319-346)
+    flow = [
+        {"Step": "1", "Phase": "Explore", "Description": "probe",
+         "Techniques": ["", "scan ports"]},
+        {"Step": "2", "Phase": "", "Description": "skipped",
+         "Techniques": ["x"]},
+        {"Step": "3", "Phase": "Exploit", "Description": "pwn",
+         "Techniques": []},
+    ]
+    assert execution_flow_strings(flow) == [
+        "STEP-1 (Explore): probe | TECHNIQUE-2: scan ports",
+        "STEP-3 (Exploit): pwn",
+    ]
+    assert execution_flow_strings(None) == []
+    # skills: both parts required (parse.py:353-360)
+    assert skill_strings([{"Level": "High", "Description": "d"},
+                          {"Level": "", "Description": "d2"}]) == [
+        "Level:High - Description:d"]
+    # consequences: scopes joined with ',', impact required (parse.py:374-392)
+    assert consequence_strings([
+        {"Scope": ["Confidentiality", "Integrity"], "Impact": "leak"},
+        {"Scope": [], "Impact": "x"},
+        {"Scope": ["A"], "Impact": ""},
+    ]) == ["SCOPE:Confidentiality,Integrity - IMPACT:leak"]
+    assert capec_label("66", "SQL Injection") == "CAPEC-66: SQL Injection"
 
 
 def test_mention_patterns():

@@ -5,11 +5,17 @@ exact DuckDB-SQL equivalent used by the oracle (see __ray_entry__.py):
 
 - ``format_ts_millis_arrow``  ≡ ``left(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), 23)``
 - ``truncate_long_fraction``  ≡ ``regexp_replace(s, '\\.\\d{4,}$', '')``
-- ``titles_to_lang_string``   ≡ ``array_to_string(list_sort(list_transform(...)), '|')``
+- ``titles_to_json``          ≡ ``to_json(map_from_entries(list_transform(list_sort(titles), x -> (x.lang, x.title))))``
+- ``json_compact``            ≡ ``to_json(col)`` (field order = Arrow struct order)
+- ``capec_label``             ≡ ``'CAPEC-' || id || ': ' || name``
+- ``execution_flow_strings``  ≡ per-step ``STEP-{n} ({phase}): {desc} | TECHNIQUE-{i}: {t}``
+- ``skill_strings``           ≡ ``'Level:' || Level || ' - Description:' || Description``
+- ``consequence_strings``     ≡ ``'SCOPE:' || join(Scope,',') || ' - IMPACT:' || Impact``
 """
 
 from __future__ import annotations
 
+import json
 import re
 
 import pyarrow as pa
@@ -39,16 +45,89 @@ def truncate_long_fraction(s: str) -> str:
     return _FRACTION_4PLUS.sub("", s)
 
 
-def titles_to_lang_string(titles: list[dict] | None) -> str:
-    """CPE ``titles`` list<struct<lang,title>> → deterministic flat literal.
+def titles_to_json(titles: list[dict] | None) -> str:
+    """CPE ``titles`` list<struct<lang,title>> → lang-keyed compact JSON.
 
-    Reference: ``data_collection/cve_collection.py:402`` converts the titles
-    list into a lang-keyed map serialized as an rdf:JSON literal
-    (``mapping/cve/cve_rml.ttl:182-189``). We keep the rdf:JSON datatype tag
-    but serialize as ``lang=title`` pairs joined by ``|`` sorted by lang so
-    the DuckDB oracle can reproduce it byte-for-byte.
+    Reference: ``data_collection/cve_collection.py:402`` builds
+    ``json.dumps({t["lang"]: t["title"] for t in titles})`` and the RML
+    types it rdf:JSON (``mapping/cve/cve_rml.ttl:182-189``). We sort by
+    (lang, title) before building the map so the literal is deterministic
+    and byte-equal to the DuckDB oracle's
+    ``to_json(map_from_entries(list_transform(list_sort(titles), ...)))``.
     """
     if not titles:
-        return ""
-    pairs = sorted(f"{t['lang']}={t['title']}" for t in titles)
-    return "|".join(pairs)
+        return "{}"
+    return json.dumps(
+        dict(sorted((t["lang"], t["title"]) for t in titles)),
+        separators=(",", ":"))
+
+
+def json_compact(obj) -> str | None:
+    """Nested dict/list → compact JSON with keys in *insertion* order.
+
+    Used for the CWE property maps the reference RML types xsd:string over
+    nested JSON structures (``mapping/cwe/cwe_rml.ttl:104-278`` —
+    commonConsequences, applicablePlatform, modesOfIntroduction,
+    detectionMethods, potentialMitigations, references, mappingNotes,
+    relatedAttackPatterns). Arrow ``to_pylist`` yields dicts in struct
+    field order, which is exactly DuckDB ``to_json``'s field order, so the
+    two sides agree byte-for-byte. None → None (predicate not emitted).
+    """
+    if obj is None:
+        return None
+    return json.dumps(obj, separators=(",", ":"))
+
+
+def capec_label(id_num: str, name: str) -> str:
+    """Composite CAPEC label ``CAPEC-{ID}: {Name}``
+    (``mapping/capec/capec_rml.ttl:26-31``)."""
+    return f"CAPEC-{id_num}: {name}"
+
+
+def execution_flow_strings(steps: list[dict] | None) -> list[str]:
+    """CAPEC execution flow → per-step composite strings.
+
+    Reference ``parse.py:319-346``: each attack step with non-empty
+    Step/Phase/Description renders as ``STEP-{n} ({phase}): {desc}``
+    followed by ``TECHNIQUE-{i}: {text}`` for each non-empty technique,
+    all joined with `` | ``. Steps missing any of the three parts are
+    skipped entirely.
+    """
+    out = []
+    for st in steps or ():
+        num = (st.get("Step") or "").strip()
+        phase = (st.get("Phase") or "").strip()
+        desc = (st.get("Description") or "").strip()
+        if not (num and phase and desc):
+            continue
+        parts = [f"STEP-{num} ({phase}): {desc}"]
+        for i, tech in enumerate(st.get("Techniques") or (), 1):
+            t = (tech or "").strip()
+            if t:
+                parts.append(f"TECHNIQUE-{i}: {t}")
+        out.append(" | ".join(parts))
+    return out
+
+
+def skill_strings(skills: list[dict] | None) -> list[str]:
+    """CAPEC skills → ``Level:{level} - Description:{description}``
+    (``parse.py:353-360``); items missing either part are skipped."""
+    out = []
+    for sk in skills or ():
+        level = (sk.get("Level") or "").strip()
+        desc = (sk.get("Description") or "").strip()
+        if level and desc:
+            out.append(f"Level:{level} - Description:{desc}")
+    return out
+
+
+def consequence_strings(cons: list[dict] | None) -> list[str]:
+    """CAPEC consequences → ``SCOPE:{s1,s2} - IMPACT:{impact}``
+    (``parse.py:374-392``); items lacking scopes or impact are skipped."""
+    out = []
+    for c in cons or ():
+        scopes = [s.strip() for s in (c.get("Scope") or ()) if s and s.strip()]
+        impact = (c.get("Impact") or "").strip()
+        if scopes and impact:
+            out.append(f"SCOPE:{','.join(scopes)} - IMPACT:{impact}")
+    return out

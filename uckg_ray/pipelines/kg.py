@@ -34,7 +34,9 @@ from uckg_ray import namespaces as ns
 from uckg_ray.config import PipelineConfig
 from uckg_ray.sources import fixtures as fx
 from uckg_ray.stages.canonicalize import canonical_map
-from uckg_ray.stages.extract import TripleEmitter, attack_triples, cwe_dict_triples
+from uckg_ray.stages.extract import (TripleEmitter, attack_triples,
+                                     capec_dict_triples, cve_dict_triples,
+                                     cwe_dict_triples, d3fend_dict_triples)
 from uckg_ray.stages.link import AliasLinker, load_alias_table
 from uckg_ray.stages.materialize import distinct_edges, node_table, union_edge_sources
 
@@ -73,11 +75,16 @@ def extract_edges(turns: Dataset, fixture_dir: str,
 
 
 def side_table_edges(fixture_dir: str) -> pa.Table:
-    """CWE-dictionary + ATT&CK side-table triples (small, driver-built)."""
-    t1 = cwe_dict_triples(os.path.join(fixture_dir, "cwe_dict.parquet"))
-    t2 = attack_triples(os.path.join(fixture_dir, "attack_nodes.parquet"),
-                        os.path.join(fixture_dir, "attack_relationships.parquet"))
-    return pa.concat_tables([t1, t2])
+    """Dictionary side-table triples (small, driver-built): CWE, CVE,
+    CAPEC, D3FEND property maps + ATT&CK nodes/relationships."""
+    return pa.concat_tables([
+        cwe_dict_triples(os.path.join(fixture_dir, "cwe_dict.parquet")),
+        cve_dict_triples(os.path.join(fixture_dir, "cve_dict.parquet")),
+        capec_dict_triples(os.path.join(fixture_dir, "capec_dict.parquet")),
+        d3fend_dict_triples(os.path.join(fixture_dir, "d3fend_dict.parquet")),
+        attack_triples(os.path.join(fixture_dir, "attack_nodes.parquet"),
+                       os.path.join(fixture_dir, "attack_relationships.parquet")),
+    ])
 
 
 def _groups(files: list[str], files_per_group: int | None) -> list[list[str]]:

@@ -11,6 +11,7 @@ spec, not the implementation.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
 
@@ -34,7 +35,13 @@ def _fix_frac(s: str) -> str:
 
 
 def _titles(titles) -> str:
-    return "|".join(sorted(f"{t['lang']}={t['title']}" for t in (titles or [])))
+    # lang-keyed compact JSON, entries sorted by (lang, title)
+    return json.dumps(dict(sorted((t["lang"], t["title"]) for t in (titles or []))),
+                      separators=(",", ":"))
+
+
+def _cjson(obj):
+    return None if obj is None else json.dumps(obj, separators=(",", ":"))
 
 
 def _dedup_keep_order(xs):
@@ -133,21 +140,132 @@ def oracle_triples(transcripts_dir: str, fixture_dir: str,
     # side tables
     for r in cwe:
         ci = UCO + r["id_value"]
+        T.add((UCO + "ExploitTarget-" + r["id_value"], RT, UCO + "ExploitTarget"))
+        T.add((UCO + "ExploitTarget-" + r["id_value"], UCO + "hasWeakness", ci))
         T.add((ci, RT, UCO + "CWE"))
         T.add((ci, UCO + "name", r["name"]))
+        T.add((ci, UCO + "cweID", r["id_value"]))
+        T.add((ci, UCO + "description", r["description"]))
+        T.add((ci, UCO + "cweSummary", r["description"]))
         T.add((ci, UCO + "abstraction", r["abstraction"]))
+        T.add((ci, UCO + "structure", r["structure"]))
         T.add((ci, UCO + "status", r["status"]))
         T.add((ci, UCO + "timeOfIntroduction", _fix_frac(r["time_of_introduction"])))
+        if r["extended_summary"] is not None:
+            T.add((ci, UCO + "cweExtendedSummary", r["extended_summary"]))
+        if r["likelihood_of_exploit"] is not None:
+            T.add((ci, UCO + "likelihoodOfExploit", r["likelihood_of_exploit"]))
+        for pred, col in (("commonConsequences", "common_consequences"),
+                          ("applicablePlatform", "applicable_platforms"),
+                          ("modesOfIntroduction", "modes_of_introduction"),
+                          ("detectionMethods", "detection_methods"),
+                          ("potentialMitigations", "potential_mitigations"),
+                          ("references", "references"),
+                          ("mappingNotes", "mapping_notes"),
+                          ("relatedAttackPatterns", "related_attack_patterns")):
+            j = _cjson(r[col])
+            if j is not None:
+                T.add((ci, UCO + pred, j))
+        if r["demonstrative_examples"] is not None:
+            T.add((ci, UCO + "demonstrativeExamples", r["demonstrative_examples"]))
         for rw in r["related_weaknesses"] or ():
             T.add((ci, UCO + "relatedWeakness", UCO + rw["ID"]))
         for ob in r["observed_examples"] or ():
             oi = UCOEX + r["id_value"] + "-" + ob["Reference"]
             T.add((oi, RT, UCOEX + "ObservedExample"))
+            T.add((oi, UCOEX + "DESCRIPTION", ob["Description"]))
             T.add((oi, UCOEX + "exampleObservedIn", UCO + ob["Reference"]))
+            T.add((ci, UCOEX + "hasObservedExample", oi))
         for ap in r["related_attack_patterns"] or ():
             pi = ("https://capec.mitre.org/data/definitions/"
                   + ap.split("-")[1] + ".html")
             T.add((ci, UCOEX + "hasRelatedAttackPattern", pi))
+
+    cved = pq.read_table(os.path.join(fixture_dir, "cve_dict.parquet")).to_pylist()
+    for r in cved:
+        vi, ci = UCO + "VULN-" + r["cve_id"], UCO + r["cve_id"]
+        T.add((vi, RT, UCO + "Vulnerability"))
+        T.add((vi, UCO + "publishedDateTime", _fix_frac(r["published"])))
+        T.add((vi, UCO + "lastModifiedDateTime", _fix_frac(r["last_modified"])))
+        for d in r["descriptions"] or ():
+            T.add((vi, UCO + "summary", d["value"]))
+        T.add((vi, UCO + "hasCVE_ID", ci))
+        T.add((ci, RT, UCO + "CVE"))
+        T.add((ci, RL, r["cve_id"]))
+        T.add((ci, UCO + "vulnStatus", r["vuln_status"]))
+        T.add((ci, UCO + "vectorString", r["vector_string"]))
+        T.add((ci, UCO + "baseSeverity", r["base_severity"]))
+        T.add((ci, UCO + "exploitabilityScore", r["exploitability_score"]))
+        T.add((ci, UCO + "impactScore", r["impact_score"]))
+        T.add((ci, UCO + "obtainAllPrivilege",
+               "true" if r["obtain_all_privilege"] else "false"))
+        T.add((ci, UCO + "userInteractionRequired",
+               "true" if r["user_interaction_required"] else "false"))
+        T.add((ci, UCO + "evaluatorSolution", r["evaluator_solution"]))
+
+    capd = pq.read_table(os.path.join(fixture_dir, "capec_dict.parquet")).to_pylist()
+    for r in capd:
+        num = r["id_num"]
+        pi = "https://capec.mitre.org/data/definitions/" + num + ".html"
+        T.add((pi, RT, UCOEX + "CAPEC"))
+        T.add((pi, RL, "CAPEC-" + num + ": " + r["name"]))
+        T.add((pi, UCOEX + "CAPEC_id", num))
+        T.add((pi, UCOEX + "CAPEC_name", r["name"]))
+        T.add((pi, UCOEX + "Abstraction", r["abstraction"]))
+        T.add((pi, UCOEX + "Likelihood", r["likelihood"]))
+        T.add((pi, UCOEX + "Severity", r["severity"]))
+        T.add((pi, UCOEX + "Description", r["description"]))
+        for x in r["extended_description"] or ():
+            T.add((pi, UCOEX + "ExtendedDescription", x))
+        for x in r["related_attack_patterns"] or ():
+            T.add((pi, UCOEX + "RelatedAttPattern", x))
+        for st in r["execution_flow"] or ():
+            if not (st["Step"].strip() and st["Phase"].strip()
+                    and st["Description"].strip()):
+                continue
+            parts = [f"STEP-{st['Step'].strip()} ({st['Phase'].strip()}): "
+                     f"{st['Description'].strip()}"]
+            for k, tech in enumerate(st["Techniques"] or (), 1):
+                if tech.strip():
+                    parts.append(f"TECHNIQUE-{k}: {tech.strip()}")
+            T.add((pi, UCOEX + "ExecutionFlowTechnique", " | ".join(parts)))
+        for x in r["prerequisites"] or ():
+            T.add((pi, UCOEX + "Prerequisites", x))
+        for sk in r["skills"] or ():
+            if sk["Level"].strip() and sk["Description"].strip():
+                T.add((pi, UCOEX + "Skills_Required",
+                       f"Level:{sk['Level'].strip()} - "
+                       f"Description:{sk['Description'].strip()}"))
+        for x in r["resources"] or ():
+            T.add((pi, UCOEX + "Resources_Required", x))
+        for x in r["mitigations"] or ():
+            T.add((pi, UCOEX + "Mitigations", x))
+        for x in r["examples"] or ():
+            T.add((pi, UCOEX + "Example", x))
+        for c in r["consequences"] or ():
+            sc = [s.strip() for s in (c["Scope"] or ()) if s and s.strip()]
+            if sc and c["Impact"].strip():
+                T.add((pi, UCOEX + "Consequences",
+                       f"SCOPE:{','.join(sc)} - IMPACT:{c['Impact'].strip()}"))
+        for w in r["related_weaknesses"] or ():
+            T.add((pi, UCOEX + "RelatedWeaknesses", w))
+            T.add((pi, UCOEX + "hasRelatedWeakness", UCO + w))
+            T.add((UCO + w, RT, UCO + "CWE"))
+        for t in r["taxonomy_mappings"] or ():
+            T.add((pi, UCOEX + "TaxonomyMappingATTACK", t))
+            T.add((pi, UCOEX + "hasTaxonomyMapping", UCOEX + t))
+            T.add((UCOEX + t, RT, UCOEX + "MITREATTACK"))
+
+    d3d = pq.read_table(os.path.join(fixture_dir, "d3fend_dict.parquet")).to_pylist()
+    for r in d3d:
+        di = UCOEX + r["id"]
+        T.add((di, RT, UCOEX + "MITRED3FEND"))
+        T.add((di, UCOEX + "MITRED3FEND_ID", r["id"]))
+        T.add((di, UCOEX + "MITRED3FEND_LABEL", r["label"]))
+        T.add((di, UCOEX + "MITRED3FEND_DEFINITION", r["definition"]))
+        if r["off_tech_id"] is not None:
+            T.add((di, UCOEX + "hasMITREATTACK", UCOEX + r["off_tech_id"]))
+            T.add((UCOEX + r["off_tech_id"], RT, UCOEX + "MITREATTACK"))
 
     nodes = pq.read_table(os.path.join(fixture_dir, "attack_nodes.parquet")).to_pylist()
     rels = pq.read_table(
@@ -157,6 +275,7 @@ def oracle_triples(transcripts_dir: str, fixture_dir: str,
         ni = UCOEX + n["ID"]
         T.add((ni, RT, ns.ATTACK_KIND_CLASS[n["kind"]]))
         T.add((ni, UCOEX + "NAME", n["name"]))
+        T.add((ni, UCOEX + "DESCRIPTION", n["description"]))
         T.add((ni, UCOEX + "URL", n["url"]))
         T.add((ni, UCOEX + "DOMAIN", n["domain"]))
     for r in rels:

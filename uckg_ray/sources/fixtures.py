@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 6
+GEN_VERSION = 7
 SEED = 42
 FIXTURE_ROOT = "/tmp/uckg_ray_fixtures"
 
@@ -137,13 +137,26 @@ def _mention_pools():
 # ---------------------------------------------------------------------------
 
 def _build_cwe_dict(pools) -> pa.Table:
+    """One row per dictionary CWE — the parsed-record shape of
+    ``cwe_collection.py:98-392`` (every section the reference parser keeps
+    AND the RML maps, ``cwe_rml.ttl:86-278``). Nested sections are Arrow
+    struct/list columns; nullable columns (None) suppress the predicate."""
     rng = np.random.default_rng([SEED, 2])
     rows = {k: [] for k in (
         "id_value", "name", "abstraction", "structure", "status", "description",
-        "time_of_introduction", "related_weaknesses", "observed_examples",
-        "related_attack_patterns")}
+        "extended_summary", "likelihood_of_exploit", "time_of_introduction",
+        "related_weaknesses", "observed_examples", "related_attack_patterns",
+        "applicable_platforms", "common_consequences", "modes_of_introduction",
+        "detection_methods", "potential_mitigations", "demonstrative_examples",
+        "references", "mapping_notes")}
     abstr = ["Base", "Variant", "Class", "Compound"]
     status = ["Stable", "Draft", "Incomplete"]
+    phases = ["Architecture and Design", "Implementation", "Operation", "Testing"]
+    scopes = ["Confidentiality", "Integrity", "Availability", "Access Control"]
+    impacts = ["Read Application Data", "Execute Unauthorized Code",
+               "DoS: Crash", "Bypass Protection Mechanism"]
+    methods = ["Automated Static Analysis", "Fuzzing", "Manual Analysis"]
+    langs_pf = ["C", "C++", "Java", "PHP", "Python"]
     cwes, cves, capecs = pools["cwes_in"], pools["cves"], pools["capecs"]
     for i, cid in enumerate(cwes):
         rows["id_value"].append(cid)
@@ -152,6 +165,11 @@ def _build_cwe_dict(pools) -> pa.Table:
         rows["structure"].append("Simple" if rng.random() < 0.8 else "Chain")
         rows["status"].append(status[int(rng.integers(0, 3))])
         rows["description"].append(f"description of {cid}")
+        rows["extended_summary"].append(
+            f"extended summary of {cid}" if rng.random() < 0.7 else None)
+        rows["likelihood_of_exploit"].append(
+            ["High", "Medium", "Low"][int(rng.integers(0, 3))]
+            if rng.random() < 0.6 else None)
         # date-only → T00:00:00 promotion (cwe_collection.py:335-336); some with
         # long fractions to exercise truncation (ontology_updater.py:7-30)
         r = rng.random()
@@ -174,15 +192,248 @@ def _build_cwe_dict(pools) -> pa.Table:
         rows["related_attack_patterns"].append(
             [capecs[int(rng.integers(0, len(capecs)))] for _ in range(nap)]
         )
+        rows["applicable_platforms"].append(
+            [{"Type": "Language", "Class": langs_pf[int(rng.integers(0, 5))],
+              "Prevalence": "Often" if rng.random() < 0.5 else "Sometimes"}
+             for _ in range(int(rng.integers(1, 3)))]
+            if rng.random() < 0.6 else None)
+        rows["common_consequences"].append(
+            [{"Scope": [scopes[int(j)] for j in
+                        rng.choice(4, size=int(rng.integers(1, 3)), replace=False)],
+              "Impact": [impacts[int(rng.integers(0, 4))]],
+              "Note": f"note {i}" if rng.random() < 0.4 else None}
+             for _ in range(int(rng.integers(1, 3)))]
+            if rng.random() < 0.7 else None)
+        rows["modes_of_introduction"].append(
+            [{"Phase": phases[int(rng.integers(0, 4))],
+              "Note": f"introduced note {i}" if rng.random() < 0.3 else None}
+             for _ in range(int(rng.integers(1, 3)))]
+            if rng.random() < 0.6 else None)
+        rows["detection_methods"].append(
+            [{"Method": methods[int(rng.integers(0, 3))],
+              "Description": f"detect {cid} via review",
+              "Effectiveness": "High" if rng.random() < 0.5 else None}
+             for _ in range(int(rng.integers(1, 3)))]
+            if rng.random() < 0.5 else None)
+        rows["potential_mitigations"].append(
+            [{"Phase": phases[int(rng.integers(0, 4))],
+              "Description": f"mitigate {cid} step {j}"}
+             for j in range(int(rng.integers(1, 3)))]
+            if rng.random() < 0.6 else None)
+        rows["demonstrative_examples"].append(
+            f"demonstrative example text for {cid}" if rng.random() < 0.4 else None)
+        rows["references"].append(
+            [{"External_Reference_ID": f"REF-{int(rng.integers(1, 1400))}"}
+             for _ in range(int(rng.integers(1, 3)))]
+            if rng.random() < 0.5 else None)
+        rows["mapping_notes"].append(
+            {"usage": ["Allowed", "Discouraged", "Prohibited"][int(rng.integers(0, 3))],
+             "rationale": f"rationale {i}" if rng.random() < 0.5 else None}
+            if rng.random() < 0.6 else None)
     schema = pa.schema([
         ("id_value", pa.string()), ("name", pa.string()), ("abstraction", pa.string()),
         ("structure", pa.string()), ("status", pa.string()), ("description", pa.string()),
+        ("extended_summary", pa.string()), ("likelihood_of_exploit", pa.string()),
         ("time_of_introduction", pa.string()),
         ("related_weaknesses", pa.list_(pa.struct([("ID", pa.string()), ("Nature", pa.string())]))),
         ("observed_examples", pa.list_(pa.struct([("Reference", pa.string()), ("Description", pa.string())]))),
         ("related_attack_patterns", pa.list_(pa.string())),
+        ("applicable_platforms", pa.list_(pa.struct(
+            [("Type", pa.string()), ("Class", pa.string()), ("Prevalence", pa.string())]))),
+        ("common_consequences", pa.list_(pa.struct(
+            [("Scope", pa.list_(pa.string())), ("Impact", pa.list_(pa.string())),
+             ("Note", pa.string())]))),
+        ("modes_of_introduction", pa.list_(pa.struct(
+            [("Phase", pa.string()), ("Note", pa.string())]))),
+        ("detection_methods", pa.list_(pa.struct(
+            [("Method", pa.string()), ("Description", pa.string()),
+             ("Effectiveness", pa.string())]))),
+        ("potential_mitigations", pa.list_(pa.struct(
+            [("Phase", pa.string()), ("Description", pa.string())]))),
+        ("demonstrative_examples", pa.string()),
+        ("references", pa.list_(pa.struct([("External_Reference_ID", pa.string())]))),
+        ("mapping_notes", pa.struct([("usage", pa.string()), ("rationale", pa.string())])),
     ])
     return pa.Table.from_pydict(rows, schema=schema)
+
+
+def _build_cve_dict(pools) -> pa.Table:
+    """One row per known CVE — the per-record projection of
+    ``cve_collection.py:427-446`` (vulnStatus, CVSS v2 fields, privilege
+    booleans, evaluatorSolution, multi-lang descriptions)."""
+    rng = np.random.default_rng([SEED, 6])
+    ids = list(dict.fromkeys(pools["cves"] + ["CVE-2014-0160"]))
+    av = ["AV:N/AC:L/Au:N/C:P/I:P/A:P", "AV:L/AC:M/Au:S/C:C/I:C/A:C",
+          "AV:N/AC:H/Au:N/C:N/I:P/A:N", "AV:A/AC:L/Au:N/C:P/I:N/A:N"]
+    vstat = ["Analyzed", "Modified", "Awaiting Analysis", "Deferred"]
+    sev = ["LOW", "MEDIUM", "HIGH"]
+    langs = ["en", "es", "fr"]
+    rows = {k: [] for k in (
+        "cve_id", "published", "last_modified", "vuln_status", "vector_string",
+        "base_severity", "exploitability_score", "impact_score",
+        "obtain_all_privilege", "user_interaction_required",
+        "evaluator_solution", "descriptions")}
+    for i, cid in enumerate(ids):
+        rows["cve_id"].append(cid)
+        if rng.random() < 0.5:
+            rows["published"].append(f"20{10 + i % 15:02d}-0{1 + i % 9}-0{1 + i % 9}T1{i % 9}:00:00")
+        else:
+            rows["published"].append(
+                f"20{10 + i % 15:02d}-0{1 + i % 9}-0{1 + i % 9}T1{i % 9}:00:00.{int(rng.integers(0, 999999)):06d}")
+        if rng.random() < 0.5:
+            rows["last_modified"].append(f"20{12 + i % 13:02d}-0{1 + i % 9}-1{i % 9}T0{i % 9}:45:10")
+        else:
+            rows["last_modified"].append(
+                f"20{12 + i % 13:02d}-0{1 + i % 9}-1{i % 9}T0{i % 9}:45:10.{int(rng.integers(1000, 999999)):06d}")
+        rows["vuln_status"].append(vstat[int(rng.integers(0, 4))])
+        rows["vector_string"].append(av[int(rng.integers(0, 4))])
+        rows["base_severity"].append(sev[int(rng.integers(0, 3))])
+        rows["exploitability_score"].append(f"{rng.integers(10, 100) / 10:.1f}")
+        rows["impact_score"].append(f"{rng.integers(10, 100) / 10:.1f}")
+        rows["obtain_all_privilege"].append(bool(rng.random() < 0.15))
+        rows["user_interaction_required"].append(bool(rng.random() < 0.4))
+        rows["evaluator_solution"].append(
+            f"apply vendor patch for {cid}" if rng.random() < 0.3 else "")
+        nd = 1 + int(rng.integers(0, 3))
+        chosen = rng.choice(3, size=nd, replace=False)
+        rows["descriptions"].append(
+            [{"lang": langs[j], "value": f"{langs[j]} description of {cid}"}
+             for j in sorted(chosen.tolist())])
+    schema = pa.schema([
+        ("cve_id", pa.string()), ("published", pa.string()),
+        ("last_modified", pa.string()), ("vuln_status", pa.string()),
+        ("vector_string", pa.string()), ("base_severity", pa.string()),
+        ("exploitability_score", pa.string()), ("impact_score", pa.string()),
+        ("obtain_all_privilege", pa.bool_()), ("user_interaction_required", pa.bool_()),
+        ("evaluator_solution", pa.string()),
+        ("descriptions", pa.list_(pa.struct([("lang", pa.string()), ("value", pa.string())]))),
+    ])
+    return pa.Table.from_pydict(rows, schema=schema)
+
+
+def _build_capec_dict(pools) -> pa.Table:
+    """One row per CAPEC pattern — the parsed-record shape of
+    ``parse.py:253-432`` (execution flow steps with techniques, skills,
+    consequences, taxonomy mappings, related weaknesses/patterns). Some
+    flow steps / skills are deliberately incomplete to exercise the
+    formatter skip rules (parse.py:334,358,388)."""
+    rng = np.random.default_rng([SEED, 7])
+    abstr = ["Meta", "Standard", "Detailed"]
+    lik = ["High", "Medium", "Low", ""]
+    sev = ["Very High", "High", "Medium", "Low", ""]
+    nature = ["ChildOf", "ParentOf", "CanPrecede"]
+    phases = ["Explore", "Experiment", "Exploit"]
+    levels = ["High", "Medium", "Low"]
+    cscopes = ["Confidentiality", "Integrity", "Availability", "Authorization"]
+    cwes_all = pools["cwes_in"] + pools["cwes_out"]
+    attacks = pools["attacks"]
+    capecs = pools["capecs"]
+    rows = {k: [] for k in (
+        "id_num", "name", "abstraction", "status", "likelihood", "severity",
+        "description", "extended_description", "related_attack_patterns",
+        "execution_flow", "prerequisites", "skills", "resources",
+        "mitigations", "examples", "consequences", "related_weaknesses",
+        "taxonomy_mappings")}
+    for i, cap in enumerate(capecs):
+        num = cap.split("-", 1)[1]
+        rows["id_num"].append(num)
+        rows["name"].append(f"Attack Pattern {num}")
+        rows["abstraction"].append(abstr[int(rng.integers(0, 3))])
+        rows["status"].append("Stable" if rng.random() < 0.7 else "Draft")
+        rows["likelihood"].append(lik[int(rng.integers(0, 4))])
+        rows["severity"].append(sev[int(rng.integers(0, 5))])
+        rows["description"].append(f"description of {cap}")
+        rows["extended_description"].append(
+            [f"extended paragraph {j} of {cap}" for j in range(int(rng.integers(0, 3)))])
+        rows["related_attack_patterns"].append(
+            [f"{nature[int(rng.integers(0, 3))]} "
+             f"{capecs[int(rng.integers(0, len(capecs)))]}"
+             for _ in range(int(rng.integers(0, 3)))])
+        flow = []
+        for s in range(int(rng.integers(0, 4))):
+            complete = rng.random() > 0.15   # ~15% skipped by the formatter
+            techs = [f"technique {t + 1} for step {s + 1}"
+                     for t in range(int(rng.integers(0, 3)))]
+            if techs and rng.random() < 0.2:
+                # empty technique FIRST: enumeration must still count it
+                # (parse.py:338-343 indexes before the emptiness check)
+                techs.insert(0, "")
+            flow.append({
+                "Step": str(s + 1),
+                "Phase": phases[min(s, 2)] if complete else "",
+                "Description": f"step {s + 1} action for {cap}",
+                "Techniques": techs,
+            })
+        rows["execution_flow"].append(flow)
+        rows["prerequisites"].append(
+            [f"prerequisite {j} of {cap}" for j in range(int(rng.integers(0, 3)))])
+        skills = []
+        for j in range(int(rng.integers(0, 3))):
+            complete = rng.random() > 0.2    # ~20% skipped by the formatter
+            skills.append({"Level": levels[int(rng.integers(0, 3))] if complete else "",
+                           "Description": f"skill {j} needed for {cap}"})
+        rows["skills"].append(skills)
+        rows["resources"].append(
+            [f"resource {j} for {cap}" for j in range(int(rng.integers(0, 2)))])
+        rows["mitigations"].append(
+            [f"mitigation {j} for {cap}" for j in range(int(rng.integers(0, 3)))])
+        rows["examples"].append(
+            [f"example instance {j} of {cap}" for j in range(int(rng.integers(0, 2)))])
+        cons = []
+        for j in range(int(rng.integers(0, 3))):
+            complete = rng.random() > 0.15   # ~15% skipped by the formatter
+            cons.append({
+                "Scope": [cscopes[int(k)] for k in
+                          rng.choice(4, size=int(rng.integers(1, 3)), replace=False)],
+                "Impact": f"impact {j} of {cap}" if complete else "",
+            })
+        rows["consequences"].append(cons)
+        rows["related_weaknesses"].append(
+            [cwes_all[int(rng.integers(0, len(cwes_all)))]
+             for _ in range(int(rng.integers(0, 3)))])
+        rows["taxonomy_mappings"].append(
+            [attacks[int(rng.integers(0, len(attacks)))]
+             for _ in range(int(rng.integers(0, 3)))])
+    schema = pa.schema([
+        ("id_num", pa.string()), ("name", pa.string()), ("abstraction", pa.string()),
+        ("status", pa.string()), ("likelihood", pa.string()), ("severity", pa.string()),
+        ("description", pa.string()),
+        ("extended_description", pa.list_(pa.string())),
+        ("related_attack_patterns", pa.list_(pa.string())),
+        ("execution_flow", pa.list_(pa.struct(
+            [("Step", pa.string()), ("Phase", pa.string()),
+             ("Description", pa.string()), ("Techniques", pa.list_(pa.string()))]))),
+        ("prerequisites", pa.list_(pa.string())),
+        ("skills", pa.list_(pa.struct([("Level", pa.string()), ("Description", pa.string())]))),
+        ("resources", pa.list_(pa.string())),
+        ("mitigations", pa.list_(pa.string())),
+        ("examples", pa.list_(pa.string())),
+        ("consequences", pa.list_(pa.struct(
+            [("Scope", pa.list_(pa.string())), ("Impact", pa.string())]))),
+        ("related_weaknesses", pa.list_(pa.string())),
+        ("taxonomy_mappings", pa.list_(pa.string())),
+    ])
+    return pa.Table.from_pydict(rows, schema=schema)
+
+
+def _build_d3fend_dict(pools) -> pa.Table:
+    """One row per D3FEND technique — the flattened d3fend.json record of
+    ``d3fend_collection.py`` / ``d3fend_rml.ttl:20-57`` (id, label,
+    definition, offensive-technique link; ~20% have no ATT&CK link)."""
+    rng = np.random.default_rng([SEED, 8])
+    attacks = pools["attacks"]
+    ids, labels, defs, offs = [], [], [], []
+    for d in pools["d3s"]:
+        ids.append(d)
+        labels.append(f"Defense {d}")
+        defs.append(f"definition of defensive technique {d}")
+        offs.append(attacks[int(rng.integers(0, len(attacks)))]
+                    if rng.random() < 0.8 else None)
+    return pa.Table.from_pydict(
+        {"id": ids, "label": labels, "definition": defs, "off_tech_id": offs},
+        schema=pa.schema([("id", pa.string()), ("label", pa.string()),
+                          ("definition", pa.string()), ("off_tech_id", pa.string())]),
+    )
 
 
 def _build_cpe_dict(pools) -> pa.Table:
@@ -563,6 +814,9 @@ def _generate_locked(sf_dir: str, out: str, parallel: bool) -> str:
     pools = _mention_pools()
     pq.write_table(_build_cwe_dict(pools), os.path.join(tmp, "cwe_dict.parquet"))
     pq.write_table(_build_cpe_dict(pools), os.path.join(tmp, "cpe_dict.parquet"))
+    pq.write_table(_build_cve_dict(pools), os.path.join(tmp, "cve_dict.parquet"))
+    pq.write_table(_build_capec_dict(pools), os.path.join(tmp, "capec_dict.parquet"))
+    pq.write_table(_build_d3fend_dict(pools), os.path.join(tmp, "d3fend_dict.parquet"))
     pq.write_table(_build_alias_dict(pools), os.path.join(tmp, "alias_dict.parquet"))
     nodes, rels = _build_attack_tables(pools)
     pq.write_table(nodes, os.path.join(tmp, "attack_nodes.parquet"))

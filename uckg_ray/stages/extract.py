@@ -27,8 +27,13 @@ import pyarrow.parquet as pq
 
 from uckg_ray import namespaces as ns
 from uckg_ray.functions.scalars import (
+    capec_label,
+    consequence_strings,
+    execution_flow_strings,
     format_ts_millis_arrow,
-    titles_to_lang_string,
+    json_compact,
+    skill_strings,
+    titles_to_json,
     truncate_long_fraction,
 )
 from uckg_ray.patterns import PER_TYPE_RX
@@ -108,7 +113,7 @@ class TripleEmitter:
             cpe.column("lastModified").to_pylist(), cpe.column("titles").to_pylist(),
         ):
             self.cpe_lookup[name] = (nid, truncate_long_fraction(lm),
-                                     titles_to_lang_string(titles))
+                                     titles_to_json(titles))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
@@ -182,8 +187,9 @@ class TripleEmitter:
                     nid, lm, titles = hit
                     emit(c, t, xi, f"{UCOEX}cpeNameId", nid, True, ns.XSD_STRING)
                     emit(c, t, xi, f"{UCOEX}lastModified", lm, True, ns.XSD_DATETIME)
-                    if titles:
-                        emit(c, t, xi, f"{UCOEX}titles", titles, True, ns.RDF_JSON)
+                    # lang-keyed JSON literal, always emitted on a dict hit
+                    # ("{}"s possible) — cve_collection.py:402 json.dumps
+                    emit(c, t, xi, f"{UCOEX}titles", titles, True, ns.RDF_JSON)
                     emit(c, t, xi, f"{UCOEX}dictionaryFound", "true", True, ns.XSD_BOOLEAN)
                 else:
                     emit(c, t, xi, f"{UCOEX}dictionaryFound", "false", True, ns.XSD_BOOLEAN)
@@ -227,42 +233,201 @@ class TripleEmitter:
 # stream — the reference's CWE/ATT&CK source pipelines, R5/R7/R10/R11)
 # ---------------------------------------------------------------------------
 
+class _SideEmitter:
+    """Accumulator for driver-built side-table triples (conv_id='' /
+    turn_idx=-1 lineage)."""
+
+    def __init__(self):
+        self.S, self.P, self.O, self.LIT, self.DT = [], [], [], [], []
+
+    def emit(self, s, p, o, lit, dt):
+        self.S.append(s); self.P.append(p); self.O.append(o)
+        self.LIT.append(lit); self.DT.append(dt)
+
+    def table(self) -> pa.Table:
+        n = len(self.S)
+        return pa.Table.from_pydict(
+            {"subj": self.S, "pred": self.P, "obj": self.O,
+             "obj_is_literal": pa.array(self.LIT, pa.bool_()),
+             "obj_datatype": self.DT, "conv_id": [""] * n,
+             "turn_idx": pa.array([-1] * n, pa.int32())},
+            schema=EDGE_SCHEMA,
+        )
+
+
 def cwe_dict_triples(cwe_dict_path: str) -> pa.Table:
-    """CWE dictionary → triples (R5 observed examples with compound keys,
-    R7 property maps, related weaknesses/attack patterns)."""
+    """CWE dictionary → triples: the full ClassA/ClassB property maps of
+    ``mapping/cwe/cwe_rml.ttl`` (R5 observed examples with compound keys
+    + DESCRIPTION, R7 ~20 property maps incl. the nested sections the RML
+    types xsd:string — serialized as compact JSON in Arrow-struct field
+    order so DuckDB ``to_json`` reproduces them byte-for-byte)."""
     tbl = pq.read_table(cwe_dict_path)
-    S, P, O, LIT, DT = [], [], [], [], []
-
-    def emit(s, p, o, lit, dt):
-        S.append(s); P.append(p); O.append(o); LIT.append(lit); DT.append(dt)
-
+    se = _SideEmitter()
+    emit = se.emit
     UCO, UCOEX = ns.UCO, ns.UCOEX
+    STR = ns.XSD_STRING
     for row in tbl.to_pylist():
         cid = row["id_value"]
         ci = f"{UCO}{cid}"
+        # ClassAMap — ExploitTarget node + hasWeakness join (cwe_rml.ttl:46-84)
+        ei = f"{UCO}ExploitTarget-{cid}"
+        emit(ei, ns.RDF_TYPE, f"{UCO}ExploitTarget", False, ns.IRI)
+        emit(ei, f"{UCO}hasWeakness", ci, False, ns.IRI)
+        # ClassBMap scalar literals
         emit(ci, ns.RDF_TYPE, f"{UCO}CWE", False, ns.IRI)
-        emit(ci, f"{UCO}name", row["name"], True, ns.XSD_STRING)
-        emit(ci, f"{UCO}abstraction", row["abstraction"], True, ns.XSD_STRING)
-        emit(ci, f"{UCO}status", row["status"], True, ns.XSD_STRING)
+        emit(ci, f"{UCO}name", row["name"], True, STR)
+        emit(ci, f"{UCO}cweID", cid, True, STR)
+        emit(ci, f"{UCO}description", row["description"], True, STR)
+        emit(ci, f"{UCO}cweSummary", row["description"], True, STR)  # summary=description (cwe_collection.py:357)
+        emit(ci, f"{UCO}abstraction", row["abstraction"], True, STR)
+        emit(ci, f"{UCO}structure", row["structure"], True, STR)
+        emit(ci, f"{UCO}status", row["status"], True, STR)
         emit(ci, f"{UCO}timeOfIntroduction",
              truncate_long_fraction(row["time_of_introduction"]), True, ns.XSD_DATETIME)
+        if row["extended_summary"] is not None:
+            emit(ci, f"{UCO}cweExtendedSummary", row["extended_summary"], True, STR)
+        if row["likelihood_of_exploit"] is not None:
+            emit(ci, f"{UCO}likelihoodOfExploit", row["likelihood_of_exploit"], True, STR)
+        # nested sections → compact-JSON xsd:string literals (cwe_rml.ttl:104-278)
+        for pred, col in (("commonConsequences", "common_consequences"),
+                          ("applicablePlatform", "applicable_platforms"),
+                          ("modesOfIntroduction", "modes_of_introduction"),
+                          ("detectionMethods", "detection_methods"),
+                          ("potentialMitigations", "potential_mitigations"),
+                          ("references", "references"),
+                          ("mappingNotes", "mapping_notes"),
+                          ("relatedAttackPatterns", "related_attack_patterns")):
+            j = json_compact(row[col])
+            if j is not None:
+                emit(ci, f"{UCO}{pred}", j, True, STR)
+        if row["demonstrative_examples"] is not None:
+            emit(ci, f"{UCO}demonstrativeExamples",
+                 row["demonstrative_examples"], True, STR)
         for rw in row["related_weaknesses"] or ():
             emit(ci, f"{UCO}relatedWeakness", f"{UCO}{rw['ID']}", False, ns.IRI)
         for ob in row["observed_examples"] or ():
             oi = f"{UCOEX}{cid}-{ob['Reference']}"  # compound key R5
             emit(oi, ns.RDF_TYPE, f"{UCOEX}ObservedExample", False, ns.IRI)
+            emit(oi, f"{UCOEX}DESCRIPTION", ob["Description"], True, STR)
             emit(oi, f"{UCOEX}exampleObservedIn", f"{UCO}{ob['Reference']}", False, ns.IRI)
+            emit(ci, f"{UCOEX}hasObservedExample", oi, False, ns.IRI)
         for ap in row["related_attack_patterns"] or ():
             emit(ci, f"{UCOEX}hasRelatedAttackPattern", ns.capec_iri(ap), False, ns.IRI)
+    return se.table()
 
-    n = len(S)
-    return pa.Table.from_pydict(
-        {"subj": S, "pred": P, "obj": O,
-         "obj_is_literal": pa.array(LIT, pa.bool_()),
-         "obj_datatype": DT, "conv_id": [""] * n,
-         "turn_idx": pa.array([-1] * n, pa.int32())},
-        schema=EDGE_SCHEMA,
-    )
+
+def cve_dict_triples(cve_dict_path: str) -> pa.Table:
+    """CVE dictionary → triples: the VULMap/CVEMap property literals of
+    ``mapping/cve/cve_rml.ttl:20-145`` over the per-record projection of
+    ``cve_collection.py:427-446`` — published/lastModified dateTimes on
+    the VULN node, multi-valued summary (one triple per descriptions[]
+    value), and the vulnStatus / CVSS / privilege / evaluatorSolution
+    literals on the CVE node. Booleans render lexical 'true'/'false'
+    typed xsd:string (the RML declares xsd:string for both)."""
+    tbl = pq.read_table(cve_dict_path)
+    se = _SideEmitter()
+    emit = se.emit
+    UCO = ns.UCO
+    STR = ns.XSD_STRING
+    for row in tbl.to_pylist():
+        cid = row["cve_id"]
+        vi, ci = f"{UCO}VULN-{cid}", f"{UCO}{cid}"
+        emit(vi, ns.RDF_TYPE, f"{UCO}Vulnerability", False, ns.IRI)
+        emit(vi, f"{UCO}publishedDateTime",
+             truncate_long_fraction(row["published"]), True, ns.XSD_DATETIME)
+        emit(vi, f"{UCO}lastModifiedDateTime",
+             truncate_long_fraction(row["last_modified"]), True, ns.XSD_DATETIME)
+        for d in row["descriptions"] or ():
+            emit(vi, f"{UCO}summary", d["value"], True, STR)
+        emit(vi, f"{UCO}hasCVE_ID", ci, False, ns.IRI)
+        emit(ci, ns.RDF_TYPE, f"{UCO}CVE", False, ns.IRI)
+        emit(ci, ns.RDFS_LABEL, cid, True, STR)
+        emit(ci, f"{UCO}vulnStatus", row["vuln_status"], True, STR)
+        emit(ci, f"{UCO}vectorString", row["vector_string"], True, STR)
+        emit(ci, f"{UCO}baseSeverity", row["base_severity"], True, STR)
+        emit(ci, f"{UCO}exploitabilityScore", row["exploitability_score"], True, STR)
+        emit(ci, f"{UCO}impactScore", row["impact_score"], True, STR)
+        emit(ci, f"{UCO}obtainAllPrivilege",
+             "true" if row["obtain_all_privilege"] else "false", True, STR)
+        emit(ci, f"{UCO}userInteractionRequired",
+             "true" if row["user_interaction_required"] else "false", True, STR)
+        emit(ci, f"{UCO}evaluatorSolution", row["evaluator_solution"], True, STR)
+    return se.table()
+
+
+def capec_dict_triples(capec_dict_path: str) -> pa.Table:
+    """CAPEC dictionary → triples: the full attack-pattern map of
+    ``mapping/capec/capec_rml.ttl`` over the parsed-record shape of
+    ``parse.py:253-432`` — composite ``CAPEC-{ID}: {Name}`` label, the
+    §2.8 composite string formatters (execution flow / skills /
+    consequences), per-item literals for the multi-valued sections, and
+    hasRelatedWeakness / hasTaxonomyMapping IRI joins (targets also get
+    their rr:class type triples)."""
+    tbl = pq.read_table(capec_dict_path)
+    se = _SideEmitter()
+    emit = se.emit
+    UCO, UCOEX = ns.UCO, ns.UCOEX
+    STR = ns.XSD_STRING
+    for row in tbl.to_pylist():
+        num = row["id_num"]
+        pi = ns.capec_iri(f"CAPEC-{num}")
+        emit(pi, ns.RDF_TYPE, f"{UCOEX}CAPEC", False, ns.IRI)
+        emit(pi, ns.RDFS_LABEL, capec_label(num, row["name"]), True, STR)
+        emit(pi, f"{UCOEX}CAPEC_id", num, True, STR)
+        emit(pi, f"{UCOEX}CAPEC_name", row["name"], True, STR)
+        emit(pi, f"{UCOEX}Abstraction", row["abstraction"], True, STR)
+        emit(pi, f"{UCOEX}Likelihood", row["likelihood"], True, STR)
+        emit(pi, f"{UCOEX}Severity", row["severity"], True, STR)
+        emit(pi, f"{UCOEX}Description", row["description"], True, STR)
+        for x in row["extended_description"] or ():
+            emit(pi, f"{UCOEX}ExtendedDescription", x, True, STR)
+        for x in row["related_attack_patterns"] or ():
+            emit(pi, f"{UCOEX}RelatedAttPattern", x, True, STR)
+        for x in execution_flow_strings(row["execution_flow"]):
+            emit(pi, f"{UCOEX}ExecutionFlowTechnique", x, True, STR)
+        for x in row["prerequisites"] or ():
+            emit(pi, f"{UCOEX}Prerequisites", x, True, STR)
+        for x in skill_strings(row["skills"]):
+            emit(pi, f"{UCOEX}Skills_Required", x, True, STR)
+        for x in row["resources"] or ():
+            emit(pi, f"{UCOEX}Resources_Required", x, True, STR)
+        for x in row["mitigations"] or ():
+            emit(pi, f"{UCOEX}Mitigations", x, True, STR)
+        for x in row["examples"] or ():
+            emit(pi, f"{UCOEX}Example", x, True, STR)
+        for x in consequence_strings(row["consequences"]):
+            emit(pi, f"{UCOEX}Consequences", x, True, STR)
+        for w in row["related_weaknesses"] or ():
+            emit(pi, f"{UCOEX}RelatedWeaknesses", w, True, STR)
+            emit(pi, f"{UCOEX}hasRelatedWeakness", f"{UCO}{w}", False, ns.IRI)
+            emit(f"{UCO}{w}", ns.RDF_TYPE, f"{UCO}CWE", False, ns.IRI)  # rr:class
+        for t in row["taxonomy_mappings"] or ():
+            emit(pi, f"{UCOEX}TaxonomyMappingATTACK", t, True, STR)
+            emit(pi, f"{UCOEX}hasTaxonomyMapping", f"{UCOEX}{t}", False, ns.IRI)
+            emit(f"{UCOEX}{t}", ns.RDF_TYPE, f"{UCOEX}MITREATTACK", False, ns.IRI)
+    return se.table()
+
+
+def d3fend_dict_triples(d3fend_dict_path: str) -> pa.Table:
+    """D3FEND dictionary → triples: ``mapping/d3fend/d3fend_rml.ttl:20-57``
+    — ID/LABEL/DEFINITION literals plus the offensive-technique link
+    (skipped when the record has none)."""
+    tbl = pq.read_table(d3fend_dict_path)
+    se = _SideEmitter()
+    emit = se.emit
+    UCOEX = ns.UCOEX
+    STR = ns.XSD_STRING
+    for row in tbl.to_pylist():
+        di = f"{UCOEX}{row['id']}"
+        emit(di, ns.RDF_TYPE, f"{UCOEX}MITRED3FEND", False, ns.IRI)
+        emit(di, f"{UCOEX}MITRED3FEND_ID", row["id"], True, STR)
+        emit(di, f"{UCOEX}MITRED3FEND_LABEL", row["label"], True, STR)
+        emit(di, f"{UCOEX}MITRED3FEND_DEFINITION", row["definition"], True, STR)
+        if row["off_tech_id"] is not None:
+            ai = f"{UCOEX}{row['off_tech_id']}"
+            emit(di, f"{UCOEX}hasMITREATTACK", ai, False, ns.IRI)
+            emit(ai, ns.RDF_TYPE, f"{UCOEX}MITREATTACK", False, ns.IRI)  # rr:class
+    return se.table()
 
 
 def attack_rel_rows(nodes_tbl: pa.Table, rels_tbl: pa.Table
@@ -288,31 +453,23 @@ def attack_rel_rows(nodes_tbl: pa.Table, rels_tbl: pa.Table
 
 
 def attack_triples(nodes_path: str, rels_path: str) -> pa.Table:
-    """ATT&CK node maps (R10) + the seven referential relationship joins
-    (R11: edge emitted only when source_id is non-null AND the target id
-    exists as a node of the target type — mapping/attack/attack_rml.ttl:253-403)."""
+    """ATT&CK node maps (R10: NAME/DESCRIPTION/URL/DOMAIN,
+    mapping/attack/attack_rml.ttl:30-58) + the seven referential
+    relationship joins (R11: edge emitted only when source_id is non-null
+    AND the target id exists as a node of the target type —
+    mapping/attack/attack_rml.ttl:253-403)."""
     nodes = pq.read_table(nodes_path)
     rels = pq.read_table(rels_path)
-    S, P, O, LIT, DT = [], [], [], [], []
-
-    def emit(s, p, o, lit, dt):
-        S.append(s); P.append(p); O.append(o); LIT.append(lit); DT.append(dt)
-
+    se = _SideEmitter()
+    emit = se.emit
     UCOEX = ns.UCOEX
     for row in nodes.to_pylist():
         ni = f"{UCOEX}{row['ID']}"
         emit(ni, ns.RDF_TYPE, ns.ATTACK_KIND_CLASS[row["kind"]], False, ns.IRI)
         emit(ni, f"{UCOEX}NAME", row["name"], True, ns.XSD_STRING)
+        emit(ni, f"{UCOEX}DESCRIPTION", row["description"], True, ns.XSD_STRING)
         emit(ni, f"{UCOEX}URL", row["url"], True, ns.XSD_STRING)
         emit(ni, f"{UCOEX}DOMAIN", row["domain"], True, ns.XSD_STRING)
     for src, pred, tgt in attack_rel_rows(nodes, rels):
         emit(f"{UCOEX}{src}", pred, f"{UCOEX}{tgt}", False, ns.IRI)
-
-    n = len(S)
-    return pa.Table.from_pydict(
-        {"subj": S, "pred": P, "obj": O,
-         "obj_is_literal": pa.array(LIT, pa.bool_()),
-         "obj_datatype": DT, "conv_id": [""] * n,
-         "turn_idx": pa.array([-1] * n, pa.int32())},
-        schema=EDGE_SCHEMA,
-    )
+    return se.table()

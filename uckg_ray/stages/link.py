@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from uckg_ray.functions.scalars import titles_to_lang_string, truncate_long_fraction
+from uckg_ray.functions.scalars import titles_to_json, truncate_long_fraction
 from uckg_ray.patterns import CPE_COMPILED
 
 
@@ -38,7 +38,7 @@ class CpeLinkStage:
             cpe.column("lastModified").to_pylist(), cpe.column("titles").to_pylist(),
         ):
             self.lookup[name] = (nid, truncate_long_fraction(lm),
-                                 titles_to_lang_string(titles))
+                                 titles_to_json(titles))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
