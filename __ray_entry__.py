@@ -97,15 +97,33 @@ def _q_kg_edges(sf_dir: str):
 
 
 def _q_kg_edges_canonical(sf_dir: str):
+    """Canonicalized edge table in ONE transcript pass: extraction runs
+    with alias-marker rows (the build_kg path), the observed-alias set
+    comes from a column-pruned scan of the materialized edge stream —
+    no second AliasLinker pass over the text."""
     f = _fixdir(sf_dir)
-    from uckg_ray.pipelines.kg import (_apply_rewrite, build_canonical_rewriter,
-                                       extract_edges, side_table_edges)
+    from uckg_ray.pipelines.kg import (_apply_rewrite, extract_edges,
+                                       rewriter_from_observed_aliases,
+                                       side_table_edges)
+    from uckg_ray.stages.extract import ALIAS_MARKER_PRED
     from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
-    turns = _rd_turns(sf_dir)
-    rewrite = build_canonical_rewriter(turns, f)
-    edges = extract_edges(_rd_turns(sf_dir), f)
-    all_edges = union_edge_sources(edges, side_table_edges(f)).map_batches(
-        lambda b: _apply_rewrite(b, rewrite), batch_format="pyarrow")
+    marked = extract_edges(_rd_turns(sf_dir), f, mark_aliases=True).materialize()
+    observed = set(
+        marked.map_batches(
+            lambda b: b.filter(
+                pa.compute.equal(b.column("pred"), ALIAS_MARKER_PRED))
+            .select(["subj"]),
+            batch_format="pyarrow", batch_size=None)
+        .unique("subj"))
+    rewrite = rewriter_from_observed_aliases(observed, f)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        keep = pa.compute.not_equal(b.column("pred"), ALIAS_MARKER_PRED)
+        return _apply_rewrite(b.filter(keep), rewrite)
+
+    all_edges = union_edge_sources(
+        marked.map_batches(finalize, batch_format="pyarrow", batch_size=None),
+        _apply_rewrite(side_table_edges(f), rewrite))
     return distinct_edges(all_edges, sort=True)
 
 
@@ -145,18 +163,24 @@ def _q_kg_degree_topk(sf_dir: str):
         union_edge_sources(edges, side_table_edges(f)), sort=False)
     deg = distinct.groupby("subj").aggregate(Count(alias_name="degree"))
 
+    def local_top(b: pa.Table) -> pa.Table:
+        # block-local partial top-20 combiner: the single-group global
+        # merge sees ≤ 20 rows per block, not the whole degree table
+        df = b.to_pandas().sort_values(["degree", "subj"],
+                                       ascending=[False, True]).head(20)
+        return pa.Table.from_pydict({
+            "g": pa.array([0] * len(df), pa.int64()),
+            "subj": df["subj"].tolist(),
+            "degree": pa.array(df["degree"].tolist(), pa.int64())})
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["degree", "subj"], ascending=[False, True]).head(20)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["subj", "degree", "rank"]]
 
-    # global top-k: single tiny merge over per-subject degrees
-    return deg.map_batches(
-        lambda b: pa.Table.from_pydict({"g": [0] * b.num_rows,
-                                        "subj": b.column("subj"),
-                                        "degree": b.column("degree")}),
-        batch_format="pyarrow").groupby("g").map_groups(
-            lambda g: merge(g.drop(columns=["g"])), batch_format="pandas")
+    return (deg.map_batches(local_top, batch_format="pyarrow", batch_size=None)
+            .groupby("g").map_groups(
+                lambda g: merge(g.drop(columns=["g"])), batch_format="pandas"))
 
 
 def _q_kg_two_hop(sf_dir: str):
@@ -321,11 +345,16 @@ def _q_ann_cosine_topk(sf_dir: str):
 
 
 def _q_ann_ivf_topk(sf_dir: str):
-    """IVF ANN: seeded k-means coarse quantizer, 4-probe exact rescore."""
+    """IVF ANN: seeded k-means coarse quantizer trained on a BOUNDED
+    sample (first parquet batch, ≤4096 rows — never the full table on
+    the driver), 4-probe exact rescore."""
     from uckg_ray.stages.similarity import IVFIndex, ivf_topk
     Q, qids = _load_queries(sf_dir)
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    train = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(pf.iter_batches(batch_size=4096, columns=["embedding"]))
+    col = first.column(0)
+    train = col.values.to_numpy(zero_copy_only=False).astype(
+        np.float64).reshape(len(col), -1)
     ivf = IVFIndex(train, n_centroids=16)
     return ivf_topk(_table(sf_dir, "embeddings"), Q, qids, ivf,
                     k=10, n_probe=4)
@@ -387,15 +416,18 @@ def _q_kg_custom_spec(sf_dir: str):
 
 
 def _q_ann_lsh_topk(sf_dir: str):
-    """Scale-path ANN: hyperplane-LSH bucket the corpus, rescore only
-    in-bucket candidates (multi-probe over all query buckets)."""
-    import ray.data
+    """Scale-path ANN: hyperplane-LSH bucket the corpus (stateless task
+    pool — no actor pinning), rescore only in-bucket candidates.
+    Multi-probe: each query probes its own bucket plus all Hamming-1
+    neighbors, so pruning is real (64 buckets at 6 planes) without
+    starving any query of candidates."""
     from uckg_ray.stages.similarity import HyperplaneLSH, ann_cosine_topk
     Q, qids = _load_queries(sf_dir)
-    emb = _table(sf_dir, "embeddings")
-    lsh = HyperplaneLSH(Q.shape[1], n_planes=4)
-    bucketed = emb.map_batches(HyperplaneLSH, fn_constructor_args=(Q.shape[1], 4),
-                               batch_format="pyarrow", concurrency=1)
+    n_planes = 6
+    lsh = HyperplaneLSH(Q.shape[1], n_planes=n_planes)
+    # callable instance = plain task-pool map fn (planes ride the closure)
+    bucketed = _table(sf_dir, "embeddings").map_batches(
+        lsh, batch_format="pyarrow")
     qsig = (Q @ lsh.planes.T) > 0
     qbuckets = set()
     for row in qsig:
@@ -403,12 +435,21 @@ def _q_ann_lsh_topk(sf_dir: str):
         for k, bit in enumerate(row):
             s |= int(bit) << k
         qbuckets.add(s)
+        for k in range(n_planes):          # multi-probe: flip one bit
+            qbuckets.add(s ^ (1 << k))
     bucket_set = pa.array(sorted(qbuckets), pa.int64())
     cand = bucketed.map_batches(
         lambda b: b.filter(pa.compute.is_in(b.column("bucket"),
                                             value_set=bucket_set)),
         batch_format="pyarrow")
     return ann_cosine_topk(cand.drop_columns(["bucket"]), Q, qids, k=10)
+
+
+def _q_embed_neardup_lsh(sf_dir: str):
+    """Banded-LSH near-dup over embeddings — the 100 TB path for
+    embed_neardup (in-partition exact-cosine verification)."""
+    from uckg_ray.stages.similarity import embedding_neardup_lsh_pairs
+    return embedding_neardup_lsh_pairs(_table(sf_dir, "embeddings"), tau=0.45)
 
 
 def _q_events_asof(sf_dir: str):
@@ -476,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_token_jaccard": _q_dedup_token_jaccard,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "embed_neardup_lsh": _q_embed_neardup_lsh,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,

@@ -63,6 +63,27 @@ def test_minhash_recall_vs_exact(ray_session):
     assert got == want  # verification stage makes candidates exact
 
 
+def test_minhash_never_streams_corpus_through_driver(ray_session):
+    """The docs Dataset must be consumed only inside Ray tasks — any
+    driver-side pull (iter_batches / take_all / iter_rows / to_pandas)
+    on the corpus is a scale-killer at 100 TB."""
+    from uckg_ray.stages.dedup import minhash_lsh_pairs
+    texts = ["alpha beta gamma delta epsilon zeta eta theta",
+             "alpha beta gamma delta epsilon zeta eta changed",
+             "totally different words here now ok yes indeed"]
+    ds = _docs_ds(ray_session, texts)
+
+    def forbidden(*a, **kw):
+        raise AssertionError("driver-side corpus pull")
+
+    for m in ("iter_batches", "take_all", "iter_rows", "to_pandas",
+              "take", "to_arrow_refs"):
+        setattr(ds, m, forbidden)
+    got = {(r["doc_a"], r["doc_b"])
+           for r in minhash_lsh_pairs(ds, tau=0.5).take_all()}
+    assert got == {(0, 1)}
+
+
 def test_simhash_pairs_property(ray_session):
     from uckg_ray.stages.dedup import simhash64, simhash_pairs
     texts = ["a b c d e f g h", "a b c d e f g x",  # near-identical token sets

@@ -54,6 +54,29 @@ def test_golden_pr(built, sf_small_fixtures):
     assert (p, r) == (1.0, 1.0)     # and we hold exact parity
 
 
+def test_props_artifact_matches_edge_multivals(built):
+    """props/ (A4 multival arrays) must equal a recomputation from the
+    final edges/ table: per (subj, pred) over literal edges, distinct
+    values sorted and ';;'-joined."""
+    out, manifest = built
+    pt = pa.concat_tables([pq.read_table(f) for f in
+                           sorted(glob.glob(os.path.join(out, "props", "*.parquet")))])
+    got = {(s, p): v for s, p, v in zip(pt.column("subj").to_pylist(),
+                                        pt.column("pred").to_pylist(),
+                                        pt.column("vals").to_pylist())}
+    et = pa.concat_tables([pq.read_table(f) for f in
+                           sorted(glob.glob(os.path.join(out, "edges", "*.parquet")))])
+    want: dict[tuple[str, str], set] = {}
+    for s, p, o, lit in zip(et.column("subj").to_pylist(),
+                            et.column("pred").to_pylist(),
+                            et.column("obj").to_pylist(),
+                            et.column("obj_is_literal").to_pylist()):
+        if lit:
+            want.setdefault((s, p), set()).add(o)
+    assert got == {k: ";;".join(sorted(v)) for k, v in want.items()}
+    assert manifest["n_props"] == len(got)
+
+
 def test_output_sorted_and_unique(built):
     out, _ = built
     rows = _rows(out)

@@ -38,7 +38,8 @@ from uckg_ray.stages.extract import (TripleEmitter, attack_triples,
                                      capec_dict_triples, cve_dict_triples,
                                      cwe_dict_triples, d3fend_dict_triples)
 from uckg_ray.stages.link import AliasLinker, load_alias_table
-from uckg_ray.stages.materialize import distinct_edges, node_table, union_edge_sources
+from uckg_ray.stages.materialize import (distinct_edges, node_props, node_table,
+                                         union_edge_sources)
 
 
 def transcript_files(transcripts_dir: str) -> list[str]:
@@ -266,9 +267,11 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     final = distinct_edges(all_edges, sort=True)
     edges_dir = os.path.join(out_dir, "edges")
     nodes_dir = os.path.join(out_dir, "nodes")
+    props_dir = os.path.join(out_dir, "props")
     import shutil
     shutil.rmtree(edges_dir, ignore_errors=True)
     shutil.rmtree(nodes_dir, ignore_errors=True)
+    shutil.rmtree(props_dir, ignore_errors=True)
     final.write_parquet(edges_dir)
     t_edges = time.perf_counter() - t_start - t_phase_a - t_canon
 
@@ -277,6 +280,12 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         override_num_blocks=n_cpus)
     nodes = node_table(final_read)
     nodes.write_parquet(nodes_dir)
+    # A4 multival property arrays as a build artifact (the reference's
+    # n10s ARRAY-property load), from a fresh narrow read of edges/
+    final_read2 = ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(edges_dir, "*.parquet"))),
+        override_num_blocks=n_cpus)
+    node_props(final_read2).write_parquet(props_dir)
     t_nodes = (time.perf_counter() - t_start
                - t_phase_a - t_canon - t_edges)
 
@@ -284,6 +293,8 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
                   for f in glob.glob(os.path.join(edges_dir, "*.parquet")))
     n_nodes = sum(pa.parquet.read_metadata(f).num_rows
                   for f in glob.glob(os.path.join(nodes_dir, "*.parquet")))
+    n_props = sum(pa.parquet.read_metadata(f).num_rows
+                  for f in glob.glob(os.path.join(props_dir, "*.parquet")))
     n_turns = sum(pa.parquet.read_metadata(f).num_rows for f in files)
     wall = time.perf_counter() - t_start
     payload = {
@@ -292,6 +303,7 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         "groups_skipped_by_resume": skipped,
         "n_distinct_edges": n_edges,
         "n_nodes": n_nodes,
+        "n_props": n_props,
         "n_canonical_rewrites": len(rewrite),
         "wall_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),

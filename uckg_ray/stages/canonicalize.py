@@ -8,18 +8,24 @@ through shared aliases must merge: a union-find over the bipartite
 lexicographically smallest entity_id in its connected component.
 
 The component computation is an iterative min-label propagation
-expressed purely with Ray Data groupby shuffles (no driver-side graph):
+expressed purely with Ray Data shuffles (no driver-side graph):
 
     labels(v) ← v
     repeat:  labels(v) ← min(labels(v), min_{(u,v)∈E} labels(u))
 
-Each round is: union(labels, symmetric-edges) → groupby(node) →
-emit min label to self + neighbors → groupby(node).min. Convergence is
+Each round is fully vectorized — union(labels, symmetric-edges) →
+explicit hash partition on node → ONE pandas merge + groupby.min per
+partition (label rows ⨝ edge rows flows each node's current label to
+its neighbors, with a partial per-node min as the combiner) →
+groupby(node).Min. No per-node Python calls anywhere: partition count,
+not node count, bounds the Python-call overhead. Convergence is
 detected by a content fingerprint (labels are monotone non-increasing,
 so an unchanged fingerprint ⇒ fixpoint). Hot hub nodes are mitigated by
-Ray Data's per-block partial aggregation on the Min aggregate; the
-neighbor fan-out of a hub is bounded by its *distinct* neighbor count
-because pairs are deduped first (see ``observed_alias_pairs``).
+(a) pairs being deduped first (fan-out bounded by *distinct* neighbor
+count, see ``observed_alias_pairs``) and (b) optional explicit salting:
+``salt > 1`` splits each node's edge rows across salt sub-partitions by
+hash(neighbor) with label rows replicated into each, so one hub never
+serializes one partition task.
 
 The DuckDB oracle reproduces this with a recursive CTE (transitive
 closure + MIN over entity labels) — see __ray_entry__.py.
@@ -29,8 +35,10 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data import Dataset
@@ -43,35 +51,59 @@ def _symmetrize(batch: pa.Table, src: str, dst: str) -> pa.Table:
     return pa.table({"node": s + d, "nbr": d + s})
 
 
-def _propagate(group: pd.DataFrame) -> pd.DataFrame:
-    labels = group["label"].dropna()
-    ml = labels.min()
-    nbrs = group["nbr"].dropna()
-    nodes = [group["node"].iloc[0], *nbrs.tolist()]
-    return pd.DataFrame({"node": nodes, "label": [ml] * len(nodes)})
+def _add_cc_partition(batch: pa.Table, num_partitions: int,
+                      salt: int) -> pa.Table:
+    """Vectorized partition assignment for one propagation round.
 
-
-def _salt_batch(batch: pa.Table, salt: int) -> pa.Table:
-    """Explicit hub-key salting: split each node's rows into `salt`
-    sub-groups keyed by hash(nbr) so a hub's neighbor fan-out never
-    lands in one task; label rows are replicated into every sub-group
-    so each sub-group can compute the node's current min label."""
+    Partition key is hash(node) (all rows of a node — its label row and
+    its edge rows — must co-locate for the in-partition merge). With
+    ``salt > 1`` edge rows are sub-keyed by hash(nbr) % salt and label
+    rows are replicated into every sub-key, so a hub node's fan-out is
+    spread across up to ``salt`` partitions. Sub-key collisions across
+    nodes are harmless: the merge joins on node, and duplicate label
+    replicas only duplicate message rows that the Min collapses."""
     import polars as pl
-    node = batch.column("node").to_pylist()
-    nbr = batch.column("nbr").to_pylist()
-    label = batch.column("label").to_pylist()
-    N, B, L, S = [], [], [], []
-    nbr_salt = (pl.Series([x or "" for x in nbr]).hash(seed=1)
-                % salt).to_list()
-    for n, b, l, s in zip(node, nbr, label, nbr_salt):
-        if b is not None:                      # edge row → its salt bucket
-            N.append(n); B.append(b); L.append(l); S.append(int(s))
-        else:                                  # label row → every bucket
-            for k in range(salt):
-                N.append(n); B.append(b); L.append(l); S.append(k)
-    return pa.table({"node": N, "nbr": pa.array(B, pa.string()),
-                     "label": pa.array(L, pa.string()),
-                     "salt": pa.array(S, pa.int32())})
+
+    node = batch.column("node")
+    node = node.combine_chunks() if isinstance(node, pa.ChunkedArray) else node
+    h = pl.from_arrow(node).hash(seed=0).to_numpy().astype(np.uint64)
+    if salt <= 1:
+        p = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("p", pa.array(p, pa.int32()))
+    nbr = batch.column("nbr")
+    nbr = nbr.combine_chunks() if isinstance(nbr, pa.ChunkedArray) else nbr
+    is_edge = pc.is_valid(nbr).to_numpy(zero_copy_only=False)
+    hn = (pl.from_arrow(pc.fill_null(nbr, "")).hash(seed=1)
+          .to_numpy().astype(np.uint64) % np.uint64(salt))
+    edges_t = batch.filter(pa.array(is_edge))
+    p_edges = ((h[is_edge] * np.uint64(1315423911) + hn[is_edge])
+               % np.uint64(num_partitions)).astype(np.int32)
+    edges_t = edges_t.append_column("p", pa.array(p_edges, pa.int32()))
+    labels_t = batch.filter(pa.array(~is_edge))
+    h_lab = h[~is_edge]
+    reps = []
+    for k in range(salt):
+        p_lab = ((h_lab * np.uint64(1315423911) + np.uint64(k))
+                 % np.uint64(num_partitions)).astype(np.int32)
+        reps.append(labels_t.append_column("p", pa.array(p_lab, pa.int32())))
+    return pa.concat_tables([edges_t, *reps])
+
+
+def _propagate_partition(part: pa.Table) -> pa.Table:
+    """One vectorized propagation step for one hash partition: labels
+    flow across the partition's edge rows via a pandas merge; a per-node
+    partial min acts as the combiner before the global Min shuffle."""
+    df = part.to_pandas()
+    is_lab = df["nbr"].isna()
+    lab = df.loc[is_lab, ["node", "label"]]
+    edg = df.loc[~is_lab, ["node", "nbr"]]
+    m = edg.merge(lab, on="node", how="inner")   # node's label → its nbrs
+    msgs = pd.DataFrame({
+        "node": pd.concat([lab["node"], m["nbr"]], ignore_index=True),
+        "label": pd.concat([lab["label"], m["label"]], ignore_index=True)})
+    g = msgs.groupby("node", sort=False)["label"].min().reset_index()
+    return pa.table({"node": g["node"].tolist(),
+                     "label": g["label"].tolist()})
 
 
 def _fingerprint_batch(batch: pa.Table) -> pa.Table:
@@ -84,16 +116,19 @@ def _fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 
 def connected_components(pairs: Dataset, src: str, dst: str,
-                         max_iters: int = 15, salt: int = 1) -> Dataset:
+                         max_iters: int = 15, salt: int = 1,
+                         num_partitions: int = 16) -> Dataset:
     """(src, dst) edge Dataset → (node, label) with label = min node id of
-    the component. Pure groupby-shuffle label propagation.
+    the component. Each round is an explicit hash-partition shuffle +
+    one vectorized pandas merge/min per partition + a Min aggregate —
+    zero per-node Python calls.
 
-    ``salt > 1`` enables explicit hub-key salting: the per-node message
-    groups are split into `salt` sub-groups by hash(neighbor), with
-    label rows replicated into each, so a hub entity with millions of
-    aliases fans out across `salt` tasks instead of one (north-star
+    ``salt > 1`` enables explicit hub-key salting: a node's edge rows
+    spread across salt sub-partitions by hash(neighbor) with its label
+    row replicated into each, so a hub entity with millions of aliases
+    fans out across `salt` partition tasks instead of one (north-star
     skew handling). Results are identical to the unsalted path — the
-    final groupby(node).min merges the sub-group minima."""
+    final groupby(node).Min merges the sub-partition minima."""
     edges_sym = pairs.map_batches(
         lambda b: _symmetrize(b, src, dst), batch_format="pyarrow"
     ).materialize()
@@ -122,16 +157,12 @@ def connected_components(pairs: Dataset, src: str, dst: str,
             batch_format="pyarrow",
         )
         combined = labels_tagged.union(edges_tagged)
-        if salt > 1:
-            msgs = (combined.map_batches(
-                        lambda b: _salt_batch(b, salt),
-                        batch_format="pyarrow", batch_size=None)
-                    .groupby(["node", "salt"]).map_groups(
-                        lambda g: _propagate(g.drop(columns=["salt"])),
-                        batch_format="pandas"))
-        else:
-            msgs = combined.groupby("node").map_groups(
-                _propagate, batch_format="pandas")
+        msgs = (combined.map_batches(
+                    lambda b: _add_cc_partition(b, num_partitions, salt),
+                    batch_format="pyarrow", batch_size=None)
+                .groupby("p").map_groups(
+                    lambda t: _propagate_partition(t.drop_columns(["p"])),
+                    batch_format="pyarrow"))
         labels = msgs.groupby("node").aggregate(
             Min("label", alias_name="label")).materialize()
         fp = labels.map_batches(_fingerprint_batch, batch_format="pyarrow").sum("h")

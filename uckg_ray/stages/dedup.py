@@ -132,14 +132,45 @@ def token_jaccard_pairs(docs: Dataset, *, block_col: str = "source",
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
 
+_EMPTY_PAIRS = pa.Table.from_pydict(
+    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+
+
+def distinct_pairs(pair_ds: Dataset, num_partitions: int = 32) -> Dataset:
+    """Globally distinct (doc_a, doc_b): hash-partition on the pair key,
+    vectorized np.unique per partition. The pair stream never touches
+    the driver."""
+    def add_q(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        q = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(num_partitions))
+        return batch.append_column("q", pa.array(q.astype(np.int32), pa.int32()))
+
+    def uniq(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _EMPTY_PAIRS
+        a = part.column("doc_a").to_numpy(zero_copy_only=False)
+        b = part.column("doc_b").to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.Table.from_pydict({
+            "doc_a": pa.array(u[:, 0], pa.int64()),
+            "doc_b": pa.array(u[:, 1], pa.int64())})
+
+    return (pair_ds.map_batches(add_q, batch_format="pyarrow", batch_size=None)
+            .groupby("q").map_groups(
+                lambda t: uniq(t.drop_columns(["q"])), batch_format="pyarrow"))
+
+
 def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
                     num_partitions: int = 32,
-                    verify=None) -> set[tuple[int, int]]:
-    """Candidate (doc_a < doc_b) pairs sharing any bucket: hash-partition
-    on the bucket key, emit pairs with one vectorized pandas pass per
-    partition, dedup the (small) candidate set on the driver. An optional
-    ``verify(a_ids, b_ids) -> bool mask`` runs INSIDE the partition task
-    so dense buckets don't ship unverified candidates to the driver."""
+                    verify=None) -> Dataset:
+    """Candidate (doc_a < doc_b) pairs sharing any bucket, as a Dataset:
+    hash-partition on the bucket key, emit pairs with one vectorized
+    pandas pass per partition, then a distributed pair-keyed distinct
+    (the same pair can surface in two bands → two partitions). An
+    optional ``verify(a_ids, b_ids) -> bool mask`` runs INSIDE the
+    partition task so dense buckets never ship unverified candidates
+    anywhere. Nothing O(corpus) or O(candidates) lands on the driver."""
     import polars as pl
 
     def add_p(batch: pa.Table) -> pa.Table:
@@ -165,9 +196,7 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
             iu, ju = np.triu_indices(len(ids), k=1)
             A.append(ids[iu]); B.append(ids[ju])
         if not A:
-            return pa.Table.from_pydict(
-                {"doc_a": pa.array([], pa.int64()),
-                 "doc_b": pa.array([], pa.int64())})
+            return _EMPTY_PAIRS
         a = np.concatenate(A)
         b = np.concatenate(B)
         # in-partition dedup (a pair found by several bands collapses here)
@@ -184,7 +213,7 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
     pair_ds = parted.groupby("p").map_groups(
         lambda t: pairs_in_partition(t.drop_columns(["p"])),
         batch_format="pyarrow")
-    return {(r["doc_a"], r["doc_b"]) for r in pair_ds.take_all()}
+    return distinct_pairs(pair_ds, num_partitions)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -246,11 +275,28 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
                       n_bands: int = 16, shingle_w: int = 3,
                       concurrency=(1, 8), batch_size: int = 2048) -> Dataset:
     """Candidate generation: shingle → minhash → band-bucket groupby;
-    verification: exact shingle Jaccard ≥ tau over the candidate pairs
-    (shingle sets re-derived in the verify stage from a broadcast of the
-    candidate docs' texts — the candidate set is small relative to the
-    corpus; at extreme scale verification becomes a pair-partitioned
-    join instead)."""
+    verification: exact shingle Jaccard ≥ tau over the candidate pairs.
+
+    Fully distributed shape — the corpus text is consumed only inside
+    Ray tasks, never streamed through the driver:
+
+    1. candidate pairs = banded-LSH bucket pairs, distributed distinct
+       (``_bucketed_pairs`` returns a Dataset);
+    2. the needed doc ids (bounded by candidate volume, not corpus size)
+       are broadcast via ``ray.put``; a second pass over ``docs`` filters
+       to those ids INSIDE each task and emits each candidate doc's
+       shingle set hashed to sorted uint64 arrays (8 B/shingle; exact
+       Jaccard modulo 2⁻⁶⁴ hash collisions — the same blake2b-64 space
+       the minhash permutations consume);
+    3. verification runs vectorized inside ``map_batches`` over the pair
+       Dataset against the broadcast shingle-hash arrays.
+
+    The only driver-resident state is O(candidate docs): the id set and
+    their hashed shingle arrays. At extreme candidate volume, step 2/3
+    become a pair ⨝ shingles shuffle join instead of a broadcast."""
+    import ray
+    import ray.data
+
     sigs = docs.map_batches(
         MinHasher, fn_constructor_kwargs=dict(
             n_perm=n_perm, n_bands=n_bands, shingle_w=shingle_w),
@@ -259,36 +305,93 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
     # hash-partition on band_hash, then ONE vectorized pair-emission pass
     # per partition (not one Python call per bucket — 80k tiny buckets
     # made the per-bucket map_groups the bottleneck)
-    cand_pairs = _bucketed_pairs(sigs, ["band", "band_hash"])
+    cand = _bucketed_pairs(sigs, ["band", "band_hash"]).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
 
-    if not cand_pairs:
-        import ray.data
-        return ray.data.from_arrow(pa.Table.from_pydict(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}))
-    cand_rows = [{"doc_a": a, "doc_b": b} for a, b in sorted(cand_pairs)]
-    need = set()
-    for r in cand_rows:
-        need.add(r["doc_a"]); need.add(r["doc_b"])
+    need = np.array(sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b"))),
+                    dtype=np.int64)
+    need_ref = ray.put(need)
+    w = shingle_w
 
-    hasher = MinHasher(n_perm, n_bands, shingle_w)
-    texts: dict[int, set] = {}
-    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            if i in need:
-                texts[i] = hasher.shingles(t)
-    A, B = [], []
-    for r in cand_rows:
-        sa, sb = texts.get(r["doc_a"]), texts.get(r["doc_b"])
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        if inter and inter / (len(sa) + len(sb) - inter) >= tau:
-            A.append(r["doc_a"]); B.append(r["doc_b"])
-    import ray.data
-    pairs_sorted = sorted(zip(A, B))
-    return ray.data.from_arrow(pa.Table.from_pydict(
-        {"doc_a": pa.array([x for x, _ in pairs_sorted], pa.int64()),
-         "doc_b": pa.array([y for _, y in pairs_sorted], pa.int64())}))
+    def cand_shingle_hashes(batch: pa.Table) -> pa.Table:
+        # task-side filter to candidate docs; shingle → blake2b-64 hash,
+        # sorted unique uint64 array per doc
+        need_arr = ray.get(need_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, need_arr)
+        out_ids, out_sh = [], []
+        for i, t in zip(ids[keep],
+                        pa.compute.array_filter(
+                            batch.column("text").combine_chunks()
+                            if isinstance(batch.column("text"), pa.ChunkedArray)
+                            else batch.column("text"),
+                            pa.array(keep)).to_pylist()):
+            toks = t.split(" ")
+            if len(toks) < w:
+                sh = {" ".join(toks)} if toks != [""] else set()
+            else:
+                sh = {" ".join(toks[j:j + w]) for j in range(len(toks) - w + 1)}
+            hv = np.unique(np.fromiter((_stable64(s) for s in sh),
+                                       dtype=np.uint64, count=len(sh)))
+            out_ids.append(int(i)); out_sh.append(hv)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "sh": pa.array([x.tolist() for x in out_sh],
+                           pa.list_(pa.uint64()))})
+
+    small = docs.map_batches(cand_shingle_hashes, batch_format="pyarrow")
+    # O(candidate docs) — flat values + offsets, broadcast once
+    id_chunks, val_chunks, len_chunks = [], [], []
+    for b in small.iter_batches(batch_format="pyarrow", batch_size=None):
+        col = b.column("sh")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        id_chunks.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+        val_chunks.append(col.values.to_numpy(zero_copy_only=False))
+        off = col.offsets.to_numpy(zero_copy_only=False)
+        len_chunks.append(np.diff(off))
+    if not id_chunks:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    sh_ids = np.concatenate(id_chunks)
+    lens = np.concatenate(len_chunks)
+    order = np.argsort(sh_ids)
+    starts_all = np.concatenate([np.array([0]), np.cumsum(lens)])[:-1]
+    # reorder flat storage by doc id for searchsorted lookup
+    vals_flat = np.concatenate(val_chunks) if val_chunks else np.array([], np.uint64)
+    sh_ids_s = sh_ids[order]
+    starts_s = starts_all[order]
+    lens_s = lens[order]
+    ids_ref = ray.put(sh_ids_s)
+    vals_ref = ray.put(vals_flat)
+    starts_ref = ray.put(starts_s)
+    lens_ref = ray.put(lens_s)
+
+    def verify_pairs(batch: pa.Table) -> pa.Table:
+        ids_s = ray.get(ids_ref)
+        vals = ray.get(vals_ref)
+        starts = ray.get(starts_ref)
+        ln = ray.get(lens_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids_s, a)
+        ib = np.searchsorted(ids_s, b)
+        A, B = [], []
+        for k in range(len(a)):
+            la, lb = int(ln[ia[k]]), int(ln[ib[k]])
+            if la == 0 or lb == 0:
+                continue
+            sa = vals[starts[ia[k]]:starts[ia[k]] + la]
+            sb = vals[starts[ib[k]]:starts[ib[k]] + lb]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            # same float-division form as the exact-set reference check so
+            # threshold rounding is identical
+            if inter and inter / (la + lb - inter) >= tau:
+                A.append(int(a[k])); B.append(int(b[k]))
+        return pa.Table.from_pydict({
+            "doc_a": pa.array(A, pa.int64()), "doc_b": pa.array(B, pa.int64())})
+
+    return (cand.map_batches(verify_pairs, batch_format="pyarrow")
+            .sort(["doc_a", "doc_b"]))
 
 
 # ---------------------------------------------------------------------------
@@ -345,9 +448,17 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3) -> Dataset:
     import ray
 
     sigs = simhash_signatures(docs).materialize()  # consumed twice below
-    sig_rows = sigs.take_all()
-    ids_arr = np.array([r["doc_id"] for r in sig_rows], dtype=np.int64)
-    sig_vals = np.array([r["simhash"] for r in sig_rows], dtype=np.uint64)
+    # broadcast signature table assembled from Arrow batches (16 B/doc,
+    # no Python row-dict detour); at extreme corpus scale shard this by
+    # pair partition instead of broadcasting
+    id_chunks, sig_chunks = [], []
+    for b in sigs.iter_batches(batch_format="pyarrow", batch_size=None):
+        id_chunks.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+        sig_chunks.append(b.column("simhash").to_numpy(zero_copy_only=False))
+    ids_arr = (np.concatenate(id_chunks) if id_chunks
+               else np.array([], dtype=np.int64))
+    sig_vals = (np.concatenate(sig_chunks).astype(np.uint64) if sig_chunks
+                else np.array([], dtype=np.uint64))
     order = np.argsort(ids_arr)
     # id-agnostic lookup (searchsorted over sorted ids — works for any
     # int64 doc_ids, unlike a dense array indexed by id) shared via
@@ -367,9 +478,5 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3) -> Dataset:
         return np.unpackbits(x, axis=1).sum(axis=1) <= max_hamming
 
     banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=None)
-    verified = sorted(_bucketed_pairs(banded, ["band", "band_val"],
-                                      verify=verify))
-    import ray.data
-    return ray.data.from_arrow(pa.Table.from_pydict({
-        "doc_a": pa.array([a for a, _ in verified], pa.int64()),
-        "doc_b": pa.array([b for _, b in verified], pa.int64())}))
+    return (_bucketed_pairs(banded, ["band", "band_val"], verify=verify)
+            .sort(["doc_a", "doc_b"]))
