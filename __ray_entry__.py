@@ -183,6 +183,19 @@ def _q_kg_degree_topk(sf_dir: str):
                 lambda g: merge(g.drop(columns=["g"])), batch_format="pandas"))
 
 
+def _q_kg_types_inferred(sf_dir: str):
+    """T3 TBox entailment: rdf:type assertions ∪ rdfs:subClassOf-closure
+    supertypes, distinct (node, type_iri)."""
+    f = _fixdir(sf_dir)
+    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
+    from uckg_ray.stages.materialize import (distinct_edges, infer_types,
+                                             union_edge_sources)
+    edges = extract_edges(_rd_turns(sf_dir), f)
+    distinct = distinct_edges(
+        union_edge_sources(edges, side_table_edges(f)), sort=False)
+    return infer_types(distinct)
+
+
 def _q_kg_two_hop(sf_dir: str):
     """2-hop traversal on the KG via a shuffle join of the edge table
     with itself: (et)-[hasWeakness]->(w)-[relatedWeakness]->(w2)."""
@@ -506,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_props": _q_kg_node_props,
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_two_hop": _q_kg_two_hop,
+        "kg_types_inferred": _q_kg_types_inferred,
         "kg_cpe_link": _q_kg_cpe_link,
         "kg_linker": _q_kg_linker,
         "kg_canonical": _q_kg_canonical,
@@ -873,6 +887,27 @@ def _sql_kg_edges(p) -> str:
             f"FROM ({_edges_union(p)})")
 
 
+def _sql_kg_types_inferred(p) -> str:
+    """T3 entailment oracle: recursive rdfs:subClassOf closure over the
+    TBox VALUES table, joined to the distinct rdf:type assertions."""
+    from uckg_ray.tbox import TBOX_EDGES
+    vals = ", ".join(f"('{c}', '{s}')" for c, s in TBOX_EDGES)
+    return f"""WITH RECURSIVE {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+tb(c, s) AS (VALUES {vals}),
+clos(c, s) AS (SELECT c, s FROM tb
+               UNION
+               SELECT t.c, b.s FROM clos t JOIN tb b ON b.c = t.s
+               WHERE b.s <> t.c),
+types AS (SELECT DISTINCT subj AS node, obj AS type_iri FROM edges
+          WHERE pred = '{ns.RDF_TYPE}')
+SELECT DISTINCT node, type_iri FROM (
+  SELECT node, type_iri FROM types
+  UNION ALL
+  SELECT t.node, c.s AS type_iri FROM types t JOIN clos c ON c.c = t.type_iri)"""
+
+
 def _sql_kg_edges_canonical(p) -> str:
     """Full canonicalized edge table: the template UNION plus the
     union-find canonical map (recursive CTE) applied as an IRI rewrite
@@ -951,6 +986,7 @@ edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
 SELECT DISTINCT e1.subj AS src, e1.obj AS mid, e2.obj AS dst
 FROM edges e1 JOIN edges e2 ON e2.subj = e1.obj
 WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
+        "kg_types_inferred": _sql_kg_types_inferred(p),
         "kg_cpe_link": f"""WITH {_kg_ctes(p)}
 SELECT c.conv_id, c.turn_idx, c.id AS cpeName, d.cpeNameId,
        d.lm AS lastModified,

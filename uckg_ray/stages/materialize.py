@@ -227,6 +227,57 @@ def node_props(distinct: Dataset, num_partitions: int = 16) -> Dataset:
         batch_format="pyarrow")
 
 
+_TYPES_SCHEMA = pa.schema([("node", pa.string()), ("type_iri", pa.string())])
+
+
+def infer_types(distinct: Dataset, closure: dict[str, list[str]] | None = None,
+                num_partitions: int = 16) -> Dataset:
+    """TBox entailment (SURVEY §2.5 T3): every ``rdf:type`` assertion
+    broadcast-joined against the rdfs:subClassOf closure → distinct
+    (node, type_iri) including inferred supertypes. The closure is the
+    bounded ontology side (rides the task closure); the rdf:type stream
+    is the data-scale side. Same block-partial + hash-partition distinct
+    shape as node_table."""
+    import pandas as pd
+
+    from uckg_ray import namespaces as ns
+    from uckg_ray.tbox import tbox_closure
+    closure = tbox_closure() if closure is None else closure
+    rt = ns.RDF_TYPE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.compute.equal(batch.column("pred"), rt))
+        df = pd.DataFrame({"node": t.column("subj").to_pylist(),
+                           "type_iri": t.column("obj").to_pylist()})
+        sup = df.assign(type_iri=df["type_iri"].map(closure))
+        sup = sup[sup["type_iri"].notna()].explode("type_iri")
+        out = pd.concat([df, sup], ignore_index=True).drop_duplicates()
+        return pa.Table.from_pydict(
+            {"node": out["node"].tolist(), "type_iri": out["type_iri"].tolist()},
+            schema=_TYPES_SCHEMA)
+
+    def uniq(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates()
+        return pa.Table.from_pydict(
+            {"node": df["node"].tolist(), "type_iri": df["type_iri"].tolist()},
+            schema=_TYPES_SCHEMA)
+
+    parted = (distinct.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None)
+              .map_batches(lambda b: _add_hash_partition(
+                  b.append_column("k", pa.compute.binary_join_element_wise(
+                      b.column("node").combine_chunks()
+                      if isinstance(b.column("node"), pa.ChunkedArray)
+                      else b.column("node"),
+                      b.column("type_iri").combine_chunks()
+                      if isinstance(b.column("type_iri"), pa.ChunkedArray)
+                      else b.column("type_iri"), "\x1f")),
+                  num_partitions, col="k"),
+                  batch_format="pyarrow", batch_size=None))
+    return parted.groupby("p").map_groups(
+        lambda t: uniq(t.drop_columns(["p", "k"])), batch_format="pyarrow")
+
+
 def union_edge_sources(*sources: Dataset | pa.Table) -> Dataset:
     """A5 graph union: per-source edge datasets/tables → one edge stream."""
     ds_list = []
