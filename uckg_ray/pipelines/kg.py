@@ -239,13 +239,22 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     if canonicalize:
         # observed aliases from the marker rows: a column-pruned,
         # predicate-pushed read of the narrow shard output — the
-        # data-scale step of canonicalization
-        observed = set(
-            ray.data.read_parquet(
-                shard_files, columns=["subj"],
-                filter=(pa.compute.field("pred") == ALIAS_MARKER_PRED),
-                override_num_blocks=n_cpus)
-            .unique("subj"))
+        # data-scale step of canonicalization. Per-block local distinct
+        # (bounded by the alias dictionary) + a driver set-union replaces
+        # a full unique() shuffle: the scan stays parallel, the merge is
+        # O(dict × blocks).
+        import pyarrow.compute as pc
+        observed_ds = ray.data.read_parquet(
+            shard_files, columns=["subj"],
+            filter=(pa.compute.field("pred") == ALIAS_MARKER_PRED),
+            override_num_blocks=n_cpus
+        ).map_batches(
+            lambda b: pa.table({"subj": pc.unique(
+                b.column("subj").combine_chunks()
+                if isinstance(b.column("subj"), pa.ChunkedArray)
+                else b.column("subj"))}),
+            batch_format="pyarrow", batch_size=None)
+        observed = {r["subj"] for r in observed_ds.take_all()}
         rewrite = rewriter_from_observed_aliases(observed, fixture_dir, cfg)
     t_canon = time.perf_counter() - t_start - t_phase_a
 
@@ -264,7 +273,7 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         shard_edges.map_batches(finalize_batch, batch_format="pyarrow", batch_size=None),
         side.select(EDGE_KEY_COLS))
 
-    final = distinct_edges(all_edges, sort=True)
+    final = distinct_edges(all_edges, sort=True).materialize()
     edges_dir = os.path.join(out_dir, "edges")
     nodes_dir = os.path.join(out_dir, "nodes")
     props_dir = os.path.join(out_dir, "props")
@@ -272,20 +281,15 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     shutil.rmtree(edges_dir, ignore_errors=True)
     shutil.rmtree(nodes_dir, ignore_errors=True)
     shutil.rmtree(props_dir, ignore_errors=True)
+    # one materialized edge set feeds the write AND both aggregations —
+    # no parquet re-reads, no repeated pipeline execution
     final.write_parquet(edges_dir)
     t_edges = time.perf_counter() - t_start - t_phase_a - t_canon
 
-    final_read = ray.data.read_parquet(
-        sorted(glob.glob(os.path.join(edges_dir, "*.parquet"))),
-        override_num_blocks=n_cpus)
-    nodes = node_table(final_read)
-    nodes.write_parquet(nodes_dir)
+    node_table(final).write_parquet(nodes_dir)
     # A4 multival property arrays as a build artifact (the reference's
-    # n10s ARRAY-property load), from a fresh narrow read of edges/
-    final_read2 = ray.data.read_parquet(
-        sorted(glob.glob(os.path.join(edges_dir, "*.parquet"))),
-        override_num_blocks=n_cpus)
-    node_props(final_read2).write_parquet(props_dir)
+    # n10s ARRAY-property load)
+    node_props(final).write_parquet(props_dir)
     t_nodes = (time.perf_counter() - t_start
                - t_phase_a - t_canon - t_edges)
 

@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 7
+GEN_VERSION = 8
 SEED = 42
 FIXTURE_ROOT = "/tmp/uckg_ray_fixtures"
 
@@ -62,14 +62,16 @@ _STOP_FR = ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"]
 
 
 def n_turns_for_sf(sf_name: str) -> int:
-    """sf0.001→6k, sf0.01→60k turns; the bench tier (sf ≥ 0.05) is ×8
-    (sf0.1→4.8M turns) so compute dominates fixed scheduling costs in
-    the scaling measurement (FIXTURES.md §4: 'sf-bench ~600,000+')."""
+    """sf0.001→6k, sf0.01→60k turns; the bench tier (sf ≥ 0.05) is ×16
+    (sf0.1→9.6M turns) so map compute dominates fixed scheduling costs
+    in the scaling measurement (FIXTURES.md §4: 'sf-bench ~600,000+';
+    round 2 doubled the tier after the props/ artifact raised the
+    fixed-cost share)."""
     try:
         sf = float(sf_name.replace("sf", ""))
     except ValueError:
         return 2_000
-    mult = 48_000_000 if sf >= 0.05 else 6_000_000
+    mult = 96_000_000 if sf >= 0.05 else 6_000_000
     return max(2_000, int(round(mult * sf)))
 
 
