@@ -373,6 +373,11 @@ def _q_ann_ivf_topk(sf_dir: str):
                     k=10, n_probe=4)
 
 
+def _q_doc_winnow(sf_dir: str):
+    from uckg_ray.stages.text import winnow_fingerprints
+    return winnow_fingerprints(_table(sf_dir, "documents"), k=8, w=4)
+
+
 def _q_token_count_regex(sf_dir: str):
     from uckg_ray.stages.text import regex_token_counts_by
     return regex_token_counts_by(_table(sf_dir, "documents"), "source")
@@ -532,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
+        "doc_winnow": _q_doc_winnow,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
@@ -1051,6 +1057,19 @@ h AS (SELECT doc_id,
 SELECT doc_id, CASE WHEN he = 0 AND hd = 0 AND hf = 0 THEN 'unk'
   WHEN he >= hd AND he >= hf THEN 'en'
   WHEN hd >= hf THEN 'de' ELSE 'fr' END AS lang_guess FROM h""",
+        "doc_winnow": """
+WITH g AS (SELECT doc_id, len(text) AS n,
+           unnest(range(greatest(len(text) - 8 + 1, 1))) AS i, text
+           FROM documents),
+h AS (SELECT doc_id, i, greatest(n - 8 + 1, 1) AS ng,
+      md5_number_upper(CASE WHEN n >= 8
+        THEN substr(text, CAST(i AS INT) + 1, 8) ELSE text END) AS hv
+      FROM g),
+m AS (SELECT doc_id, i, ng,
+      min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+      FROM h)
+SELECT DISTINCT doc_id, mn AS fp FROM m WHERE i <= ng - least(4, ng)""",
         "token_count": ("SELECT source, count(*) AS n_docs, "
                         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
                         "FROM documents GROUP BY source"),

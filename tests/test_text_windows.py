@@ -64,3 +64,29 @@ def test_multimodal_stub(ray_session):
         ImageDecodeStub, fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow", concurrency=1).take_all()
     assert len(rows[0]["decoded_features"]) == 8
+
+
+def test_winnow_fingerprints(ray_session):
+    """Winnowing: distinct k-gram-window minima; short docs collapse."""
+    import hashlib
+
+    import ray.data
+
+    from uckg_ray.stages.text import winnow_fingerprints
+
+    def h(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+    texts = ["abcdefghijk", "short", ""]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = {}
+    for r in winnow_fingerprints(ds, k=8, w=4).take_all():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    # doc 0: grams at 0..3, windows of 4 -> one window = global min
+    grams = [texts[0][j:j + 8] for j in range(4)]
+    assert got[0] == {min(h(g) for g in grams)}
+    # doc 1 shorter than k: single gram = whole text
+    assert got[1] == {h("short")}
+    # empty doc: md5 of ""
+    assert got[2] == {h("")}

@@ -120,3 +120,44 @@ def token_counts_by(docs: Dataset, group_col: str = "source") -> Dataset:
             .groupby(group_col)
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("n_tokens", alias_name="n_tokens")))
+
+
+def winnow_fingerprints(docs: Dataset, *, k: int = 8, w: int = 4) -> Dataset:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
+    shape): rolling k-gram hashes, distinct window minima per doc.
+
+    h[i] = first 8 bytes (little-endian) of md5(text[i:i+k]) — exactly
+    DuckDB's ``md5_number_upper``, so the oracle reproduces every
+    fingerprint bit-for-bit. A document shorter than k contributes one
+    gram (the whole text); fewer than w grams collapse to one window.
+    Output: (doc_id, fp) distinct, fp uint64.
+
+    Stateless map_batches; the per-gram md5 is the inherent unit of
+    work (hash-bound, not Python-overhead-bound: numpy does the
+    sliding-window minima and the distinct)."""
+    import hashlib
+
+    import numpy as np
+
+    def fps(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        D, F = [], []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            grams = ([t[j:j + k] for j in range(len(t) - k + 1)]
+                     if len(t) >= k else [t])
+            h = np.fromiter(
+                (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+                 for g in grams),
+                dtype=np.uint64, count=len(grams))
+            ww = min(w, len(h))
+            mins = np.unique(
+                np.lib.stride_tricks.sliding_window_view(h, ww).min(axis=1))
+            D.extend([i] * len(mins)); F.append(mins)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(D, pa.int64()),
+            "fp": pa.array(np.concatenate(F) if F else
+                           np.array([], np.uint64), pa.uint64())})
+
+    return docs.map_batches(fps, batch_format="pyarrow")
