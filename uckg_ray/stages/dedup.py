@@ -108,15 +108,17 @@ def token_jaccard_pairs(docs: Dataset, *, block_col: str = "source",
         for s in sets:
             for w in s:
                 vocab.setdefault(w, len(vocab))
-        M = np.zeros((len(ids), len(vocab)), dtype=np.int64)
+        # int32 halves the doc×vocab matrix footprint vs int64; counts
+        # (≤ vocab size per block) can't overflow it
+        M = np.zeros((len(ids), len(vocab)), dtype=np.int32)
         for i, s in enumerate(sets):
             for w in s:
                 M[i, vocab[w]] = 1
         inter = M @ M.T
         sizes = M.sum(axis=1)
         iu, ju = np.triu_indices(len(ids), k=1)
-        it = inter[iu, ju]
-        uni = sizes[iu] + sizes[ju] - it
+        it = inter[iu, ju].astype(np.int64)
+        uni = (sizes[iu] + sizes[ju]).astype(np.int64) - it
         keep = den * it >= num * uni
         return pd.DataFrame({
             "doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
