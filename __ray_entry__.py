@@ -393,6 +393,17 @@ def _q_events_window(sf_dir: str):
     return tumbling_window_agg(_table(sf_dir, "events"))
 
 
+def _q_events_hopping(sf_dir: str):
+    from uckg_ray.stages.windows import hopping_window_agg
+    return hopping_window_agg(_table(sf_dir, "events"),
+                              size_minutes=60, hop_minutes=15)
+
+
+def _q_text_tfidf(sf_dir: str):
+    from uckg_ray.stages.text import tfidf_components
+    return tfidf_components(_table(sf_dir, "documents"))
+
+
 def _q_events_sessionize(sf_dir: str):
     from uckg_ray.stages.windows import sessionize
     return sessionize(_table(sf_dir, "events"), gap_minutes=30)
@@ -538,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "doc_winnow": _q_doc_winnow,
+        "events_hopping": _q_events_hopping,
+        "text_tfidf": _q_text_tfidf,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
@@ -1099,6 +1112,24 @@ SELECT user_id, date_trunc('hour', ts) AS window_start,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_value_c100
 FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+        "events_hopping": """
+WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+x AS (SELECT user_id, c,
+      (ts_us // 900000000 - unnest(range(4))) * 900000000 AS window_start_us
+      FROM e)
+SELECT user_id, window_start_us, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(c) AS BIGINT) AS sum_value_c100
+FROM x GROUP BY user_id, window_start_us""",
+        "text_tfidf": """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dfq.df AS BIGINT) AS df, CAST(n.n_docs AS BIGINT) AS n_docs
+FROM tf JOIN dfq USING (term) CROSS JOIN n""",
         "events_sessionize": """
 WITH o AS (SELECT user_id, ts,
       CASE WHEN lag(ts) OVER w IS NULL

@@ -90,3 +90,44 @@ def test_winnow_fingerprints(ray_session):
     assert got[1] == {h("short")}
     # empty doc: md5 of ""
     assert got[2] == {h("")}
+
+
+def test_hopping_window_agg(ray_session):
+    """Each event lands in exactly size/hop overlapping windows."""
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.windows import hopping_window_agg
+
+    hop_us = 15 * 60 * 1_000_000
+    ts0 = 40 * hop_us + 123  # arbitrary epoch offset inside a hop
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([ts0], pa.timestamp("us")),
+        "value": pa.array([2.5], pa.float64())}))
+    rows = hopping_window_agg(ds, size_minutes=60, hop_minutes=15).take_all()
+    starts = sorted(r["window_start_us"] for r in rows)
+    base = (ts0 // hop_us) * hop_us
+    assert starts == [base - 3 * hop_us, base - 2 * hop_us,
+                      base - hop_us, base]
+    assert all(r["n_events"] == 1 and r["sum_value_c100"] == 250
+               for r in rows)
+    import pytest
+    with pytest.raises(ValueError):
+        hopping_window_agg(ds, size_minutes=50, hop_minutes=15)
+
+
+def test_tfidf_components(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.text import tfidf_components
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "a b a"},
+        {"doc_id": 1, "text": "a c"},
+    ])
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["df"], r["n_docs"])
+           for r in tfidf_components(ds).take_all()}
+    assert got == {
+        (0, "a"): (2, 2, 2), (0, "b"): (1, 1, 2),
+        (1, "a"): (1, 2, 2), (1, "c"): (1, 1, 2)}

@@ -161,3 +161,62 @@ def winnow_fingerprints(docs: Dataset, *, k: int = 8, w: int = 4) -> Dataset:
                            np.array([], np.uint64), pa.uint64())})
 
     return docs.map_batches(fps, batch_format="pyarrow")
+
+
+def tfidf_components(docs: Dataset, num_partitions: int | None = None
+                     ) -> Dataset:
+    """TF-IDF building blocks, all-integer so the oracle is exact:
+    (doc_id, term, tf, df, n_docs). tf = term count in doc; df = number
+    of docs containing the term; n_docs = corpus size. The float
+    tf·log(n/df) is one vectorized expression away downstream — floats
+    are deliberately not emitted (driver hash parity).
+
+    Shape: per-batch explode+count gives complete tf rows (docs are
+    whole rows); ONE hash-partition shuffle on term co-locates each
+    term's tf rows, and the partition task computes df (count of rows
+    per term — tf rows are distinct (doc, term)) and joins it back with
+    a vectorized transform. The vocabulary is corpus-scale — it is
+    never broadcast or driver-collected."""
+    import ray
+
+    import pandas as pd
+
+    if num_partitions is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        num_partitions = max(8, n_cpus // 4)
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df_ = pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+            "term": [t.split(" ") for t in batch.column("text").to_pylist()],
+        }).explode("term")
+        g = (df_.groupby(["doc_id", "term"], sort=False)
+             .size().reset_index(name="tf"))
+        h = pl.Series(g["term"].tolist()).hash(seed=0)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "term": g["term"].tolist(),
+            "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+            "p": pa.array((h % num_partitions).cast(pl.Int32).to_numpy(),
+                          pa.int32())})
+
+    def with_df(part: pa.Table) -> pa.Table:
+        df_ = part.to_pandas()
+        df_["df"] = df_.groupby("term", sort=False)["term"].transform("size")
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(df_["doc_id"].to_numpy(), pa.int64()),
+            "term": df_["term"].tolist(),
+            "tf": pa.array(df_["tf"].to_numpy(), pa.int64()),
+            "df": pa.array(df_["df"].to_numpy(), pa.int64())})
+
+    n_docs = docs.count()
+    return (docs.map_batches(tf_batch, batch_format="pyarrow", batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: with_df(t.drop_columns(["p"])),
+                batch_format="pyarrow")
+            .map_batches(
+                lambda b: b.append_column(
+                    "n_docs", pa.array([n_docs] * b.num_rows, pa.int64())),
+                batch_format="pyarrow"))

@@ -74,3 +74,52 @@ def sessionize(events: Dataset, *, gap_minutes: int = 30) -> Dataset:
                                           "n_events", "duration_us"])
 
     return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def hopping_window_agg(events: Dataset, *, size_minutes: int = 60,
+                       hop_minutes: int = 15) -> Dataset:
+    """Hopping (sliding) windows: each event lands in size/hop
+    overlapping epoch-aligned windows. Vectorized flat emission
+    (numpy repeat, one row per (event, hop offset)) feeds a per-block
+    partial aggregate, then the global groupby — the same combiner
+    shape as tumbling windows, ×(size/hop) message volume.
+
+    Output: (user_id, window_start_us, n_events, sum_value_c100) with
+    window_start_us = (floor(ts/hop) - k) * hop for k in 0..size/hop-1
+    (exactly the windows whose [start, start+size) contains ts).
+    size must be a multiple of hop."""
+    import pandas as pd
+
+    if size_minutes % hop_minutes:
+        raise ValueError("size_minutes must be a multiple of hop_minutes")
+    hop_us = hop_minutes * 60 * 1_000_000
+    n_hops = size_minutes // hop_minutes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+        base = (ts // hop_us) * hop_us
+        k = np.tile(np.arange(n_hops, dtype=np.int64), len(ts))
+        starts = np.repeat(base, n_hops) - k * hop_us
+        df = pd.DataFrame({
+            "user_id": np.repeat(users, n_hops),
+            "window_start_us": starts,
+            "c": np.repeat(cents, n_hops),
+        })
+        g = (df.groupby(["user_id", "window_start_us"], sort=False)["c"]
+             .agg(n_events="size", sum_value_c100="sum").reset_index())
+        return pa.Table.from_pydict({
+            "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+            "window_start_us": pa.array(
+                g["window_start_us"].to_numpy(np.int64), pa.int64()),
+            "n_events": pa.array(g["n_events"].to_numpy(np.int64), pa.int64()),
+            "sum_value_c100": pa.array(
+                g["sum_value_c100"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return (events.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["user_id", "window_start_us"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_value_c100", alias_name="sum_value_c100")))
