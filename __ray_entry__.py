@@ -404,6 +404,11 @@ def _q_text_tfidf(sf_dir: str):
     return tfidf_components(_table(sf_dir, "documents"))
 
 
+def _q_model_scores(sf_dir: str):
+    from uckg_ray.stages.text import model_scores
+    return model_scores(_table(sf_dir, "documents"))
+
+
 def _q_events_sessionize(sf_dir: str):
     from uckg_ray.stages.windows import sessionize
     return sessionize(_table(sf_dir, "events"), gap_minutes=30)
@@ -551,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": _q_doc_winnow,
         "events_hopping": _q_events_hopping,
         "text_tfidf": _q_text_tfidf,
+        "model_scores": _q_model_scores,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
@@ -906,6 +912,22 @@ def _sql_kg_edges(p) -> str:
             f"FROM ({_edges_union(p)})")
 
 
+def _sql_model_scores() -> str:
+    """Bag-of-words linear model oracle: the model weights are a VALUES
+    table generated from the engine's checkpoint constants."""
+    from uckg_ray.stages.text import BowModelScorer
+    vals = ", ".join(f"('{t}', {w})" for t, w in BowModelScorer.WEIGHTS)
+    thr = BowModelScorer.THRESHOLD
+    return f"""
+WITH w(tok, wt) AS (VALUES {vals}),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+s AS (SELECT t.doc_id, sum(w.wt) AS sc FROM t JOIN w USING (tok)
+      GROUP BY t.doc_id)
+SELECT d.doc_id, CAST(coalesce(s.sc, 0) AS BIGINT) AS score,
+       coalesce(s.sc, 0) >= {thr} AS label
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"""
+
+
 def _sql_kg_types_inferred(p) -> str:
     """T3 entailment oracle: recursive rdfs:subClassOf closure over the
     TBox VALUES table, joined to the distinct rdf:type assertions."""
@@ -1112,6 +1134,7 @@ SELECT user_id, date_trunc('hour', ts) AS window_start,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_value_c100
 FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+        "model_scores": _sql_model_scores(),
         "events_hopping": """
 WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),

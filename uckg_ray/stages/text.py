@@ -220,3 +220,44 @@ def tfidf_components(docs: Dataset, num_partitions: int | None = None
                 lambda b: b.append_column(
                     "n_docs", pa.array([n_docs] * b.num_rows, pa.int64())),
                 batch_format="pyarrow"))
+
+
+class BowModelScorer:
+    """Batched model inference as an actor-pool stage: a deterministic
+    integer bag-of-words linear model (the weights stand in for real
+    model parameters; loading them in ``__init__`` is the pattern —
+    once per actor, NOT once per batch). Integer weights keep the
+    DuckDB oracle exact.
+
+    score(doc) = Σ_token weight[token] (missing tokens weigh 0);
+    label = score ≥ threshold."""
+
+    # (token, weight) — the "model checkpoint"
+    WEIGHTS = tuple((w, 3) for w in STOP_EN) + \
+        tuple((w, -2) for w in ("error", "fail", "retry")) + \
+        (("ok", 5), ("done", 4), ("exploit", -3), ("payload", -1))
+    THRESHOLD = 4
+
+    def __init__(self):
+        self.w = dict(self.WEIGHTS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        w = self.w
+        scores = [sum(w.get(t, 0) for t in x.split(" ")) for x in texts]
+        s = pd.Series(scores, dtype="int64")
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(s.to_numpy(), pa.int64()),
+            "label": pa.array((s >= self.THRESHOLD).to_numpy(), pa.bool_())})
+
+
+def model_scores(docs: Dataset, *, concurrency: int | tuple = (1, 8),
+                 batch_size: int = 4096) -> Dataset:
+    """Score every document with the actor-pool model (one weight-load
+    per actor, vectorized batches)."""
+    return docs.map_batches(BowModelScorer, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=concurrency,
+                            num_cpus=1)
