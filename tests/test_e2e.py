@@ -203,3 +203,23 @@ def test_build_status(built):
     assert st["final"]["n_distinct_edges"] > 0
     # a fresh dir reports never_started
     assert build_status("/tmp/definitely-missing-dir")["state"] == "never_started"
+
+
+def test_full_rerun_skips_finalize(ray_session, sf_small_fixtures, tmp_path):
+    """A rerun with unchanged inputs + dictionaries is a metadata no-op:
+    every group reused AND finalize skipped, outputs intact."""
+    out = str(tmp_path / "kg")
+    fdir = sf_small_fixtures
+    tdir = os.path.join(fdir, "transcripts")
+    m1 = build_kg(tdir, fdir, out)
+    assert "finalize_skipped" not in m1
+    before = _rows(out)
+    m2 = build_kg(tdir, fdir, out)
+    assert m2.get("finalize_skipped") is True
+    assert m2["groups_skipped_by_resume"] == m2["n_groups"]
+    assert m2["n_distinct_edges"] == m1["n_distinct_edges"]
+    assert _rows(out) == before
+    # resume=False must force a full rebuild
+    m3 = build_kg(tdir, fdir, out, resume=False)
+    assert "finalize_skipped" not in m3
+    assert _rows(out) == before

@@ -223,6 +223,33 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
             gdir, gfiles, rows_in=rows_in, edges_out=edges_out,
             wall_sec=time.perf_counter() - t0, flags=flags))
 
+    # phase-B resume: when every group was reused AND the side-table
+    # dictionaries are unchanged, the prior finalize outputs are valid —
+    # a fully-complete rerun is a metadata-only no-op
+    dict_files = sorted(glob.glob(os.path.join(fixture_dir, "*.parquet")))
+    group_fps = []
+    for gi in range(len(groups)):
+        mp = os.path.join(shards_root, f"group-{gi:04d}", "manifest.json")
+        try:
+            import json as _json
+            with open(mp) as fh:
+                group_fps.append(_json.load(fh).get("fingerprint", ""))
+        except (OSError, ValueError):
+            group_fps.append("")
+    import hashlib as _hashlib
+    finalize_fp = _hashlib.sha256(
+        ("|".join([flags, mf.shard_fingerprint(dict_files), *group_fps]))
+        .encode()).hexdigest()
+    if resume and skipped == len(groups):
+        prior = mf.build_status(out_dir).get("final")
+        if (prior and prior.get("finalize_fp") == finalize_fp
+                and all(os.path.isdir(os.path.join(out_dir, d))
+                        for d in ("edges", "nodes", "props"))):
+            prior = dict(prior)
+            prior["groups_skipped_by_resume"] = skipped
+            prior["finalize_skipped"] = True
+            return prior
+
     # phase B — finalize from shard outputs (narrow rows only; transcript
     # text is never re-read)
     from uckg_ray.stages.extract import ALIAS_MARKER_PRED
@@ -309,6 +336,7 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         "n_nodes": n_nodes,
         "n_props": n_props,
         "n_canonical_rewrites": len(rewrite),
+        "finalize_fp": finalize_fp,
         "wall_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
         "phase_sec": {"extract_write": round(t_phase_a, 3),
