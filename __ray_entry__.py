@@ -632,11 +632,22 @@ cpe AS (SELECT DISTINCT conv_id, turn_idx,
 cpefirst AS (SELECT conv_id, turn_idx,
              regexp_extract_all(text, '{px.CPE_RX}')[1] AS id FROM tt
              WHERE len(regexp_extract_all(text, '{px.CPE_RX}')) > 0),
-cped AS (SELECT cpeName, cpeNameId,
-         regexp_replace(lastModified, '\\.\\d{{4,}}$', '') AS lm,
-         CAST(to_json(map_from_entries(list_transform(list_sort(titles),
-             x -> (x.lang, x.title)))) AS VARCHAR) AS titles_s
-         FROM read_parquet('{p['CPED']}')),
+cpet AS (SELECT cpeName, lang, title FROM (
+    SELECT cpeName, t.lang AS lang, t.title AS title,
+           row_number() OVER (PARTITION BY cpeName, t.lang
+                              ORDER BY t.title DESC) AS rn
+    FROM (SELECT cpeName, unnest(titles) AS t
+          FROM read_parquet('{p['CPED']}'))) WHERE rn = 1),
+cpej AS (SELECT cpeName, '{{' || coalesce(string_agg(
+           CAST(to_json(lang) AS VARCHAR) || ':' ||
+           CAST(to_json(title) AS VARCHAR), ',' ORDER BY lang), '')
+           || '}}' AS titles_s
+         FROM cpet GROUP BY cpeName),
+cped AS (SELECT d.cpeName, d.cpeNameId,
+         regexp_replace(d.lastModified, '\\.\\d{{4,}}$', '') AS lm,
+         coalesce(j.titles_s, '{{}}') AS titles_s
+         FROM read_parquet('{p['CPED']}') d
+         LEFT JOIN cpej j ON j.cpeName = d.cpeName),
 cved AS (SELECT * FROM read_parquet('{p['CVED']}')),
 capd AS (SELECT * FROM read_parquet('{p['CAPD']}')),
 d3d AS (SELECT * FROM read_parquet('{p['D3D']}')),
@@ -1138,8 +1149,11 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)""",
         "events_hopping": """
 WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+-- sign-safe floor alignment: DuckDB // truncates toward zero, numpy
+-- floors, so pre-1970 timestamps would diverge with plain //
 x AS (SELECT user_id, c,
-      (ts_us // 900000000 - unnest(range(4))) * 900000000 AS window_start_us
+      (ts_us - ((ts_us % 900000000) + 900000000) % 900000000)
+        - unnest(range(4)) * 900000000 AS window_start_us
       FROM e)
 SELECT user_id, window_start_us, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(c) AS BIGINT) AS sum_value_c100

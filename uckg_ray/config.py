@@ -6,6 +6,17 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 
+def default_num_partitions() -> int:
+    """Shuffle-partition default for join-shaped exchanges: cluster
+    CPUs / 4, min 8. Dataset.join spawns one aggregator actor per
+    partition — at sub-GB scale 8 partitions measured 2.5× faster than
+    32, but a fixed 8 would serialize a large cluster."""
+    import ray
+    n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(8, n_cpus // 4)
+
+
 @dataclass
 class PipelineConfig:
     # turns per Arrow batch handed to the extraction actors; each turn emits

@@ -57,9 +57,10 @@ def titles_to_json(titles: list[dict] | None) -> str:
     """
     if not titles:
         return "{}"
+    # ensure_ascii=False: DuckDB to_json emits raw UTF-8, not \uXXXX
     return json.dumps(
         dict(sorted((t["lang"], t["title"]) for t in titles)),
-        separators=(",", ":"))
+        separators=(",", ":"), ensure_ascii=False)
 
 
 def json_compact(obj) -> str | None:
@@ -75,7 +76,8 @@ def json_compact(obj) -> str | None:
     """
     if obj is None:
         return None
-    return json.dumps(obj, separators=(",", ":"))
+    # ensure_ascii=False: DuckDB to_json emits raw UTF-8, not \uXXXX
+    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
 
 
 def capec_label(id_num: str, name: str) -> str:

@@ -35,13 +35,14 @@ def _fix_frac(s: str) -> str:
 
 
 def _titles(titles) -> str:
-    # lang-keyed compact JSON, entries sorted by (lang, title)
+    # lang-keyed compact JSON, entries sorted by (lang, title); raw UTF-8
     return json.dumps(dict(sorted((t["lang"], t["title"]) for t in (titles or []))),
-                      separators=(",", ":"))
+                      separators=(",", ":"), ensure_ascii=False)
 
 
 def _cjson(obj):
-    return None if obj is None else json.dumps(obj, separators=(",", ":"))
+    return None if obj is None else json.dumps(obj, separators=(",", ":"),
+                                               ensure_ascii=False)
 
 
 def _dedup_keep_order(xs):
@@ -118,9 +119,9 @@ def oracle_triples(transcripts_dir: str, fixture_dir: str,
                 if r is not None:
                     T.add((xi, UCOEX + "cpeNameId", r["cpeNameId"]))
                     T.add((xi, UCOEX + "lastModified", _fix_frac(r["lastModified"])))
-                    tt = _titles(r["titles"])
-                    if tt:
-                        T.add((xi, UCOEX + "titles", tt))
+                    # unconditional on a dict hit ("{}" possible), like the
+                    # engine and the SQL oracle
+                    T.add((xi, UCOEX + "titles", _titles(r["titles"])))
                     T.add((xi, UCOEX + "dictionaryFound", "true"))
                 else:
                     T.add((xi, UCOEX + "dictionaryFound", "false"))

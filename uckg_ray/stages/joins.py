@@ -76,17 +76,15 @@ def hash_join_sum(orders: Dataset, lineitem: Dataset,
     """orders ⨝ lineitem on orderkey (shuffle hash join, both sides
     large) → (o_orderstatus, n_items, sum_price_c100).
 
-    num_partitions defaults to cluster CPUs / 4 (min 8): Dataset.join
-    spawns one aggregator actor per partition, and at sub-GB scale 8
-    partitions measured 2.5× faster than 32 — but a fixed 8 would
-    serialize a large cluster, so it scales with the cluster."""
-    import ray
+    num_partitions defaults to ``config.default_num_partitions()``
+    (cluster CPUs / 4, min 8) so the aggregator-actor count scales with
+    the cluster."""
     from ray.data.aggregate import Sum
 
+    from uckg_ray.config import default_num_partitions
+
     if num_partitions is None:
-        n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
-        num_partitions = max(8, n_cpus // 4)
+        num_partitions = default_num_partitions()
 
     joined = lineitem.select_columns(["l_orderkey", "l_extendedprice"]).join(
         orders.select_columns(["o_orderkey", "o_orderstatus"]),

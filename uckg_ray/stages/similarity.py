@@ -127,25 +127,29 @@ def embedding_neardup_lsh_pairs(emb: Dataset, *, tau: float = 0.45,
     per-plane agreement probability: defaults (24×5) measure full recall
     at tau=0.45 on the sf0.01 fixture; tighter taus (real near-dup,
     ≥0.8) allow more planes / fewer bands. Raise band_planes ~log2(N)
-    to keep buckets bounded as the corpus grows. Candidate generation,
-    dedup and verification all stay inside tasks."""
-    import ray
+    to keep buckets bounded as the corpus grows.
 
-    rng = np.random.default_rng(seed)
-    ids_all, M_all = _gather_embeddings(emb, id_col, vec_col)
-    if len(ids_all) == 0:
-        import ray.data
-        from uckg_ray.stages.dedup import _EMPTY_PAIRS
-        return ray.data.from_arrow(_EMPTY_PAIRS)
-    dim = M_all.shape[1]
-    planes = rng.standard_normal((n_bands, band_planes, dim))
-    Mn = M_all / np.linalg.norm(M_all, axis=1, keepdims=True)
-    order = np.argsort(ids_all)
-    ids_ref = ray.put(ids_all[order])
-    mat_ref = ray.put(np.ascontiguousarray(Mn[order]))
+    Fully distributed (the minhash skeleton): banding and candidate
+    distinct stay inside tasks; only the CANDIDATE docs' unit vectors
+    (bounded by candidate volume, not corpus size) are gathered via a
+    task-side id filter and broadcast with ray.put for the vectorized
+    exact-cosine verification pass."""
+    import ray
+    import ray.data
+
+    from uckg_ray.stages.dedup import _EMPTY_PAIRS, _bucketed_pairs
+
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def get_planes(dim: int) -> np.ndarray:
+        if dim not in planes_by_dim:
+            planes_by_dim[dim] = np.random.default_rng(seed).standard_normal(
+                (n_bands, band_planes, dim))
+        return planes_by_dim[dim]
 
     def band_rows(batch: pa.Table) -> pa.Table:
         M = _emb_matrix(batch, vec_col)
+        planes = get_planes(M.shape[1])
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         D, BI, BV = [], [], []
         for bnd in range(n_bands):
@@ -159,18 +163,54 @@ def embedding_neardup_lsh_pairs(emb: Dataset, *, tau: float = 0.45,
             "band": pa.array(np.concatenate(BI), pa.int32()),
             "band_val": pa.array(np.concatenate(BV), pa.int64())})
 
-    def verify(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    banded = emb.map_batches(band_rows, batch_format="pyarrow")
+    cand = _bucketed_pairs(banded, ["band", "band_val"]).materialize()
+    empty = _EMPTY_PAIRS.rename_columns(["vec_a", "vec_b"])
+    if cand.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    need = np.array(sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b"))),
+                    dtype=np.int64)
+    need_ref = ray.put(need)
+
+    def cand_vectors(batch: pa.Table) -> pa.Table:
+        # task-side filter to candidate docs; unit-normalized vectors out
+        need_arr = ray.get(need_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, need_arr)
+        M = _emb_matrix(batch, vec_col)[keep]
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "v": pa.array(list(Mn), pa.list_(pa.float64()))})
+
+    small = emb.map_batches(cand_vectors, batch_format="pyarrow")
+    id_chunks, v_chunks = [], []
+    for b in small.iter_batches(batch_format="pyarrow", batch_size=None):
+        id_chunks.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+        v_chunks.append(_emb_matrix(b, "v"))
+    if not id_chunks:
+        return ray.data.from_arrow(empty)
+    c_ids = np.concatenate(id_chunks)
+    c_mat = np.vstack(v_chunks)
+    order = np.argsort(c_ids)
+    ids_ref = ray.put(c_ids[order])
+    mat_ref = ray.put(np.ascontiguousarray(c_mat[order]))
+
+    def verify_pairs(batch: pa.Table) -> pa.Table:
         ids_s = ray.get(ids_ref)
         Mb = ray.get(mat_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
         va = Mb[np.searchsorted(ids_s, a)]
         vb = Mb[np.searchsorted(ids_s, b)]
-        return np.einsum("ij,ij->i", va, vb) >= tau
+        keep = np.einsum("ij,ij->i", va, vb) >= tau
+        return pa.Table.from_pydict({
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64())})
 
-    from uckg_ray.stages.dedup import _bucketed_pairs
-    banded = emb.map_batches(band_rows, batch_format="pyarrow")
-    return (_bucketed_pairs(banded, ["band", "band_val"], verify=verify)
-            .sort(["doc_a", "doc_b"])
-            .rename_columns({"doc_a": "vec_a", "doc_b": "vec_b"}))
+    return (cand.map_batches(verify_pairs, batch_format="pyarrow")
+            .sort(["vec_a", "vec_b"]))
 
 
 class IVFIndex:

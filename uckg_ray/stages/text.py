@@ -177,14 +177,12 @@ def tfidf_components(docs: Dataset, num_partitions: int | None = None
     per term — tf rows are distinct (doc, term)) and joins it back with
     a vectorized transform. The vocabulary is corpus-scale — it is
     never broadcast or driver-collected."""
-    import ray
-
     import pandas as pd
 
+    from uckg_ray.config import default_num_partitions
+
     if num_partitions is None:
-        n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
-        num_partitions = max(8, n_cpus // 4)
+        num_partitions = default_num_partitions()
 
     def tf_batch(batch: pa.Table) -> pa.Table:
         import polars as pl
