@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 8
+GEN_VERSION = 9
 SEED = 42
 FIXTURE_ROOT = "/tmp/uckg_ray_fixtures"
 
@@ -166,7 +166,11 @@ def _build_cwe_dict(pools) -> pa.Table:
         rows["abstraction"].append(abstr[int(rng.integers(0, 4))])
         rows["structure"].append("Simple" if rng.random() < 0.8 else "Chain")
         rows["status"].append(status[int(rng.integers(0, 3))])
-        rows["description"].append(f"description of {cid}")
+        # one non-ASCII description: raw-UTF-8 parity for plain literals
+        # AND the compact-JSON sections both sides (ensure_ascii=False)
+        rows["description"].append(
+            f"description of {cid} — detaillierte Schwäche „zitiert“"
+            if i == 0 else f"description of {cid}")
         rows["extended_summary"].append(
             f"extended summary of {cid}" if rng.random() < 0.7 else None)
         rows["likelihood_of_exploit"].append(
@@ -199,13 +203,15 @@ def _build_cwe_dict(pools) -> pa.Table:
               "Prevalence": "Often" if rng.random() < 0.5 else "Sometimes"}
              for _ in range(int(rng.integers(1, 3)))]
             if rng.random() < 0.6 else None)
+        cc_note = ("gefährlich — \"quoted\" délicat" if i == 0
+                   else f"note {i}")  # row 0: non-ASCII inside a JSON literal
         rows["common_consequences"].append(
             [{"Scope": [scopes[int(j)] for j in
                         rng.choice(4, size=int(rng.integers(1, 3)), replace=False)],
               "Impact": [impacts[int(rng.integers(0, 4))]],
-              "Note": f"note {i}" if rng.random() < 0.4 else None}
+              "Note": cc_note if (i == 0 or rng.random() < 0.4) else None}
              for _ in range(int(rng.integers(1, 3)))]
-            if rng.random() < 0.7 else None)
+            if (i == 0 or rng.random() < 0.7) else None)
         rows["modes_of_introduction"].append(
             [{"Phase": phases[int(rng.integers(0, 4))],
               "Note": f"introduced note {i}" if rng.random() < 0.3 else None}
@@ -458,9 +464,17 @@ def _build_cpe_dict(pools) -> pa.Table:
             rows["lastModified"].append(f"20{15 + i % 10}-0{1 + i % 9}-2{i % 8}T1{i % 9}:05:33.{int(rng.integers(0, 999)):03d}")
         ntit = 1 + int(rng.integers(0, 3))
         chosen = rng.choice(len(langs), size=ntit, replace=False)
-        rows["titles"].append(
-            [{"lang": langs[j], "title": f"title {langs[j]} {name.split(':')[3]}"} for j in sorted(chosen.tolist())]
-        )
+        titles = [{"lang": langs[j], "title": f"title {langs[j]} {name.split(':')[3]}"}
+                  for j in sorted(chosen.tolist())]
+        if i == 0:
+            # exercised by the coverage conversation at every sf:
+            # duplicate lang (last-sorted/max title wins on both sides)
+            # + non-ASCII (raw-UTF-8 JSON parity)
+            titles.append({"lang": titles[0]["lang"], "title": "zz dup-lang wins"})
+            titles.append({"lang": "ja", "title": "タイトル 「引用」 \\ テスト"})
+        elif i == 1:
+            titles.append({"lang": "es", "title": "título español — café"})
+        rows["titles"].append(titles)
     schema = pa.schema([
         ("cpeName", pa.string()), ("cpeNameId", pa.string()), ("lastModified", pa.string()),
         ("titles", pa.list_(pa.struct([("lang", pa.string()), ("title", pa.string())]))),
