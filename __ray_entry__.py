@@ -196,6 +196,19 @@ def _q_kg_types_inferred(sf_dir: str):
     return infer_types(distinct)
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Triangle enumeration (a<b<c) over the undirected relationship
+    graph (non-literal, non-rdf:type edges)."""
+    f = _fixdir(sf_dir)
+    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
+    from uckg_ray.stages.graph import triangles
+    from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
+    edges = extract_edges(_rd_turns(sf_dir), f)
+    distinct = distinct_edges(
+        union_edge_sources(edges, side_table_edges(f)), sort=False)
+    return triangles(distinct)
+
+
 def _q_kg_two_hop(sf_dir: str):
     """2-hop traversal on the KG via a shuffle join of the edge table
     with itself: (et)-[hasWeakness]->(w)-[relatedWeakness]->(w2)."""
@@ -409,6 +422,16 @@ def _q_model_scores(sf_dir: str):
     return model_scores(_table(sf_dir, "documents"))
 
 
+_STRATA = {"src0": 25, "src1": 50, "src2": 75, "src3": 0}
+
+
+def _q_stratified_sample(sf_dir: str):
+    from uckg_ray.stages.joins import stratified_sample
+    return stratified_sample(
+        _table(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        id_col="doc_id", group_col="source", rates_pct=_STRATA)
+
+
 def _q_events_sessionize(sf_dir: str):
     from uckg_ray.stages.windows import sessionize
     return sessionize(_table(sf_dir, "events"), gap_minutes=30)
@@ -541,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_two_hop": _q_kg_two_hop,
         "kg_types_inferred": _q_kg_types_inferred,
+        "kg_triangles": _q_kg_triangles,
         "kg_cpe_link": _q_kg_cpe_link,
         "kg_linker": _q_kg_linker,
         "kg_canonical": _q_kg_canonical,
@@ -557,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "text_tfidf": _q_text_tfidf,
         "model_scores": _q_model_scores,
+        "stratified_sample": _q_stratified_sample,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
@@ -1039,6 +1064,15 @@ SELECT DISTINCT e1.subj AS src, e1.obj AS mid, e2.obj AS dst
 FROM edges e1 JOIN edges e2 ON e2.subj = e1.obj
 WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_types_inferred": _sql_kg_types_inferred(p),
+        "kg_triangles": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+und AS (SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+        FROM edges WHERE NOT obj_is_literal
+          AND pred <> '{ns.RDF_TYPE}' AND subj <> obj)
+SELECT e1.u AS a, e1.v AS b, e2.v AS c
+FROM und e1 JOIN und e2 ON e2.u = e1.v
+JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""",
         "kg_cpe_link": f"""WITH {_kg_ctes(p)}
 SELECT c.conv_id, c.turn_idx, c.id AS cpeName, d.cpeNameId,
        d.lm AS lastModified,
@@ -1146,6 +1180,11 @@ SELECT user_id, date_trunc('hour', ts) AS window_start,
          AS sum_value_c100
 FROM events GROUP BY user_id, date_trunc('hour', ts)""",
         "model_scores": _sql_model_scores(),
+        "stratified_sample": (
+            "SELECT doc_id, source FROM documents WHERE "
+            "(doc_id * 2654435761) % 4294967296 % 100 < CASE source "
+            + " ".join(f"WHEN '{g}' THEN {r}" for g, r in _STRATA.items())
+            + " ELSE 100 END"),
         "events_hopping": """
 WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),

@@ -147,3 +147,23 @@ def train_test_split(ds: Dataset, *, id_col: str, train_pct: int = 80
         })
 
     return ds.map_batches(split, batch_format="pyarrow")
+
+
+def stratified_sample(ds: Dataset, *, id_col: str, group_col: str,
+                      rates_pct: dict[str, int],
+                      default_pct: int = 100) -> Dataset:
+    """Deterministic per-group downsampling (corpus mixing): keep a row
+    iff Knuth-hash(id) mod 100 < rate(group). Rates are integer
+    percents per group value; unknown groups use default_pct. Exact
+    integer arithmetic so the SQL oracle matches bit-for-bit; stateless
+    map (no shuffle — the sample decision is pure per row)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(object)
+        groups = batch.column(group_col).to_pylist()
+        mask = [((int(i) * _KNUTH) % _2_32 % 100
+                 < rates_pct.get(g, default_pct))
+                for i, g in zip(ids, groups)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
