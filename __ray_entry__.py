@@ -202,11 +202,11 @@ def _q_kg_triangles(sf_dir: str):
     f = _fixdir(sf_dir)
     from uckg_ray.pipelines.kg import extract_edges, side_table_edges
     from uckg_ray.stages.graph import triangles
-    from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
+    from uckg_ray.stages.materialize import union_edge_sources
+    # raw unioned edges: undirected_pairs' combiner + pair distinct makes
+    # an upstream distinct_edges shuffle redundant
     edges = extract_edges(_rd_turns(sf_dir), f)
-    distinct = distinct_edges(
-        union_edge_sources(edges, side_table_edges(f)), sort=False)
-    return triangles(distinct)
+    return triangles(union_edge_sources(edges, side_table_edges(f)))
 
 
 def _q_kg_two_hop(sf_dir: str):

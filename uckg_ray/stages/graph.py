@@ -9,87 +9,101 @@ Distributed shape — two explicit hash-partition rounds, no Dataset.join
 (robust to empty partitions, vectorized pandas merges inside the
 partition tasks):
 
-1. undirected distinct pairs (u < v) via pair-key hash partition;
+1. undirected distinct pairs (u < v): block-local dedup combiner, then
+   a pair-key hash-partition distinct — feed it RAW unioned edges
+   (multiplicity is collapsed here; an upstream distinct_edges would
+   just add a redundant shuffle);
 2. wedge round: every edge (u,v) contributes u as a lo-neighbor of
    center v and v as a hi-neighbor of center u; partition by center,
    cross lo×hi per center → candidate (a, c, center) wedges;
 3. closure round: wedge candidates ∪ edge rows partitioned by the
    (a, c) pair key; a wedge survives iff its closing edge co-locates.
 
-Wedge volume is Σ_m lo(m)·hi(m) — bounded by excluding the type hubs;
-for skewed relationship hubs, salt the wedge stage by hashing the lo
-side (same trick as canonicalize._add_cc_partition).
+Partition keys go through ``materialize._add_hash_partition`` (the
+repo's single polars-hash helper). ``num_partitions`` defaults to the
+cluster CPU count. Wedge volume is Σ_m lo(m)·hi(m) — bounded by
+excluding the type hubs; for skewed relationship hubs, salt the wedge
+stage by the lo side (same trick as canonicalize._add_cc_partition).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
 
 from uckg_ray import namespaces as ns
+from uckg_ray.stages.materialize import _add_hash_partition
 
 _PAIR_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string())])
 _TRI_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string()),
                          ("c", pa.string())])
 
 
-def _hash_mod(values: pa.Array | pa.ChunkedArray, mod: int) -> np.ndarray:
-    import polars as pl
-    arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
-    return (pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
-            % np.uint64(mod)).astype(np.int32)
+def _default_partitions() -> int:
+    import ray
+    return max(16, int(ray.cluster_resources().get("CPU", 16))
+               if ray.is_initialized() else 16)
 
 
-def undirected_pairs(edges: Dataset, num_partitions: int = 16) -> Dataset:
+def _cc(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def undirected_pairs(edges: Dataset, num_partitions: int | None = None
+                     ) -> Dataset:
     """Distinct (u < v) node pairs from non-literal, non-rdf:type,
-    non-self-loop edges."""
+    non-self-loop edges. Accepts raw (non-distinct) edge streams: the
+    block-local dedup is the combiner, the pair-key partition the
+    global distinct."""
+    num_partitions = num_partitions or _default_partitions()
+
     def to_und(batch: pa.Table) -> pa.Table:
         keep = pc.and_(pc.invert(batch.column("obj_is_literal")),
                        pc.and_(pc.not_equal(batch.column("pred"), ns.RDF_TYPE),
                                pc.not_equal(batch.column("subj"),
                                             batch.column("obj"))))
         t = batch.filter(keep)
-        s = t.column("subj")
-        o = t.column("obj")
-        u = pc.min_element_wise(s, o)
-        v = pc.max_element_wise(s, o)
-        key = pc.binary_join_element_wise(
-            u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u,
-            v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v, "\x1f")
-        return pa.Table.from_pydict(
-            {"u": u, "v": v,
-             "p": pa.array(_hash_mod(key, num_partitions), pa.int32())})
+        u = pc.min_element_wise(t.column("subj"), t.column("obj"))
+        v = pc.max_element_wise(t.column("subj"), t.column("obj"))
+        key = pc.binary_join_element_wise(_cc(u), _cc(v), "\x1f")
+        # block-local dedup combiner before the shuffle
+        pairs = (pa.Table.from_pydict({"u": u, "v": v, "k": key})
+                 .group_by(["k", "u", "v"]).aggregate([]))
+        return _add_hash_partition(pairs, num_partitions)
 
     def uniq(part: pa.Table) -> pa.Table:
-        df = part.to_pandas().drop_duplicates()
+        d = part.group_by(["u", "v"]).aggregate([])
         return pa.Table.from_pydict(
-            {"u": df["u"].tolist(), "v": df["v"].tolist()}, schema=_PAIR_SCHEMA)
+            {"u": d.column("u"), "v": d.column("v")}, schema=_PAIR_SCHEMA)
 
     return (edges.map_batches(to_und, batch_format="pyarrow", batch_size=None)
             .groupby("p").map_groups(
-                lambda t: uniq(t.drop_columns(["p"])), batch_format="pyarrow"))
+                lambda t: uniq(t.drop_columns(["p", "k"])),
+                batch_format="pyarrow"))
 
 
-def triangles(edges: Dataset, num_partitions: int = 16) -> Dataset:
+def triangles(edges: Dataset, num_partitions: int | None = None) -> Dataset:
     """All (a < b < c) triangles of the undirected relationship graph."""
+    num_partitions = num_partitions or _default_partitions()
     und = undirected_pairs(edges, num_partitions).materialize()
 
     def wedge_rows(batch: pa.Table) -> pa.Table:
-        u = batch.column("u").to_pylist()
-        v = batch.column("v").to_pylist()
+        u = _cc(batch.column("u"))
+        v = _cc(batch.column("v"))
+        n = batch.num_rows
         # u is a lo-neighbor of center v; v is a hi-neighbor of center u
-        center = v + u
-        other = u + v
-        is_lo = [True] * len(u) + [False] * len(u)
-        return pa.Table.from_pydict({
-            "center": center, "other": other,
-            "is_lo": pa.array(is_lo, pa.bool_()),
-            "p": pa.array(_hash_mod(pa.array(center, pa.string()),
-                                    num_partitions), pa.int32())})
+        center = pa.concat_arrays([v, u])
+        other = pa.concat_arrays([u, v])
+        is_lo = pa.concat_arrays([
+            pa.array(np.ones(n, dtype=bool)),
+            pa.array(np.zeros(n, dtype=bool))])
+        t = pa.Table.from_pydict(
+            {"center": center, "other": other, "is_lo": is_lo,
+             "k": center})
+        return _add_hash_partition(t, num_partitions)
 
     def wedges_in_partition(part: pa.Table) -> pa.Table:
         df = part.to_pandas()
@@ -112,35 +126,23 @@ def triangles(edges: Dataset, num_partitions: int = 16) -> Dataset:
 
     cand = (und.map_batches(wedge_rows, batch_format="pyarrow", batch_size=None)
             .groupby("p").map_groups(
-                lambda t: wedges_in_partition(t.drop_columns(["p"])),
+                lambda t: wedges_in_partition(t.drop_columns(["p", "k"])),
                 batch_format="pyarrow"))
 
     def tag_wedge(batch: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
-            batch.column("a").combine_chunks()
-            if isinstance(batch.column("a"), pa.ChunkedArray)
-            else batch.column("a"),
-            batch.column("c").combine_chunks()
-            if isinstance(batch.column("c"), pa.ChunkedArray)
-            else batch.column("c"), "\x1f")
-        return pa.Table.from_pydict({
-            "a": batch.column("a"), "b": batch.column("b"),
-            "c": batch.column("c"),
-            "p": pa.array(_hash_mod(key, num_partitions), pa.int32())})
+            _cc(batch.column("a")), _cc(batch.column("c")), "\x1f")
+        return _add_hash_partition(
+            batch.append_column("k", key), num_partitions)
 
     def tag_edge(batch: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
-            batch.column("u").combine_chunks()
-            if isinstance(batch.column("u"), pa.ChunkedArray)
-            else batch.column("u"),
-            batch.column("v").combine_chunks()
-            if isinstance(batch.column("v"), pa.ChunkedArray)
-            else batch.column("v"), "\x1f")
-        return pa.Table.from_pydict({
+            _cc(batch.column("u")), _cc(batch.column("v")), "\x1f")
+        t = pa.Table.from_pydict({
             "a": batch.column("u"),
             "b": pa.nulls(batch.num_rows, pa.string()),  # edge marker
-            "c": batch.column("v"),
-            "p": pa.array(_hash_mod(key, num_partitions), pa.int32())})
+            "c": batch.column("v"), "k": key})
+        return _add_hash_partition(t, num_partitions)
 
     def close_in_partition(part: pa.Table) -> pa.Table:
         df = part.to_pandas()
@@ -158,5 +160,5 @@ def triangles(edges: Dataset, num_partitions: int = 16) -> Dataset:
               .union(und.map_batches(tag_edge, batch_format="pyarrow",
                                      batch_size=None)))
     return tagged.groupby("p").map_groups(
-        lambda t: close_in_partition(t.drop_columns(["p"])),
+        lambda t: close_in_partition(t.drop_columns(["p", "k"])),
         batch_format="pyarrow")

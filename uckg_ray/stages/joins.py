@@ -139,6 +139,8 @@ def train_test_split(ds: Dataset, *, id_col: str, train_pct: int = 80
     ``(id * 2654435761) % 4294967296 % 100 < train_pct``."""
 
     def split(batch: pa.Table) -> pa.Table:
+        # null ids drop, matching the SQL oracle's NULL-comparison filter
+        batch = batch.filter(pa.compute.is_valid(batch.column(id_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(object)
         h = [(int(i) * _KNUTH) % _2_32 % 100 for i in ids]
         return pa.Table.from_pydict({
@@ -159,6 +161,8 @@ def stratified_sample(ds: Dataset, *, id_col: str, group_col: str,
     map (no shuffle — the sample decision is pure per row)."""
 
     def keep(batch: pa.Table) -> pa.Table:
+        # null ids drop, matching the SQL oracle's NULL-comparison filter
+        batch = batch.filter(pa.compute.is_valid(batch.column(id_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(object)
         groups = batch.column(group_col).to_pylist()
         mask = [((int(i) * _KNUTH) % _2_32 % 100
