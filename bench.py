@@ -89,6 +89,7 @@ def run_bench() -> dict:
         "n_distinct_edges": manifest["n_distinct_edges"],
         "triples_per_sec": round(manifest["n_distinct_edges"] / headline, 1),
         "turns_per_sec": round(manifest["n_turns"] / headline, 1),
+        "phase_sec": manifest["phase_sec"],
     }
     ray.shutdown()
     return result
@@ -106,6 +107,14 @@ def run_scaling() -> dict:
     tput_lo = r_lo["turns_per_sec"]
     tput_hi = r_hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
+    # per-phase efficiency separates map scaling from the single-box
+    # exchange artifact (all "nodes" share one memory bus here; on a
+    # real cluster the exchange bandwidth scales with node count)
+    phase_eff = {}
+    for k in r_lo.get("phase_sec", {}):
+        a, b = r_lo["phase_sec"].get(k), r_hi["phase_sec"].get(k)
+        if a and b:
+            phase_eff[k] = round((a / b) / (hi / lo), 3)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -115,6 +124,9 @@ def run_scaling() -> dict:
         "turns_per_sec_lo": tput_lo, "turns_per_sec_hi": tput_hi,
         "triples_per_sec_lo": r_lo["triples_per_sec"],
         "triples_per_sec_hi": r_hi["triples_per_sec"],
+        "phase_efficiency": phase_eff,
+        "phase_sec_lo": r_lo.get("phase_sec"),
+        "phase_sec_hi": r_hi.get("phase_sec"),
         "sf": r_hi["sf"],
     }
 

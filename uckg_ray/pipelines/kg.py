@@ -258,29 +258,30 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     shard_files = sorted(glob.glob(os.path.join(shards_root, "group-*", "*.parquet")))
     # block-count control: ~1 block per core — fewer, bigger blocks make
     # the combiner collapse more and cut per-task scheduling overhead
-    # (measured 6× on the dedup+sort phase at sf0.1)
+    # (measured 6× on the dedup+sort phase at sf0.1). The read is
+    # materialized ONCE: the observed-alias scan and the finalize pass
+    # both consume the in-memory blocks instead of re-reading parquet.
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    shard_edges = ray.data.read_parquet(shard_files, override_num_blocks=n_cpus)
+    shard_edges = ray.data.read_parquet(
+        shard_files, override_num_blocks=n_cpus).materialize()
 
     rewrite: dict[str, str] = {}
     if canonicalize:
-        # observed aliases from the marker rows: a column-pruned,
-        # predicate-pushed read of the narrow shard output — the
-        # data-scale step of canonicalization. Per-block local distinct
-        # (bounded by the alias dictionary) + a driver set-union replaces
-        # a full unique() shuffle: the scan stays parallel, the merge is
-        # O(dict × blocks).
+        # observed aliases from the marker rows — the data-scale step of
+        # canonicalization, an in-memory scan of the materialized shard
+        # blocks. Per-block local distinct (bounded by the alias
+        # dictionary) + a driver set-union replaces a full unique()
+        # shuffle: the scan stays parallel, the merge is O(dict × blocks).
         import pyarrow.compute as pc
-        observed_ds = ray.data.read_parquet(
-            shard_files, columns=["subj"],
-            filter=(pa.compute.field("pred") == ALIAS_MARKER_PRED),
-            override_num_blocks=n_cpus
-        ).map_batches(
-            lambda b: pa.table({"subj": pc.unique(
-                b.column("subj").combine_chunks()
-                if isinstance(b.column("subj"), pa.ChunkedArray)
-                else b.column("subj"))}),
-            batch_format="pyarrow", batch_size=None)
+
+        def local_aliases(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("pred"), ALIAS_MARKER_PRED))
+            s = t.column("subj")
+            return pa.table({"subj": pc.unique(
+                s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s)})
+
+        observed_ds = shard_edges.map_batches(
+            local_aliases, batch_format="pyarrow", batch_size=None)
         observed = {r["subj"] for r in observed_ds.take_all()}
         rewrite = rewriter_from_observed_aliases(observed, fixture_dir, cfg)
     t_canon = time.perf_counter() - t_start - t_phase_a
