@@ -49,7 +49,9 @@ def run_bench() -> dict:
         lambda b: pa.table({"n": [b.num_rows]}), batch_format="pyarrow",
         batch_size=None).count()
 
-    out_dir = "/tmp/uckg_bench_out"
+    # per-process out dir: concurrent bench runs (e.g. a driver run
+    # overlapping a manual one) must never clobber each other's output
+    out_dir = f"/tmp/uckg_bench_out_{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     manifest = build_kg(tdir, fdir, out_dir, resume=False)
@@ -92,6 +94,7 @@ def run_bench() -> dict:
         "phase_sec": manifest["phase_sec"],
     }
     ray.shutdown()
+    shutil.rmtree(out_dir, ignore_errors=True)
     return result
 
 
