@@ -422,6 +422,11 @@ def _q_model_scores(sf_dir: str):
     return model_scores(_table(sf_dir, "documents"))
 
 
+def _q_ngram_counts(sf_dir: str):
+    from uckg_ray.stages.text import ngram_counts
+    return ngram_counts(_table(sf_dir, "documents"), n=2)
+
+
 _STRATA = {"src0": 25, "src1": 50, "src2": 75, "src3": 0}
 
 
@@ -582,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf": _q_text_tfidf,
         "model_scores": _q_model_scores,
         "stratified_sample": _q_stratified_sample,
+        "ngram_counts": _q_ngram_counts,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
@@ -1180,6 +1186,12 @@ SELECT user_id, date_trunc('hour', ts) AS window_start,
          AS sum_value_c100
 FROM events GROUP BY user_id, date_trunc('hour', ts)""",
         "model_scores": _sql_model_scores(),
+        "ngram_counts": """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT unnest(list_transform(range(len(toks) - 1),
+              i -> toks[CAST(i AS INT) + 1] || ' ' ||
+                   toks[CAST(i AS INT) + 2])) AS ngram FROM t)
+SELECT ngram, CAST(count(*) AS BIGINT) AS count FROM g GROUP BY ngram""",
         "stratified_sample": (
             "SELECT doc_id, source FROM documents WHERE "
             "(doc_id * 2654435761) % 4294967296 % 100 < CASE source "

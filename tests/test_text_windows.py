@@ -131,3 +131,17 @@ def test_tfidf_components(ray_session):
     assert got == {
         (0, "a"): (2, 2, 2), (0, "b"): (1, 1, 2),
         (1, "a"): (1, 2, 2), (1, "c"): (1, 1, 2)}
+
+
+def test_ngram_counts(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.text import ngram_counts
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "a b a b"},
+        {"doc_id": 1, "text": "a b"},
+        {"doc_id": 2, "text": "solo"},
+    ])
+    got = {r["ngram"]: r["count"] for r in ngram_counts(ds, n=2).take_all()}
+    assert got == {"a b": 3, "b a": 1}

@@ -259,3 +259,25 @@ def model_scores(docs: Dataset, *, concurrency: int | tuple = (1, 8),
     return docs.map_batches(BowModelScorer, batch_format="pyarrow",
                             batch_size=batch_size, concurrency=concurrency,
                             num_cpus=1)
+
+
+def ngram_counts(docs: Dataset, *, n: int = 2) -> Dataset:
+    """Corpus n-gram counts (LM-data staple): (ngram, count) over
+    space-joined token windows. Block-local Counter pre-aggregation is
+    the combiner (the shuffle moves one row per distinct n-gram per
+    block, not one per occurrence); the global Sum groupby is the only
+    exchange. ≡ SQL: unnest sliding windows + GROUP BY."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split(" ")
+            c.update(" ".join(toks[j:j + n])
+                     for j in range(len(toks) - n + 1))
+        return pa.Table.from_pydict({
+            "ngram": list(c.keys()),
+            "count": pa.array(list(c.values()), pa.int64())})
+
+    return (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("ngram").aggregate(Sum("count", alias_name="count")))
