@@ -397,8 +397,14 @@ def _q_token_count_regex(sf_dir: str):
 
 
 def _q_embed_neardup(sf_dir: str):
-    from uckg_ray.stages.similarity import embedding_neardup_pairs
-    return embedding_neardup_pairs(_table(sf_dir, "embeddings"), tau=0.45)
+    """Shipped near-dup query = the banded-LSH scale path (candidates
+    verified with exact cosine inside the partition tasks, so the output
+    equals the exact all-pairs SQL oracle at full recall; nothing
+    O(corpus) is ever gathered on the driver). The capped broadcast
+    variant ``embedding_neardup_pairs`` remains as the exact small-side
+    implementation for tests/dictionary-scale tables."""
+    from uckg_ray.stages.similarity import embedding_neardup_lsh_pairs
+    return embedding_neardup_lsh_pairs(_table(sf_dir, "embeddings"), tau=0.45)
 
 
 def _q_events_window(sf_dir: str):
@@ -1038,6 +1044,14 @@ FROM (SELECT *, CASE WHEN pred = '{RT}' THEN obj END AS cls FROM edges)
 GROUP BY subj"""
 
 
+_SQL_EMBED_NEARDUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45"""
+
+
 def oracle_sql() -> dict[str, str]:
     p = _sql_paths(SF01)
     fx.ensure_fixtures(SF01)
@@ -1116,6 +1130,59 @@ WHERE r.source_id IS NOT NULL""",
         "dedup_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), "
             "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint FROM documents"),
+        # exact all-pairs shingle-Jaccard ≥ 1/2 (integer cross-multiply).
+        # minhash_lsh_pairs verifies every LSH candidate with exact
+        # Jaccard over md5_number_upper-hashed shingle sets, so its
+        # output equals this oracle whenever banded recall is full —
+        # measured full at the driver fixtures (16 bands × 4 rows; every
+        # true pair shares ≥1 band). A recall shortfall would surface
+        # here as a row-count mismatch, not silently.
+        "dedup_minhash": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT doc_id,
+       CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       ELSE list_transform(range(len(tk) - 2),
+            i -> tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2]
+                 || ' ' || tk[CAST(i AS INT) + 3]) END AS s
+       FROM t),
+w AS (SELECT DISTINCT doc_id, unnest(s) AS sng FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM w a JOIN w b ON a.sng = b.sng AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b FROM pr
+JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE 2 * inter >= sa.n + sb.n - inter""",
+        # exact SQL replica of simhash_pairs: per-bit majority vote over
+        # md5_number_upper token hashes (== _stable64), 4×16-bit band
+        # blocking (pigeonhole: full recall at Hamming ≤ 3), per-bit
+        # Hamming verify. Bit rows instead of a packed UBIGINT because
+        # DuckDB's << cannot reach bit 63.
+        "dedup_simhash": """
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+bt AS (SELECT doc_id, unnest(range(64)) AS k, md5_number_upper(w) AS h
+       FROM toks),
+cnt AS (SELECT doc_id, k,
+        CAST(sum(CAST((h >> CAST(k AS UBIGINT)) & 1 AS BIGINT)) AS BIGINT) AS c
+        FROM bt GROUP BY doc_id, k),
+sigbits AS (SELECT doc_id, k, CASE WHEN 2 * c > n THEN 1 ELSE 0 END AS b
+            FROM cnt JOIN n USING (doc_id)),
+bv AS (SELECT doc_id, CAST(k // 16 AS INT) AS band,
+       CAST(sum(b * (CAST(1 AS BIGINT) << CAST(k % 16 AS INT))) AS BIGINT)
+         AS band_val
+       FROM sigbits GROUP BY doc_id, k // 16),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bv a JOIN bv b ON a.band = b.band AND a.band_val = b.band_val
+                            AND a.doc_id < b.doc_id),
+ham AS (SELECT c.doc_a, c.doc_b,
+        sum(CASE WHEN sa.b <> sb.b THEN 1 ELSE 0 END) AS d
+        FROM cand c
+        JOIN sigbits sa ON sa.doc_id = c.doc_a
+        JOIN sigbits sb ON sb.doc_id = c.doc_b AND sb.k = sa.k
+        GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b FROM ham WHERE d <= 3""",
         "dedup_token_jaccard": """
 WITH w AS (SELECT DISTINCT doc_id, source,
            unnest(string_split(text, ' ')) AS word FROM documents),
@@ -1173,12 +1240,11 @@ s AS (SELECT q.qid, b.vec_id AS nid,
 r AS (SELECT qid, nid, row_number() OVER (
         PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s)
 SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r WHERE rk <= 10""",
-        "embed_neardup": """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+        "embed_neardup": _SQL_EMBED_NEARDUP,
+        # the LSH path verifies every candidate with exact cosine, and the
+        # 24×5 banding measures full recall at tau=0.45 on the driver
+        # fixtures — so its output equals the exact all-pairs oracle
+        "embed_neardup_lsh": _SQL_EMBED_NEARDUP,
         "events_window": """
 SELECT user_id, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,

@@ -21,8 +21,9 @@ All operators are Dataset-native:
 - ``embedding_neardup_pairs`` — cosine ≥ τ pairs over an embedding
                          column (see stages/similarity.py for top-k).
 
-Deterministic hashing only (blake2b / md5 / crc-free), never Python's
-salted ``hash()``.
+Deterministic hashing only — md5-derived 64-bit hashes (``_stable64``
+== DuckDB ``md5_number_upper``) so every operator here is exactly
+SQL-reproducible; never Python's salted ``hash()``.
 """
 
 from __future__ import annotations
@@ -221,7 +222,10 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _stable64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    """64-bit stable hash == DuckDB ``md5_number_upper(s)`` (first 8 md5
+    digest bytes, little-endian) — the same identity doc_winnow relies
+    on, so simhash/minhash signatures are exactly SQL-reproducible."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
 
 
 class MinHasher:
@@ -288,7 +292,7 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
        are broadcast via ``ray.put``; a second pass over ``docs`` filters
        to those ids INSIDE each task and emits each candidate doc's
        shingle set hashed to sorted uint64 arrays (8 B/shingle; exact
-       Jaccard modulo 2⁻⁶⁴ hash collisions — the same blake2b-64 space
+       Jaccard modulo 2⁻⁶⁴ hash collisions — the same md5-64 space
        the minhash permutations consume);
     3. verification runs vectorized inside ``map_batches`` over the pair
        Dataset against the broadcast shingle-hash arrays.
@@ -317,7 +321,7 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
     w = shingle_w
 
     def cand_shingle_hashes(batch: pa.Table) -> pa.Table:
-        # task-side filter to candidate docs; shingle → blake2b-64 hash,
+        # task-side filter to candidate docs; shingle → md5-64 hash,
         # sorted unique uint64 array per doc
         need_arr = ray.get(need_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -401,12 +405,16 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
 # ---------------------------------------------------------------------------
 
 def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over the DISTINCT token set: bit k of the signature
+    is set iff more than half the tokens have bit k set in their
+    ``_stable64`` (== DuckDB md5_number_upper) hash. Exactly mirrored by
+    the dedup_simhash SQL oracle."""
     toks = list(set(tokens))
     if not toks:
         return 0
-    digs = b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest()
-                    for w in toks)
-    bits = np.unpackbits(np.frombuffer(digs, dtype=np.uint8)).reshape(-1, 64)
+    hv = np.fromiter((_stable64(w) for w in toks), dtype=np.uint64,
+                     count=len(toks))
+    bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     acc = bits.astype(np.int32).sum(axis=0) * 2 - len(toks)
     out = 0
     for k in np.nonzero(acc > 0)[0]:
@@ -425,60 +433,104 @@ def simhash_signatures(docs: Dataset) -> Dataset:
     return docs.map_batches(sh, batch_format="pyarrow")
 
 
-def simhash_pairs(docs: Dataset, *, max_hamming: int = 3) -> Dataset:
+def _attach_sig(pair_ds: Dataset, sigs: Dataset, key_col: str, out_col: str,
+                carry: dict[str, pa.DataType],
+                num_partitions: int = 32) -> Dataset:
+    """Attach ``sigs``' simhash for each pair row's ``key_col`` as
+    ``out_col`` via a hash-partitioned union + in-partition vectorized
+    searchsorted lookup. The signature table flows THROUGH the shuffle
+    (8 B/doc, spread over partitions) — nothing O(corpus) ever lands on
+    the driver, unlike a broadcast signature map."""
+    M = np.uint64(0x9E3779B97F4A7C15)
+    P = np.uint64(num_partitions)
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        cols = {c: b.column(c) for c in carry}
+        cols["_k"] = b.column(key_col).cast(pa.int64())
+        cols["_sig"] = pa.nulls(b.num_rows, pa.uint64())
+        cols["p"] = pa.array(((k * M) % P).astype(np.int32), pa.int32())
+        return pa.table(cols)
+
+    def tag_sigs(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cols = {c: pa.nulls(b.num_rows, t) for c, t in carry.items()}
+        cols["_k"] = b.column("doc_id").cast(pa.int64())
+        cols["_sig"] = b.column("simhash")
+        cols["p"] = pa.array(((k * M) % P).astype(np.int32), pa.int32())
+        return pa.table(cols)
+
+    def lookup(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_sig = pc.is_valid(part.column("_sig"))
+        pair_rows = part.filter(pc.invert(is_sig))
+        if pair_rows.num_rows == 0:
+            empty = {c: pa.array([], t) for c, t in carry.items()}
+            empty[out_col] = pa.array([], pa.uint64())
+            return pa.table(empty)
+        sig_rows = part.filter(is_sig)
+        sk = sig_rows.column("_k").to_numpy(zero_copy_only=False)
+        sv = (sig_rows.column("_sig").to_numpy(zero_copy_only=False)
+              .astype(np.uint64))
+        order = np.argsort(sk)
+        sk, sv = sk[order], sv[order]
+        pk = pair_rows.column("_k").to_numpy(zero_copy_only=False)
+        out = {c: pair_rows.column(c) for c in carry}
+        # every pair key hash-routes with its signature row by construction
+        out[out_col] = pa.array(sv[np.searchsorted(sk, pk)], pa.uint64())
+        return pa.table(out)
+
+    tagged = (pair_ds.map_batches(tag_pairs, batch_format="pyarrow",
+                                  batch_size=None)
+              .union(sigs.map_batches(tag_sigs, batch_format="pyarrow",
+                                      batch_size=None)))
+    return tagged.groupby("p").map_groups(
+        lambda t: lookup(t.drop_columns(["p"])), batch_format="pyarrow")
+
+
+def simhash_pairs(docs: Dataset, *, max_hamming: int = 3,
+                  num_partitions: int = 32) -> Dataset:
     """Hamming ≤ k near-dup pairs via (k+1)-band exact-match blocking over
     the 64-bit simhash (pigeonhole guarantees full recall). Candidate
     generation uses the hash-partitioned vectorized bucket-pair pass;
-    verification probes a broadcast signature map (signatures are 8
-    bytes/doc — at extreme corpus scale, shard the verify by pair
-    partition instead)."""
+    verification is SHARDED: candidate pairs are hash-partition-joined
+    against the signature table (once per pair side), then the Hamming
+    popcount filter runs vectorized per batch. No broadcast, no driver
+    gather — both the pair stream and the signature stream only ever
+    move through shuffles. Exactly reproduced by the dedup_simhash SQL
+    oracle (md5_number_upper token hashing)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
     def bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sigs_ = batch.column("simhash").to_pylist()
-        D, BI, BV = [], [], []
-        for i, s in zip(ids, sigs_):
-            for b in range(n_bands):
-                D.append(i); BI.append(b)
-                BV.append((s >> (b * width)) & ((1 << width) - 1))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = (batch.column("simhash").to_numpy(zero_copy_only=False)
+             .astype(np.uint64))
+        shifts = np.arange(n_bands, dtype=np.uint64) * np.uint64(width)
+        bv = ((s[:, None] >> shifts[None, :])
+              & np.uint64((1 << width) - 1)).reshape(-1)
         return pa.Table.from_pydict({
-            "doc_id": pa.array(D, pa.int64()), "band": pa.array(BI, pa.int32()),
-            "band_val": pa.array(BV, pa.uint64())})
+            "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32),
+                                     len(ids)), pa.int32()),
+            "band_val": pa.array(bv, pa.uint64())})
 
-    import ray
-
-    sigs = simhash_signatures(docs).materialize()  # consumed twice below
-    # broadcast signature table assembled from Arrow batches (16 B/doc,
-    # no Python row-dict detour); at extreme corpus scale shard this by
-    # pair partition instead of broadcasting
-    id_chunks, sig_chunks = [], []
-    for b in sigs.iter_batches(batch_format="pyarrow", batch_size=None):
-        id_chunks.append(b.column("doc_id").to_numpy(zero_copy_only=False))
-        sig_chunks.append(b.column("simhash").to_numpy(zero_copy_only=False))
-    ids_arr = (np.concatenate(id_chunks) if id_chunks
-               else np.array([], dtype=np.int64))
-    sig_vals = (np.concatenate(sig_chunks).astype(np.uint64) if sig_chunks
-                else np.array([], dtype=np.uint64))
-    order = np.argsort(ids_arr)
-    # id-agnostic lookup (searchsorted over sorted ids — works for any
-    # int64 doc_ids, unlike a dense array indexed by id) shared via
-    # ray.put so workers read it zero-copy instead of unpickling a
-    # private copy inside the UDF closure
-    ids_ref = ray.put(ids_arr[order])
-    sig_ref = ray.put(sig_vals[order])
-
-    def verify(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        # vectorized Hamming: XOR packed uint64 sigs, popcount via
-        # unpackbits on the byte view — runs inside the partition task
-        ids_sorted = ray.get(ids_ref)
-        sig_sorted = ray.get(sig_ref)
-        sa = sig_sorted[np.searchsorted(ids_sorted, a)]
-        sb = sig_sorted[np.searchsorted(ids_sorted, b)]
-        x = np.ascontiguousarray(sa ^ sb).view(np.uint8).reshape(-1, 8)
-        return np.unpackbits(x, axis=1).sum(axis=1) <= max_hamming
-
+    sigs = simhash_signatures(docs).materialize()  # consumed 3× below
     banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=None)
-    return (_bucketed_pairs(banded, ["band", "band_val"], verify=verify)
+    cand = _bucketed_pairs(banded, ["band", "band_val"], num_partitions)
+    with_a = _attach_sig(cand, sigs, "doc_a", "sig_a",
+                         {"doc_a": pa.int64(), "doc_b": pa.int64()},
+                         num_partitions)
+    with_b = _attach_sig(with_a, sigs, "doc_b", "sig_b",
+                         {"doc_a": pa.int64(), "doc_b": pa.int64(),
+                          "sig_a": pa.uint64()}, num_partitions)
+
+    def ham(b: pa.Table) -> pa.Table:
+        sa = b.column("sig_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = b.column("sig_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = np.ascontiguousarray(sa ^ sb).view(np.uint8).reshape(-1, 8)
+        keep = np.unpackbits(x, axis=1).sum(axis=1) <= max_hamming
+        return b.filter(pa.array(keep)).select(["doc_a", "doc_b"])
+
+    return (with_b.map_batches(ham, batch_format="pyarrow", batch_size=None)
             .sort(["doc_a", "doc_b"]))

@@ -92,11 +92,21 @@ def _gather_embeddings(emb: Dataset, id_col: str, vec_col: str
 
 def embedding_neardup_pairs(emb: Dataset, *, tau: float = 0.45,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> Dataset:
-    """All-pairs cosine ≥ tau with doc_a < doc_b. One side is broadcast
-    (fits at dictionary/sample scale — the exact, oracle-checked variant;
-    ``embedding_neardup_lsh_pairs`` is the 100 TB path)."""
+                            vec_col: str = "embedding",
+                            max_rows: int = 100_000) -> Dataset:
+    """All-pairs cosine ≥ tau with doc_a < doc_b. One side is broadcast —
+    an O(corpus) driver gather by construction, so this is the EXACT
+    small-side variant only (test oracles, dictionary-scale tables) and
+    it enforces that contract with an explicit ``max_rows`` bound.
+    ``embedding_neardup_lsh_pairs`` is the 100 TB path and is what the
+    shipped ``embed_neardup`` query runs (identical output at full
+    recall: every candidate is verified with exact cosine)."""
     ids_all, M_all = _gather_embeddings(emb, id_col, vec_col)
+    if len(ids_all) > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact broadcast variant, "
+            f"capped at {max_rows} rows (got {len(ids_all)}); use "
+            "embedding_neardup_lsh_pairs for corpus-scale near-dup")
     n_all = np.linalg.norm(M_all, axis=1)
 
     def pairs(batch: pa.Table) -> pa.Table:
