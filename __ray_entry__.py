@@ -235,9 +235,16 @@ def _q_kg_two_hop(sf_dir: str):
         return pa.Table.from_pydict({"mid2": k.column("subj"),
                                      "dst": k.column("obj")})
 
-    h1 = distinct.map_batches(hop1, batch_format="pyarrow", batch_size=None)
-    h2 = distinct.map_batches(hop2, batch_format="pyarrow", batch_size=None)
-    joined = h1.join(h2, join_type="inner", num_partitions=4,
+    # hop tables are tiny filters of the materialized edge set — count
+    # them exactly so join_num_partitions can scale with the cluster
+    # without ever handing a partition an empty schema-less block
+    from uckg_ray.config import join_num_partitions
+    h1 = distinct.map_batches(hop1, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    h2 = distinct.map_batches(hop2, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    joined = h1.join(h2, join_type="inner",
+                     num_partitions=join_num_partitions(h1.count(), h2.count()),
                      on=("mid",), right_on=("mid2",))
 
     def project(b: pa.Table) -> pa.Table:
@@ -371,14 +378,20 @@ def _q_ann_cosine_topk(sf_dir: str):
 
 
 def _q_ann_ivf_topk(sf_dir: str):
-    """IVF ANN: seeded k-means coarse quantizer trained on a BOUNDED
-    sample (first parquet batch, ≤4096 rows — never the full table on
-    the driver), 4-probe exact rescore."""
+    """IVF ANN: seeded k-means coarse quantizer trained on a BOUNDED,
+    deterministic sample SPREAD across the file (≤512 rows from each of
+    ≤8 evenly-strided row groups — never the full table on the driver,
+    and not just the head, so centroids don't depend on early rows
+    being representative; recall remains bounded by the sample),
+    4-probe exact rescore."""
     from uckg_ray.stages.similarity import IVFIndex, ivf_topk
     Q, qids = _load_queries(sf_dir)
     pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    first = next(pf.iter_batches(batch_size=4096, columns=["embedding"]))
-    col = first.column(0)
+    n_rg = pf.metadata.num_row_groups
+    stride = max(1, n_rg // 8)
+    tabs = [pf.read_row_group(g, columns=["embedding"]).slice(0, 512)
+            for g in range(0, n_rg, stride)][:8]
+    col = pa.concat_tables(tabs).column("embedding").combine_chunks()
     train = col.values.to_numpy(zero_copy_only=False).astype(
         np.float64).reshape(len(col), -1)
     ivf = IVFIndex(train, n_centroids=16)

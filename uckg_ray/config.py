@@ -17,6 +17,19 @@ def default_num_partitions() -> int:
     return max(8, n_cpus // 4)
 
 
+def join_num_partitions(*row_counts: int | None) -> int:
+    """``Dataset.join`` partition count: cluster-scaled like
+    ``default_num_partitions`` but clamped by the smallest known input
+    row count — a partition that receives an empty schema-less block
+    raises ArrowInvalid (observed: tiny input + num_partitions > rows),
+    so never spread fewer rows than 2× the partition count."""
+    n = default_num_partitions()
+    known = [r for r in row_counts if r is not None]
+    if known:
+        n = max(1, min(n, min(known) // 2))
+    return n
+
+
 @dataclass
 class PipelineConfig:
     # turns per Arrow batch handed to the extraction actors; each turn emits

@@ -76,15 +76,18 @@ def hash_join_sum(orders: Dataset, lineitem: Dataset,
     """orders ⨝ lineitem on orderkey (shuffle hash join, both sides
     large) → (o_orderstatus, n_items, sum_price_c100).
 
-    num_partitions defaults to ``config.default_num_partitions()``
-    (cluster CPUs / 4, min 8) so the aggregator-actor count scales with
-    the cluster."""
+    num_partitions defaults to ``config.join_num_partitions()`` —
+    cluster-scaled (CPUs / 4) but clamped by the smaller input's row
+    count, since a join partition receiving an empty schema-less block
+    raises ArrowInvalid on tiny inputs. The count() probes take the
+    parquet-metadata fast path on bare reads; callers with expensive
+    upstream pipelines should pass num_partitions explicitly."""
     from ray.data.aggregate import Sum
 
-    from uckg_ray.config import default_num_partitions
+    from uckg_ray.config import join_num_partitions
 
     if num_partitions is None:
-        num_partitions = default_num_partitions()
+        num_partitions = join_num_partitions(orders.count(), lineitem.count())
 
     joined = lineitem.select_columns(["l_orderkey", "l_extendedprice"]).join(
         orders.select_columns(["o_orderkey", "o_orderstatus"]),
