@@ -49,3 +49,64 @@ def test_hub_subject_node_aggregation(ray_session):
     by_subj = {r["subj"]: r for r in rows}
     assert by_subj["uco#HUB"]["n_edges"] == sum(1 for i in range(n) if i % 10)
     assert len(rows) == 1 + sum(1 for i in range(n) if i % 10 == 0)
+
+
+def _skewed_events(n=20_000, seed=11):
+    """One hot user holds 50% of events, spread over many time buckets."""
+    rng = np.random.default_rng(seed)
+    hot = rng.random(n) < 0.5
+    users = np.where(hot, 1, rng.integers(2, 500, n))
+    ts_us = rng.integers(0, 30 * 86_400_000_000, n)  # 30 days of micros
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": users.astype(np.int64),
+        "event_type": np.where(rng.random(n) < 0.5, "click", "view"),
+        "ts": pd.to_datetime(ts_us, unit="us"),
+        "value": rng.random(n).round(3),
+    })
+
+
+def test_asof_join_hot_key_bucketed(ray_session):
+    """Time-range bucketing must reproduce the single-group merge_asof
+    exactly — including matches that cross bucket boundaries — while a
+    hot key spreads across (key, bucket) tasks instead of one."""
+    import ray.data
+    from uckg_ray.stages.joins import asof_join_events
+    df = _skewed_events()
+    ds = ray.data.from_pandas(df).repartition(8)
+    rows = asof_join_events(ds, left_type="click", right_type="view",
+                            bucket_minutes=60).take_all()
+    got = {r["left_id"]: r["right_id"] for r in rows}
+    # pandas oracle: per-user backward merge_asof
+    want = {}
+    for u, g in df.groupby("user_id"):
+        left = g[g.event_type == "click"].sort_values(["ts", "event_id"])
+        right = g[g.event_type == "view"].sort_values(["ts", "event_id"])
+        for _, lr in left.iterrows():
+            prior = right[right.ts <= lr.ts]
+            want[int(lr.event_id)] = (int(prior.iloc[-1].event_id)
+                                      if len(prior) else None)
+    assert got == want
+
+
+def test_sessionize_hot_key_bucketed(ray_session):
+    """Fragment-stitch sessionization == single-group sessionization,
+    including sessions spanning bucket boundaries."""
+    import ray.data
+    from uckg_ray.stages.windows import sessionize
+    df = _skewed_events(n=10_000, seed=12)
+    ds = ray.data.from_pandas(df).repartition(8)
+    rows = sessionize(ds, gap_minutes=30, bucket_minutes=60).take_all()
+    got = {(r["user_id"], r["session_start_us"]):
+           (r["n_events"], r["duration_us"]) for r in rows}
+    want = {}
+    gap_us = 30 * 60 * 1_000_000
+    for u, g in df.groupby("user_id"):
+        ts = np.sort(g.ts.astype("datetime64[us]").astype("int64").to_numpy())
+        brk = np.ones(len(ts), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(brk) - 1
+        for s in np.unique(sid):
+            m = ts[sid == s]
+            want[(int(u), int(m[0]))] = (len(m), int(m[-1] - m[0]))
+    assert got == want

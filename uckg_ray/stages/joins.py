@@ -34,16 +34,118 @@ _2_32 = 1 << 32
 
 
 def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
-                     key: str = "user_id") -> Dataset:
+                     key: str = "user_id",
+                     bucket_minutes: int = 60) -> Dataset:
     """For each `left_type` event: the most recent `right_type` event of
     the same key with ts ≤ left ts. Output: (left_id, right_id, key) —
     right_id null when no prior right event exists.
     ≡ DuckDB: ``FROM left ASOF JOIN right ON key AND left.ts >= right.ts``
-    (but we keep unmatched lefts, i.e. ASOF LEFT JOIN)."""
+    (but we keep unmatched lefts, i.e. ASOF LEFT JOIN).
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
-        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
+    Skew-safe partitioning: events group by (key, time-bucket), not by
+    key alone, so one hot key (a user holding half the log) spreads
+    across its time range instead of serializing into one task. The
+    range boundary is handled with one carry row per bucket: the best
+    right event from all EARLIER buckets (a per-key exclusive prefix
+    max over the per-bucket summaries — the summary table has one row
+    per (key, bucket), so the per-key stitch stays tiny even when the
+    raw key group would not). The result is bit-identical to the
+    single-group merge_asof."""
+    bucket_us = bucket_minutes * 60 * 1_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        et = b.column("event_type")
+        t = b.filter(pa.compute.or_(pc.equal(et, left_type),
+                                    pc.equal(et, right_type)))
+        ts_us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: t.column(key).cast(pa.int64()),
+            "bucket": pa.array(np.floor_divide(ts_us, bucket_us), pa.int64()),
+            "is_left": pc.equal(t.column("event_type"), left_type),
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+        })
+
+    tagged = events.map_batches(tag, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+    # per-(key, bucket) summary: best right event (max ts, then max id —
+    # exactly the row backward merge_asof would pick) + has-left flag;
+    # block-local partial first, global merge per key group (tiny: one
+    # row per (key, bucket))
+    def summarize(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: b.column(key).to_numpy(zero_copy_only=False),
+            "bucket": b.column("bucket").to_numpy(zero_copy_only=False),
+            "is_left": b.column("is_left").to_numpy(zero_copy_only=False),
+            "event_id": b.column("event_id").to_numpy(zero_copy_only=False),
+            "ts_us": b.column("ts_us").to_numpy(zero_copy_only=False),
+        })
+        r = df[~df["is_left"]].sort_values(["ts_us", "event_id"]) \
+            .groupby([key, "bucket"], sort=False).last().reset_index()
+        r = r[[key, "bucket", "event_id", "ts_us"]]
+        r["has_left"] = False
+        le = (df[df["is_left"]][[key, "bucket"]].drop_duplicates()
+              .assign(event_id=np.int64(-1), ts_us=np.int64(-2**62),
+                      has_left=True))
+        out = pd.concat([r, le], ignore_index=True)
+        return pa.Table.from_pydict({
+            key: pa.array(out[key].to_numpy(np.int64), pa.int64()),
+            "bucket": pa.array(out["bucket"].to_numpy(np.int64), pa.int64()),
+            "event_id": pa.array(out["event_id"].to_numpy(np.int64), pa.int64()),
+            "ts_us": pa.array(out["ts_us"].to_numpy(np.int64), pa.int64()),
+            "has_left": pa.array(out["has_left"].to_numpy(bool), pa.bool_()),
+        })
+
+    summaries = tagged.map_batches(summarize, batch_format="pyarrow",
+                                   batch_size=None)
+
+    def carries(g: pd.DataFrame) -> pd.DataFrame:
+        # exclusive prefix max of (ts, id) over bucket order → one carry
+        # row per left-holding bucket
+        g = g.sort_values(["bucket", "ts_us", "event_id"])
+        ub = np.sort(g["bucket"].unique())
+        best_id, best_ts = np.int64(-1), np.int64(-2**62)
+        K, B, E, T = [], [], [], []
+        kv = g[key].iloc[0]
+        by_bucket = {b_: sub for b_, sub in g.groupby("bucket", sort=True)}
+        for b_ in ub:
+            sub = by_bucket[b_]
+            if bool(sub["has_left"].any()) and best_id >= 0:
+                K.append(kv); B.append(b_); E.append(best_id); T.append(best_ts)
+            rt = sub[~sub["has_left"]]
+            if len(rt):
+                last = rt.iloc[-1]  # already (ts, id)-sorted within bucket
+                if (last["ts_us"], last["event_id"]) > (best_ts, best_id):
+                    best_ts, best_id = np.int64(last["ts_us"]), np.int64(last["event_id"])
+        return pd.DataFrame({
+            key: pd.Series(K, dtype="int64"),
+            "bucket": pd.Series(B, dtype="int64"),
+            "is_left": pd.Series([False] * len(K), dtype=bool),
+            "event_id": pd.Series(E, dtype="int64"),
+            "ts_us": pd.Series(T, dtype="int64"),
+        })
+
+    def to_arrow(b: pa.Table) -> pa.Table:
+        # pin block type + schema so the union with `tagged` (arrow
+        # blocks) is well-formed even for empty carry groups
+        return pa.table({
+            key: b.column(key).cast(pa.int64()),
+            "bucket": b.column("bucket").cast(pa.int64()),
+            "is_left": b.column("is_left").cast(pa.bool_()),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "ts_us": b.column("ts_us").cast(pa.int64()),
+        })
+
+    carry_ds = (summaries.groupby(key).map_groups(carries,
+                                                  batch_format="pandas")
+                .map_batches(to_arrow, batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"]].sort_values(["ts_us", "event_id"])
+        right = g[~g["is_left"]].sort_values(["ts_us", "event_id"])
         if len(left) == 0:
             return pd.DataFrame({"left_id": pd.Series([], dtype="int64"),
                                  "right_id": pd.Series([], dtype="int64"),
@@ -53,13 +155,16 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
                                  "right_id": np.full(len(left), np.nan),
                                  key: left[key].to_numpy()})
         m = pd.merge_asof(
-            left[["event_id", "ts"]].rename(columns={"event_id": "left_id"}),
-            right[["event_id", "ts"]].rename(columns={"event_id": "right_id"}),
-            on="ts", direction="backward")
+            left[["event_id", "ts_us"]].rename(columns={"event_id": "left_id"}),
+            right[["event_id", "ts_us"]].rename(columns={"event_id": "right_id"}),
+            on="ts_us", direction="backward")
         m[key] = left[key].iloc[0]
         return m[["left_id", "right_id", key]]
 
-    out = events.groupby(key).map_groups(per_key, batch_format="pandas")
+    out = (tagged.union(carry_ds)
+           .groupby([key, "bucket"])
+           .map_groups(lambda g: per_bucket(g.drop(columns=["bucket"])),
+                       batch_format="pandas"))
 
     def cast(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({

@@ -49,31 +49,73 @@ def tumbling_window_agg(events: Dataset, *, every: str = "hour") -> Dataset:
                        Sum("sum_value_c100", alias_name="sum_value_c100")))
 
 
-def sessionize(events: Dataset, *, gap_minutes: int = 30) -> Dataset:
+def sessionize(events: Dataset, *, gap_minutes: int = 30,
+               bucket_minutes: int = 60) -> Dataset:
     """Session windows per user: a new session starts when the gap from
-    the previous event exceeds `gap_minutes`. Per-user map_groups over
-    ts-sorted groups (the one place ordering matters — sorted inside the
-    group, not relying on block arrival order).
-    Output: (user_id, session_start, n_events, duration_us)."""
+    the previous event exceeds `gap_minutes`.
+    Output: (user_id, session_start_us, n_events, duration_us).
+
+    Skew-safe partitioning: events group by (user, time-bucket), each
+    bucket computes its maximal intra-bucket session FRAGMENTS
+    (start, end, count) vectorized, then a per-user stitch merges
+    consecutive fragments whose boundary gap is ≤ the session gap. The
+    stitch group holds fragments, not events — bounded by #buckets +
+    #sessions per user, so one hot user (half the log) spreads its event
+    volume across time-bucket tasks instead of one giant group. Result
+    is identical to single-group sessionization: fragments are maximal
+    runs within buckets, so the only possible merges are at fragment
+    boundaries, which the stitch tests exactly."""
     import pandas as pd
 
     gap_us = gap_minutes * 60 * 1_000_000
+    bucket_us = bucket_minutes * 60 * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new_session) - 1
-        out = []
-        for s in np.unique(sid):
-            m = sid == s
-            out.append((g["user_id"].iloc[0], ts[m][0], int(m.sum()),
-                        int(ts[m][-1] - ts[m][0])))
-        return pd.DataFrame(out, columns=["user_id", "session_start_us",
-                                          "n_events", "duration_us"])
+    def tag(b: pa.Table) -> pa.Table:
+        ts_us = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "bucket": pa.array(np.floor_divide(ts_us, bucket_us), pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+        })
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def fragments(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts_us"].to_numpy(np.int64))
+        brk = np.ones(len(ts), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        fid = np.cumsum(brk) - 1
+        starts = ts[brk]
+        ends = ts[np.append(brk[1:], True)]
+        n = np.bincount(fid)
+        return pd.DataFrame({
+            "user_id": np.full(len(starts), g["user_id"].iloc[0],
+                               dtype=np.int64),
+            "start_us": starts, "end_us": ends,
+            "n": n.astype(np.int64)})
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("start_us")
+        s = g["start_us"].to_numpy(np.int64)
+        e = g["end_us"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        brk = np.ones(len(s), dtype=bool)
+        brk[1:] = (s[1:] - e[:-1]) > gap_us
+        sid = np.cumsum(brk) - 1
+        out_start = s[brk]
+        out_end = e[np.append(brk[1:], True)]
+        out_n = np.bincount(sid, weights=n).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": np.full(len(out_start), g["user_id"].iloc[0],
+                               dtype=np.int64),
+            "session_start_us": out_start,
+            "n_events": out_n,
+            "duration_us": out_end - out_start})
+
+    frags = (events.map_batches(tag, batch_format="pyarrow", batch_size=None)
+             .groupby(["user_id", "bucket"])
+             .map_groups(lambda g: fragments(g.drop(columns=["bucket"])),
+                         batch_format="pandas"))
+    return frags.groupby("user_id").map_groups(stitch, batch_format="pandas")
 
 
 def hopping_window_agg(events: Dataset, *, size_minutes: int = 60,
