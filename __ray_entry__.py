@@ -921,18 +921,21 @@ def _edges_union(p) -> str:
       "(SELECT id_num, unnest(execution_flow) AS st FROM capd) "
       "WHERE trim(st.Step) <> '' AND trim(st.Phase) <> '' "
       "AND trim(st.Description) <> ''")
+    # reference-exact truthiness (parse.py:353-360, 374-392): Level raw,
+    # pre-strip tests on Level/Impact/scope items, kept scopes stripped
     t(cap_s, f"'{UCOEX}Skills_Required'",
-      "'Level:' || trim(sk.Level) || ' - Description:' || trim(sk.Description)",
+      "'Level:' || sk.Level || ' - Description:' || trim(sk.Description)",
       "true", ns.XSD_STRING,
       "(SELECT id_num, unnest(skills) AS sk FROM capd) "
-      "WHERE trim(sk.Level) <> '' AND trim(sk.Description) <> ''")
+      "WHERE coalesce(sk.Level, '') <> '' "
+      "AND trim(coalesce(sk.Description, '')) <> ''")
     t(cap_s, f"'{UCOEX}Consequences'",
       "'SCOPE:' || array_to_string(list_transform(list_filter(co.Scope, "
-      "s -> trim(s) <> ''), s -> trim(s)), ',') || ' - IMPACT:' || "
-      "trim(co.Impact)", "true", ns.XSD_STRING,
+      "s -> s IS NOT NULL AND s <> ''), s -> trim(s)), ',') || "
+      "' - IMPACT:' || trim(co.Impact)", "true", ns.XSD_STRING,
       "(SELECT id_num, unnest(consequences) AS co FROM capd) "
-      "WHERE len(list_filter(co.Scope, s -> trim(s) <> '')) > 0 "
-      "AND trim(co.Impact) <> ''")
+      "WHERE len(co.Scope) > 0 AND coalesce(co.Impact, '') <> '' "
+      "AND len(list_filter(co.Scope, s -> s IS NOT NULL AND s <> '')) > 0")
     t(cap_s, f"'{UCOEX}hasRelatedWeakness'", f"{U} || w", "false", "",
       "(SELECT id_num, unnest(related_weaknesses) AS w FROM capd)")
     t(f"{U} || w", f"'{RT}'", f"{U} || 'CWE'", "false", "",

