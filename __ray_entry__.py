@@ -196,6 +196,21 @@ def _q_kg_types_inferred(sf_dir: str):
     return infer_types(distinct)
 
 
+def _q_kg_types_domain_range(sf_dir: str):
+    """T5 (RDFS subset) domain/range entailment: rdfs:domain/rdfs:range
+    axioms type edge subjects/objects, composed with the subclass
+    closure — the rdfs2/rdfs3 extension over kg_types_inferred."""
+    f = _fixdir(sf_dir)
+    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
+    from uckg_ray.stages.materialize import (distinct_edges,
+                                             infer_types_domain_range,
+                                             union_edge_sources)
+    edges = extract_edges(_rd_turns(sf_dir), f)
+    distinct = distinct_edges(
+        union_edge_sources(edges, side_table_edges(f)), sort=False)
+    return infer_types_domain_range(distinct)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Triangle enumeration (a<b<c) over the undirected relationship
     graph (non-literal, non-rdf:type edges)."""
@@ -588,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_two_hop": _q_kg_two_hop,
         "kg_types_inferred": _q_kg_types_inferred,
+        "kg_types_domain_range": _q_kg_types_domain_range,
         "kg_triangles": _q_kg_triangles,
         "kg_cpe_link": _q_kg_cpe_link,
         "kg_linker": _q_kg_linker,
@@ -1013,6 +1029,38 @@ SELECT DISTINCT node, type_iri FROM (
   SELECT t.node, c.s AS type_iri FROM types t JOIN clos c ON c.c = t.type_iri)"""
 
 
+def _sql_kg_types_domain_range(p) -> str:
+    """rdfs2/rdfs3 + subclass-closure oracle: domain/range VALUES tables
+    type edge subjects / non-literal objects, then the recursive
+    rdfs:subClassOf closure extends asserted+entailed types."""
+    from uckg_ray.tbox import TBOX_DOMAIN, TBOX_EDGES, TBOX_RANGE
+    vals = ", ".join(f"('{c}', '{s}')" for c, s in TBOX_EDGES)
+    dm = ", ".join(f"('{pr}', '{c}')" for pr, c in TBOX_DOMAIN)
+    rg = ", ".join(f"('{pr}', '{c}')" for pr, c in TBOX_RANGE)
+    return f"""WITH RECURSIVE {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+tb(c, s) AS (VALUES {vals}),
+clos(c, s) AS (SELECT c, s FROM tb
+               UNION
+               SELECT t.c, b.s FROM clos t JOIN tb b ON b.c = t.s
+               WHERE b.s <> t.c),
+dm(p, c) AS (VALUES {dm}),
+rg(p, c) AS (VALUES {rg}),
+types0 AS (
+  SELECT DISTINCT subj AS node, obj AS type_iri FROM edges
+  WHERE pred = '{ns.RDF_TYPE}'
+  UNION
+  SELECT DISTINCT e.subj, d.c FROM edges e JOIN dm d ON d.p = e.pred
+  UNION
+  SELECT DISTINCT e.obj, r.c FROM edges e JOIN rg r ON r.p = e.pred
+  WHERE NOT e.obj_is_literal)
+SELECT DISTINCT node, type_iri FROM (
+  SELECT node, type_iri FROM types0
+  UNION ALL
+  SELECT t.node, c.s AS type_iri FROM types0 t JOIN clos c ON c.c = t.type_iri)"""
+
+
 def _sql_kg_edges_canonical(p) -> str:
     """Full canonicalized edge table: the template UNION plus the
     union-find canonical map (recursive CTE) applied as an IRI rewrite
@@ -1100,6 +1148,7 @@ SELECT DISTINCT e1.subj AS src, e1.obj AS mid, e2.obj AS dst
 FROM edges e1 JOIN edges e2 ON e2.subj = e1.obj
 WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_types_inferred": _sql_kg_types_inferred(p),
+        "kg_types_domain_range": _sql_kg_types_domain_range(p),
         "kg_triangles": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

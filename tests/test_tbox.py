@@ -47,3 +47,47 @@ def test_infer_types_dataset(ray_session):
         ("n2", ns.UCO + "ExcessForks"), ("n2", ns.UCO + "DenialOfService"),
         ("n2", ns.UCO + "Consequence"), ("n2", ns.UCO + "MeansOrConsequence"),
         ("n2", UCO_THING)}
+
+
+def test_full_snapshot_tbox_breadth():
+    """The subclass table mirrors the full uco2.ttl snapshot (99 axioms
+    over 102 classes) plus ucoex entries; every class in the closure
+    resolves to UCOThing (the snapshot is single-rooted)."""
+    from uckg_ray.tbox import TBOX_DOMAIN, TBOX_RANGE
+    assert len(TBOX_EDGES) >= 110
+    assert len(TBOX_DOMAIN) == 120 and len(TBOX_RANGE) == 49
+    c = tbox_closure()
+    for cls in c:
+        assert UCO_THING in c[cls], cls
+    # spot checks straight from the snapshot text
+    assert ns.UCO + "LogicExploit" in c[ns.UCO + "AtError"]
+    assert (ns.UCO + "InputValidationError") in c[ns.UCO + "BoundaryCondition"]
+
+
+def test_infer_types_domain_range(ray_session):
+    """rdfs2/rdfs3: hasCVE_ID domains Vulnerability / ranges CVE (both
+    snapshot axioms), composed with the subclass closure; literal
+    objects never get range-typed; multi-domain axioms all fire."""
+    import ray.data
+
+    from uckg_ray.stages.materialize import infer_types_domain_range
+    edges = pa.table({
+        "subj": ["v1", "v1", "e1"],
+        "pred": [ns.UCO + "hasCVE_ID", ns.UCO + "name",
+                 ns.UCO + "hasVulnerability"],
+        "obj": ["c1", "lit", "v9"],
+        "obj_is_literal": [False, True, False],
+        "obj_datatype": ["", "xsd:string", ""]})
+    got = {(r["node"], r["type_iri"])
+           for r in infer_types_domain_range(
+               ray.data.from_arrow(edges)).take_all()}
+    U = ns.UCO
+    assert got == {
+        ("v1", U + "Vulnerability"), ("v1", UCO_THING),
+        ("c1", U + "CVE"), ("c1", UCO_THING),
+        # hasVulnerability has THREE domain axioms — each entails, and
+        # Means ⊑ MeansOrConsequence closes upward
+        ("e1", U + "ExploitTarget"), ("e1", U + "Means"),
+        ("e1", U + "MeansOrConsequence"),
+        ("e1", U + "Product"), ("e1", UCO_THING),
+        ("v9", U + "Vulnerability"), ("v9", UCO_THING)}

@@ -278,6 +278,88 @@ def infer_types(distinct: Dataset, closure: dict[str, list[str]] | None = None,
         lambda t: uniq(t.drop_columns(["p", "k"])), batch_format="pyarrow")
 
 
+def infer_types_domain_range(distinct: Dataset,
+                             closure: dict[str, list[str]] | None = None,
+                             domain: list[tuple[str, str]] | None = None,
+                             range_: list[tuple[str, str]] | None = None,
+                             num_partitions: int = 16) -> Dataset:
+    """RDFS domain/range entailment (rules rdfs2/rdfs3) composed with
+    the subclass closure (T3/T5 extension): for every edge
+    ``(s, p, o)``, each ``rdfs:domain(p, C)`` axiom entails ``s : C``
+    and each ``rdfs:range(p, C)`` axiom entails ``o : C`` (non-literal
+    objects only — the snapshot's range axioms are object properties);
+    asserted and entailed types are then closed over rdfs:subClassOf.
+    The axiom tables ride the task closure (bounded ontology side); the
+    edge stream is the data-scale side — same block-partial +
+    hash-partition distinct shape as ``infer_types``.
+
+    Reference scope note: this is the RDFS-level subset of the
+    reference's optional ``sync_reasoner()`` OWL-DL pass
+    (``reference/process/ontology_updater.py:69-74``); full DL
+    reasoning remains documented out of scope (SURVEY §2.5 T5)."""
+    import pandas as pd
+
+    from uckg_ray import namespaces as ns
+    from uckg_ray.tbox import TBOX_DOMAIN, TBOX_RANGE, tbox_closure
+    closure = tbox_closure() if closure is None else closure
+    dom_rows = TBOX_DOMAIN if domain is None else domain
+    rng_rows = TBOX_RANGE if range_ is None else range_
+    dom_map: dict[str, list[str]] = {}
+    for p_, c_ in dom_rows:
+        dom_map.setdefault(p_, []).append(c_)
+    rng_map: dict[str, list[str]] = {}
+    for p_, c_ in rng_rows:
+        rng_map.setdefault(p_, []).append(c_)
+    rt = ns.RDF_TYPE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "subj": batch.column("subj").to_pylist(),
+            "pred": batch.column("pred").to_pylist(),
+            "obj": batch.column("obj").to_pylist(),
+            "lit": batch.column("obj_is_literal").to_pylist(),
+        })
+        asserted = (df[df["pred"] == rt]
+                    .rename(columns={"subj": "node", "obj": "type_iri"})
+                    [["node", "type_iri"]])
+        d = df[df["pred"].isin(dom_map)]
+        d = (d.assign(type_iri=d["pred"].map(dom_map))
+             .rename(columns={"subj": "node"})[["node", "type_iri"]]
+             .explode("type_iri"))
+        r = df[df["pred"].isin(rng_map) & ~df["lit"]]
+        r = (r.assign(type_iri=r["pred"].map(rng_map))
+             .rename(columns={"obj": "node"})[["node", "type_iri"]]
+             .explode("type_iri"))
+        base = pd.concat([asserted, d, r], ignore_index=True).drop_duplicates()
+        sup = base.assign(type_iri=base["type_iri"].map(closure))
+        sup = sup[sup["type_iri"].notna()].explode("type_iri")
+        out = pd.concat([base, sup], ignore_index=True).drop_duplicates()
+        return pa.Table.from_pydict(
+            {"node": out["node"].tolist(), "type_iri": out["type_iri"].tolist()},
+            schema=_TYPES_SCHEMA)
+
+    def uniq(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates()
+        return pa.Table.from_pydict(
+            {"node": df["node"].tolist(), "type_iri": df["type_iri"].tolist()},
+            schema=_TYPES_SCHEMA)
+
+    parted = (distinct.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None)
+              .map_batches(lambda b: _add_hash_partition(
+                  b.append_column("k", pa.compute.binary_join_element_wise(
+                      b.column("node").combine_chunks()
+                      if isinstance(b.column("node"), pa.ChunkedArray)
+                      else b.column("node"),
+                      b.column("type_iri").combine_chunks()
+                      if isinstance(b.column("type_iri"), pa.ChunkedArray)
+                      else b.column("type_iri"), "\x1f")),
+                  num_partitions, col="k"),
+                  batch_format="pyarrow", batch_size=None))
+    return parted.groupby("p").map_groups(
+        lambda t: uniq(t.drop_columns(["p", "k"])), batch_format="pyarrow")
+
+
 def union_edge_sources(*sources: Dataset | pa.Table) -> Dataset:
     """A5 graph union: per-source edge datasets/tables → one edge stream."""
     ds_list = []
