@@ -233,10 +233,13 @@ def oracle_triples(transcripts_dir: str, fixture_dir: str,
         for x in r["prerequisites"] or ():
             T.add((pi, UCOEX + "Prerequisites", x))
         for sk in r["skills"] or ():
-            if sk["Level"].strip() and sk["Description"].strip():
+            # reference-exact truthiness (parse.py:353-360): Level tested
+            # and emitted RAW, Description stripped before test+emission
+            level = sk["Level"] or ""
+            desc = (sk["Description"] or "").strip()
+            if level and desc:
                 T.add((pi, UCOEX + "Skills_Required",
-                       f"Level:{sk['Level'].strip()} - "
-                       f"Description:{sk['Description'].strip()}"))
+                       f"Level:{level} - Description:{desc}"))
         for x in r["resources"] or ():
             T.add((pi, UCOEX + "Resources_Required", x))
         for x in r["mitigations"] or ():
@@ -244,10 +247,16 @@ def oracle_triples(transcripts_dir: str, fixture_dir: str,
         for x in r["examples"] or ():
             T.add((pi, UCOEX + "Example", x))
         for c in r["consequences"] or ():
-            sc = [s.strip() for s in (c["Scope"] or ()) if s and s.strip()]
-            if sc and c["Impact"].strip():
+            # reference-exact truthiness (parse.py:374-392): pre-strip
+            # Impact/scope-item tests; kept scopes stripped after
+            scope_items = c["Scope"] or ()
+            impact_raw = c["Impact"] or ""
+            if not (len(scope_items) and impact_raw):
+                continue
+            sc = [s.strip() for s in scope_items if s]
+            if sc:
                 T.add((pi, UCOEX + "Consequences",
-                       f"SCOPE:{','.join(sc)} - IMPACT:{c['Impact'].strip()}"))
+                       f"SCOPE:{','.join(sc)} - IMPACT:{impact_raw.strip()}"))
         for w in r["related_weaknesses"] or ():
             T.add((pi, UCOEX + "RelatedWeaknesses", w))
             T.add((pi, UCOEX + "hasRelatedWeakness", UCO + w))

