@@ -362,6 +362,16 @@ def _q_dedup_simhash(sf_dir: str):
     return simhash_pairs(_table(sf_dir, "documents"), max_hamming=3)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster canonicalization: minhash-LSH pairs → distributed
+    connected components → one canonical doc per duplicate cluster
+    (`WHERE NOT is_dup` keeps exactly one representative)."""
+    from uckg_ray.stages.dedup import minhash_lsh_pairs, neardup_canonical_docs
+    docs = _table(sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, tau=0.5)
+    return neardup_canonical_docs(docs, pairs)
+
+
 def _q_text_quality(sf_dir: str):
     from uckg_ray.stages.text import quality_stats
     return quality_stats(_table(sf_dir, "documents"))
@@ -616,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_token_jaccard": _q_dedup_token_jaccard,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "doc_winnow": _q_doc_winnow,
         "events_hopping": _q_events_hopping,
@@ -1218,6 +1229,36 @@ pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
 SELECT doc_a, doc_b FROM pr
 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE 2 * inter >= sa.n + sb.n - inter""",
+        # cluster canonicalization oracle: exact near-dup pairs (the
+        # dedup_minhash CTE) + recursive min-label union-find, LEFT
+        # JOINed back so singleton docs map to themselves
+        "dedup_clusters": """
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT doc_id,
+       CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       ELSE list_transform(range(len(tk) - 2),
+            i -> tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2]
+                 || ' ' || tk[CAST(i AS INT) + 3]) END AS s
+       FROM t),
+w AS (SELECT DISTINCT doc_id, unnest(s) AS sng FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM w a JOIN w b ON a.sng = b.sng AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT doc_a, doc_b FROM pr
+          JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+          WHERE 2 * inter >= sa.n + sb.n - inter),
+e2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       UNION ALL SELECT doc_b, doc_a FROM pairs),
+comp(node, label) AS (
+  SELECT DISTINCT a, a FROM e2
+  UNION
+  SELECT e.b, c.label FROM comp c JOIN e2 e ON e.a = c.node),
+lab AS (SELECT node, min(label) AS canon FROM comp GROUP BY node)
+SELECT d.doc_id, coalesce(l.canon, d.doc_id) AS canonical_id,
+       coalesce(l.canon, d.doc_id) <> d.doc_id AS is_dup
+FROM documents d LEFT JOIN lab l ON l.node = d.doc_id""",
         # exact SQL replica of simhash_pairs: per-bit majority vote over
         # md5_number_upper token hashes (== _stable64), 4×16-bit band
         # blocking (pigeonhole: full recall at Hamming ≤ 3), per-bit

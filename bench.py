@@ -1,15 +1,24 @@
 """Benchmark harness.
 
-    python bench.py               # headline + per-query timings, ONE JSON line
-    python bench.py --scaling     # same job at 8 and 32 CPUs in fresh
-                                  # processes → throughputs + efficiency
+    python bench.py               # MEDIAN-of-3 fresh-process builds +
+                                  # per-query timings, ONE JSON line
+    python bench.py --once        # single in-process run (legacy shape)
+    python bench.py --build-once  # one build only (subprocess worker)
+    python bench.py --scaling     # median-of-3 builds at 8 and 32 CPUs
+                                  # → throughputs + efficiency (overall
+                                  # and per phase)
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
 
 Headline = full KG build (extract → link → canonicalize → dedup → sort →
-write edges+nodes) over the transcript fixture for the sf dir; the
-metric of record is triples/sec (BASELINE.md).
+write edges+nodes+props) over the transcript fixture for the sf dir; the
+metric of record is triples/sec (BASELINE.md). Each build runs in a
+FRESH process (own Ray session): repeated builds inside one session
+measured up to 1.7× slower from object-store pressure, and this box
+sees bursty host CPU steal — the median of three fresh runs plus the
+recorded steal delta make the artifact reflect the engine, not the
+neighbor's workload.
 """
 
 from __future__ import annotations
@@ -17,29 +26,29 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import time
 
 
-def run_bench() -> dict:
-    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+def _steal_ticks() -> int:
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
 
+
+def _init_ray(num_cpus: int):
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = False
 
-    from uckg_ray.sources import fixtures as fx
-    from uckg_ray.pipelines.kg import build_kg
-    import __ray_entry__ as entrymod
 
-    fdir = fx.ensure_fixtures(sf_dir)          # untimed (cached after 1st run)
-    tdir = os.path.join(fdir, "transcripts")
-
+def _warm_cache(tdir: str):
     # warm the page cache so we measure compute+shuffle, not first disk
     # read (count() alone would take the parquet-metadata fast path and
     # read nothing — force full block reads)
@@ -49,15 +58,72 @@ def run_bench() -> dict:
         lambda b: pa.table({"n": [b.num_rows]}), batch_format="pyarrow",
         batch_size=None).count()
 
+
+def run_build_once() -> dict:
+    """One fresh-session KG build; prints/returns the build metrics."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+    _init_ray(num_cpus)
+    from uckg_ray.pipelines.kg import build_kg
+    from uckg_ray.sources import fixtures as fx
+    fdir = fx.ensure_fixtures(sf_dir)          # untimed (cached after 1st run)
+    tdir = os.path.join(fdir, "transcripts")
+    _warm_cache(tdir)
     # per-process out dir: concurrent bench runs (e.g. a driver run
     # overlapping a manual one) must never clobber each other's output
     out_dir = f"/tmp/uckg_bench_out_{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    s0 = _steal_ticks()
     t0 = time.perf_counter()
     manifest = build_kg(tdir, fdir, out_dir, resume=False)
     headline = time.perf_counter() - t0
+    steal = _steal_ticks() - s0
+    ray.shutdown()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "value": round(headline, 3),
+        "num_cpus": num_cpus,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "n_turns": manifest["n_turns"],
+        "n_distinct_edges": manifest["n_distinct_edges"],
+        "triples_per_sec": round(manifest["n_distinct_edges"] / headline, 1),
+        "turns_per_sec": round(manifest["n_turns"] / headline, 1),
+        "phase_sec": manifest["phase_sec"],
+        "steal_ticks": steal,
+    }
 
-    queries = {"kg_build": round(headline, 3)}
+
+def _build_median(num_cpus: int, repeats: int = 3) -> dict:
+    """Median-of-N builds, each in a FRESH subprocess (own Ray session,
+    own object store). Median chosen by wall time; all samples recorded."""
+    runs = []
+    for _ in range(repeats):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--build-once"],
+            env=env, capture_output=True, text=True, check=True)
+        runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    runs.sort(key=lambda r: r["value"])
+    med = dict(runs[len(runs) // 2])
+    med["build_samples_sec"] = [r["value"] for r in runs]
+    med["build_samples_steal_ticks"] = [r["steal_ticks"] for r in runs]
+    return med
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    med = _build_median(num_cpus)
+
+    # per-query timings: one pass in this process's own session
+    import ray
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+    from uckg_ray.sources import fixtures as fx
+    fx.ensure_fixtures(sf_dir)
+
+    queries = {"kg_build": med["value"]}
 
     def timed(name, fn):
         t = time.perf_counter()
@@ -79,15 +145,49 @@ def run_bench() -> dict:
                  "token_count", "kg_custom_spec", "doc_winnow",
                  "embed_neardup_lsh"):
         timed(name, q[name])
+    ray.shutdown()
 
-    result = {
+    return {
         "metric": "kg_build_e2e_sec",
-        "value": round(headline, 3),
+        "value": med["value"],
         "unit": "sec",
         "queries": queries,
-        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "sf": med["sf"],
         "num_cpus": num_cpus,
-        "n_turns": manifest["n_turns"],
+        "n_turns": med["n_turns"],
+        "n_distinct_edges": med["n_distinct_edges"],
+        "triples_per_sec": med["triples_per_sec"],
+        "turns_per_sec": med["turns_per_sec"],
+        "phase_sec": med["phase_sec"],
+        "build_samples_sec": med["build_samples_sec"],
+        "build_samples_steal_ticks": med["build_samples_steal_ticks"],
+    }
+
+
+def run_once() -> dict:
+    """Legacy single-process shape: one build + query timings in one
+    session (kept for quick manual runs)."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+    from uckg_ray.pipelines.kg import build_kg
+    from uckg_ray.sources import fixtures as fx
+    fdir = fx.ensure_fixtures(sf_dir)
+    tdir = os.path.join(fdir, "transcripts")
+    _warm_cache(tdir)
+    out_dir = f"/tmp/uckg_bench_out_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = build_kg(tdir, fdir, out_dir, resume=False)
+    headline = time.perf_counter() - t0
+    queries = {"kg_build": round(headline, 3)}
+    result = {
+        "metric": "kg_build_e2e_sec", "value": round(headline, 3),
+        "unit": "sec", "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus, "n_turns": manifest["n_turns"],
         "n_distinct_edges": manifest["n_distinct_edges"],
         "triples_per_sec": round(manifest["n_distinct_edges"] / headline, 1),
         "turns_per_sec": round(manifest["n_turns"] / headline, 1),
@@ -99,14 +199,8 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True)
-        return json.loads(out.stdout.strip().splitlines()[-1])
-
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
+    r_lo, r_hi = _build_median(lo), _build_median(hi)
     tput_lo = r_lo["turns_per_sec"]
     tput_hi = r_hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
@@ -124,6 +218,10 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "samples_lo": r_lo["build_samples_sec"],
+        "samples_hi": r_hi["build_samples_sec"],
+        "steal_ticks_lo": r_lo["build_samples_steal_ticks"],
+        "steal_ticks_hi": r_hi["build_samples_steal_ticks"],
         "turns_per_sec_lo": tput_lo, "turns_per_sec_hi": tput_hi,
         "triples_per_sec_lo": r_lo["triples_per_sec"],
         "triples_per_sec_hi": r_hi["triples_per_sec"],
@@ -135,7 +233,11 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--build-once" in sys.argv:
+        print(json.dumps(run_build_once()))
+    elif "--once" in sys.argv:
+        print(json.dumps(run_once()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -139,3 +139,17 @@ def test_fingerprint_normalization(ray_session):
     rows = fingerprints(ds).take_all()
     fps = {r["doc_id"]: r["fingerprint"] for r in rows}
     assert fps[0] == fps[1]  # punctuation/case/extra-space collapse
+
+
+def test_neardup_canonical_docs(ray_session):
+    """Pairs → clusters → one canonical (min id) per cluster; docs in no
+    pair map to themselves."""
+    import ray.data
+    from uckg_ray.stages.dedup import neardup_canonical_docs
+    docs = _docs_ds(ray_session, ["a"] * 6)  # texts unused by the operator
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "doc_a": [0, 1, 3], "doc_b": [1, 2, 4]}))  # {0,1,2} and {3,4}; 5 alone
+    rows = neardup_canonical_docs(docs, pairs).take_all()
+    got = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in rows}
+    assert got == {0: (0, False), 1: (0, True), 2: (0, True),
+                   3: (3, False), 4: (3, True), 5: (5, False)}

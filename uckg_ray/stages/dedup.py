@@ -488,6 +488,57 @@ def _attach_sig(pair_ds: Dataset, sigs: Dataset, key_col: str, out_col: str,
         lambda t: lookup(t.drop_columns(["p"])), batch_format="pyarrow")
 
 
+def neardup_canonical_docs(docs: Dataset, pairs: Dataset, *,
+                           id_col: str = "doc_id",
+                           salt: int = 4) -> Dataset:
+    """Near-dup CLUSTER canonicalization — what a training-data pipeline
+    actually runs pair detection for: every document mapped to the min
+    doc_id of its duplicate cluster (``canonical_id``) with an
+    ``is_dup`` flag, so `WHERE NOT is_dup` keeps exactly one
+    representative per cluster.
+
+    Composition: the candidate pair stream (any of the pair operators —
+    minhash/simhash/embedding) feeds the distributed min-label
+    connected-components (stages/canonicalize.py, hub-salted), then the
+    component map — bounded by the number of DUPLICATE docs, not the
+    corpus — broadcasts into a stateless map over ``docs``. Doc ids ride
+    as zero-padded strings through the generic string CC and convert
+    back, preserving numeric min order."""
+    import ray
+
+    from uckg_ray.stages.canonicalize import connected_components
+
+    def pad(col: pa.ChunkedArray | pa.Array) -> list[str]:
+        return ["%020d" % v for v in
+                col.to_numpy(zero_copy_only=False)]
+
+    prefixed = pairs.map_batches(
+        lambda b: pa.table({"src": pad(b.column("doc_a")),
+                            "dst": pad(b.column("doc_b"))}),
+        batch_format="pyarrow")
+    has_pairs = prefixed.materialize()
+    cc_map: dict[int, int] = {}
+    if has_pairs.count() > 0:
+        cc = connected_components(has_pairs, "src", "dst", salt=salt)
+        # component map is O(duplicate docs) — the documented small side
+        for r in cc.take_all():
+            cc_map[int(r["node"])] = int(r["label"])
+    map_ref = ray.put(cc_map)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        canon = np.array([m.get(int(i), int(i)) for i in ids], np.int64)
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "canonical_id": pa.array(canon, pa.int64()),
+            "is_dup": pa.array(canon != ids.astype(np.int64), pa.bool_()),
+        })
+
+    return docs.select_columns([id_col]).map_batches(
+        assign, batch_format="pyarrow")
+
+
 def simhash_pairs(docs: Dataset, *, max_hamming: int = 3,
                   num_partitions: int = 32) -> Dataset:
     """Hamming ≤ k near-dup pairs via (k+1)-band exact-match blocking over
