@@ -32,10 +32,15 @@ def join_num_partitions(*row_counts: int | None) -> int:
 
 @dataclass
 class PipelineConfig:
-    # turns per Arrow batch handed to the extraction actors; each turn emits
-    # ~10-20 narrow edge rows, so 4096 turns ≈ 50-80k edge rows per output
-    # batch — well under block-size limits even with IRI-length strings.
-    batch_size: int = 4096
+    # turns per Arrow batch handed to the extraction actors. Sized to
+    # cover a whole input block (one transcript file ≈ 16k turns) so the
+    # fused witness-dedup combiner in TripleEmitter.__call__ collapses
+    # duplicates at block granularity: at sf0.1, 16384 measured 7.6M
+    # rows / 1.2 GB materialized out of extraction vs 13.5M / 2.1 GB at
+    # 4096 and 49.9M / 7.4 GB with no fused combiner — and the larger
+    # call amortizes per-batch scan setup (12.9 s vs 15.3 s stage wall
+    # at 32 CPUs). Raw per-call memory stays small (~80k edge rows).
+    batch_size: int = 16384
     # extraction actor pool: sized from the cluster at pipeline build time
     # (None → ~3/4 of cluster CPUs, fixed size so there is no autoscale
     # ramp); each actor holds the CWE/CPE/alias dictionaries loaded once

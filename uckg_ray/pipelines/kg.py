@@ -174,6 +174,23 @@ def _apply_rewrite(batch: pa.Table, rewrite: dict[str, str]) -> pa.Table:
     return batch.set_column(0, "subj", subj).set_column(2, "obj", obj)
 
 
+def _write_with_import_retry(fn, attempts: int = 4):
+    """Run a write job, retrying transient ImportErrors from Ray's lazy
+    ``fsspec.implementations.http`` probe: with aiohttp absent that
+    import fails (normally caught as ModuleNotFoundError) and is
+    re-attempted on every datasink construction — two CONCURRENT
+    write_parquet setups can observe each other's partially-initialized
+    module and raise ``ImportError: cannot import name ...`` instead.
+    The race window is the datasink constructor only; nothing has been
+    written when it fires, so a short-backoff retry is safe."""
+    for i in range(attempts - 1):
+        try:
+            return fn()
+        except ImportError:
+            time.sleep(0.02 * (i + 1))
+    return fn()
+
+
 def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
              cfg: PipelineConfig | None = None, *, resume: bool = True,
              canonicalize: bool = True) -> dict:
@@ -198,8 +215,25 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         if os.path.basename(d) not in expected:
             _sh.rmtree(d, ignore_errors=True)
 
+    # Single-group runs (files_per_group=None — the max-pipelining
+    # default) keep the extracted edge blocks IN the object store and
+    # feed phase B from them directly: the shard parquet is still
+    # written (the resume/lineage artifact) but in a background thread
+    # overlapped with the finalize compute, so the build never pays a
+    # disk round-trip for data it just computed (measured: the phase-B
+    # shard re-read was a flat ~4 s at every CPU count). Multi-group
+    # checkpointed runs trade that for bounded memory: each group
+    # streams through write_parquet and phase B re-reads from disk —
+    # at 100-TB scale with many groups that spill-to-parquet shape is
+    # the one you want.
+    import concurrent.futures as _cf
+
     group_stats = []
     skipped = 0
+    reuse_blocks = len(groups) == 1
+    mat_groups: list[Dataset] = []
+    shard_writes: list[_cf.Future] = []
+    write_pool = _cf.ThreadPoolExecutor(max_workers=4)
     for gi, gfiles in enumerate(groups):
         gdir = os.path.join(shards_root, f"group-{gi:04d}")
         if resume and mf.group_is_complete(gdir, gfiles, flags):
@@ -213,29 +247,44 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         import shutil
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(gdir, ignore_errors=True)
-        edges.write_parquet(tmp_dir, min_rows_per_file=100_000)
-        os.replace(tmp_dir, gdir)
         rows_in = sum(pa.parquet.read_metadata(f).num_rows for f in gfiles)
-        edges_out = sum(
-            pa.parquet.read_metadata(f).num_rows
-            for f in glob.glob(os.path.join(gdir, "*.parquet")))
-        group_stats.append(mf.write_group_manifest(
-            gdir, gfiles, rows_in=rows_in, edges_out=edges_out,
-            wall_sec=time.perf_counter() - t0, flags=flags))
+        if reuse_blocks:
+            edges_mat = edges.materialize()
+            mat_groups.append(edges_mat)
+
+            def _write_shard(edges_mat=edges_mat, tmp_dir=tmp_dir,
+                             gdir=gdir, gfiles=gfiles, t0=t0,
+                             rows_in=rows_in):
+                _write_with_import_retry(lambda: edges_mat.write_parquet(
+                    tmp_dir, min_rows_per_file=100_000))
+                os.replace(tmp_dir, gdir)
+                # the manifest lands only after the write completes: a
+                # crash mid-write leaves no manifest → group rebuilt
+                return mf.write_group_manifest(
+                    gdir, gfiles, rows_in=rows_in,
+                    edges_out=edges_mat.count(),
+                    wall_sec=time.perf_counter() - t0, flags=flags)
+
+            shard_writes.append(write_pool.submit(_write_shard))
+        else:
+            edges.write_parquet(tmp_dir, min_rows_per_file=100_000)
+            os.replace(tmp_dir, gdir)
+            edges_out = sum(
+                pa.parquet.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(gdir, "*.parquet")))
+            group_stats.append(mf.write_group_manifest(
+                gdir, gfiles, rows_in=rows_in, edges_out=edges_out,
+                wall_sec=time.perf_counter() - t0, flags=flags))
 
     # phase-B resume: when every group was reused AND the side-table
     # dictionaries are unchanged, the prior finalize outputs are valid —
     # a fully-complete rerun is a metadata-only no-op
     dict_files = sorted(glob.glob(os.path.join(fixture_dir, "*.parquet")))
-    group_fps = []
-    for gi in range(len(groups)):
-        mp = os.path.join(shards_root, f"group-{gi:04d}", "manifest.json")
-        try:
-            import json as _json
-            with open(mp) as fh:
-                group_fps.append(_json.load(fh).get("fingerprint", ""))
-        except (OSError, ValueError):
-            group_fps.append("")
+    # group fingerprint = what its manifest stores (write_group_manifest
+    # records shard_fingerprint(gfiles); group_is_complete verified the
+    # match for skipped groups) — computed directly so the async shard
+    # writes need not have landed yet
+    group_fps = [mf.shard_fingerprint(gfiles) for gfiles in groups]
     import hashlib as _hashlib
     finalize_fp = _hashlib.sha256(
         ("|".join([flags, mf.shard_fingerprint(dict_files), *group_fps]))
@@ -248,6 +297,7 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
             prior = dict(prior)
             prior["groups_skipped_by_resume"] = skipped
             prior["finalize_skipped"] = True
+            write_pool.shutdown()
             return prior
 
     # phase B — finalize from shard outputs (narrow rows only; transcript
@@ -255,21 +305,24 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     from uckg_ray.stages.extract import ALIAS_MARKER_PRED
 
     t_phase_a = time.perf_counter() - t_start
-    shard_files = sorted(glob.glob(os.path.join(shards_root, "group-*", "*.parquet")))
-    # block-count control: ~1 block per core — fewer, bigger blocks make
-    # the combiner collapse more and cut per-task scheduling overhead
-    # (measured 6× on the dedup+sort phase at sf0.1). The read is
-    # materialized ONCE: the observed-alias scan and the finalize pass
-    # both consume the in-memory blocks instead of re-reading parquet.
+    # shard-edge source for phase B: freshly built groups come straight
+    # from their materialized object-store blocks (no disk round-trip);
+    # resume-skipped groups are re-read from their shard parquet with
+    # block-count control (~1 block per core — fewer, bigger blocks make
+    # the combiner collapse more; measured 6× on the dedup+sort phase
+    # at sf0.1), materialized ONCE for the alias scan + finalize passes.
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    shard_edges = ray.data.read_parquet(
-        shard_files, override_num_blocks=n_cpus).materialize()
-    # the shard read feeds the alias scan AND the finalize/dedup passes —
-    # it gets its own phase entry so the canonicalize timing reflects
-    # canonicalization work (scan + union-find), not shared disk I/O
-    # (measured: read+materialize ≈ 90% of the old "canonicalize" phase;
-    # single-box reads share one disk, on a real cluster they scale with
-    # nodes)
+    fresh_parts = list(mat_groups)
+    if mat_groups:          # single fresh group: everything is in memory
+        skipped_files = []
+    else:                   # multi-group or resume-skipped: read shards
+        skipped_files = sorted(glob.glob(
+            os.path.join(shards_root, "group-*", "*.parquet")))
+    if skipped_files:
+        fresh_parts.append(ray.data.read_parquet(
+            skipped_files, override_num_blocks=n_cpus).materialize())
+    shard_edges = (fresh_parts[0].union(*fresh_parts[1:])
+                   if len(fresh_parts) > 1 else fresh_parts[0])
     t_shard_read = time.perf_counter() - t_start - t_phase_a
 
     rewrite: dict[str, str] = {}
@@ -282,8 +335,10 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         import pyarrow.compute as pc
 
         def local_aliases(b: pa.Table) -> pa.Table:
-            t = b.filter(pc.equal(b.column("pred"), ALIAS_MARKER_PRED))
-            s = t.column("subj")
+            # mask on pred, filter ONLY the subj column — a whole-table
+            # filter would copy every column for the few marker rows
+            mask = pc.equal(b.column("pred"), ALIAS_MARKER_PRED)
+            s = pc.filter(b.column("subj"), mask)
             return pa.table({"subj": pc.unique(
                 s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s)})
 
@@ -308,7 +363,8 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         shard_edges.map_batches(finalize_batch, batch_format="pyarrow", batch_size=None),
         side.select(EDGE_KEY_COLS))
 
-    final = distinct_edges(all_edges, sort=True).materialize()
+    final = distinct_edges(all_edges, sort=True,
+                           coalesce_blocks=n_cpus).materialize()
     edges_dir = os.path.join(out_dir, "edges")
     nodes_dir = os.path.join(out_dir, "nodes")
     props_dir = os.path.join(out_dir, "props")
@@ -316,16 +372,32 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     shutil.rmtree(edges_dir, ignore_errors=True)
     shutil.rmtree(nodes_dir, ignore_errors=True)
     shutil.rmtree(props_dir, ignore_errors=True)
-    # one materialized edge set feeds the write AND both aggregations —
-    # no parquet re-reads, no repeated pipeline execution
-    final.write_parquet(edges_dir)
     t_edges = (time.perf_counter() - t_start - t_phase_a - t_shard_read
                - t_canon)
 
-    node_table(final).write_parquet(nodes_dir)
-    # A4 multival property arrays as a build artifact (the reference's
-    # n10s ARRAY-property load)
-    node_props(final).write_parquet(props_dir)
+    # one materialized edge set feeds the write AND both aggregations —
+    # no parquet re-reads, no repeated pipeline execution. The three
+    # output jobs are independent consumers of the same in-memory
+    # blocks, so they run CONCURRENTLY (each driver thread gets its own
+    # streaming executor; the cluster schedules all three): the sorted
+    # edge write is I/O-heavy while nodes/props are shuffle-heavy, so
+    # overlapping them fills both (A4 props = the reference's n10s
+    # ARRAY-property load; nodes = unique-URI table).
+    out_jobs = [
+        write_pool.submit(_write_with_import_retry,
+                          lambda: final.write_parquet(edges_dir)),
+        write_pool.submit(_write_with_import_retry,
+                          lambda: node_table(final).write_parquet(nodes_dir)),
+        write_pool.submit(_write_with_import_retry,
+                          lambda: node_props(final).write_parquet(props_dir)),
+    ]
+    for f in out_jobs:
+        f.result()
+    # join the background shard writes (usually long done — they overlap
+    # the whole finalize) and collect their lineage manifests
+    for f in shard_writes:
+        group_stats.append(f.result())
+    write_pool.shutdown()
     t_nodes = (time.perf_counter() - t_start
                - t_phase_a - t_shard_read - t_canon - t_edges)
 
@@ -348,11 +420,11 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         "finalize_fp": finalize_fp,
         "wall_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
-        "phase_sec": {"extract_write": round(t_phase_a, 3),
+        "phase_sec": {"extract": round(t_phase_a, 3),
                       "shard_read": round(t_shard_read, 3),
                       "canonicalize": round(t_canon, 3),
-                      "dedup_sort_write": round(t_edges, 3),
-                      "nodes": round(t_nodes, 3)},
+                      "dedup_sort": round(t_edges, 3),
+                      "outputs": round(t_nodes, 3)},
         "groups": group_stats,
     }
     mf.write_global_manifest(out_dir, payload)

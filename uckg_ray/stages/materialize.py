@@ -76,7 +76,8 @@ def _dedup_partition(group: pa.Table) -> pa.Table:
 
 
 def distinct_edges(edges: Dataset, *, sort: bool = True,
-                   num_partitions: int = 64) -> Dataset:
+                   num_partitions: int = 64,
+                   coalesce_blocks: int | None = None) -> Dataset:
     """Global exact dedup of the edge stream on (subj, pred, obj,
     obj_is_literal, obj_datatype), optionally followed by the final
     global sort required for the canonical edge table (SURVEY.md §2.7).
@@ -93,6 +94,18 @@ def distinct_edges(edges: Dataset, *, sort: bool = True,
     ds = ds.map_batches(_encode_key, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(lambda b: _add_hash_partition(b, num_partitions),
                         batch_format="pyarrow", batch_size=None)
+    # block-count control before the wide ops: the sort-based shuffle
+    # exchanges (#map-blocks × #reduce-partitions) fragments, so feeding
+    # it hundreds of small map-task output blocks is quadratic waste —
+    # coalesce adjacent blocks (repartition WITHOUT shuffle, one concat
+    # pass over the narrow encoded keys) first. Measured: groupby
+    # 25 s → 1.7 s, sort 26 s → 6 s at sf0.1 when the upstream was a
+    # 200-block materialized extract output. (`target_num_rows_per_block`
+    # is NOT usable here: it only splits oversized blocks, never merges
+    # small ones.) Callers with an already block-controlled upstream
+    # (e.g. `read_parquet(override_num_blocks=...)`) leave this off.
+    if coalesce_blocks:
+        ds = ds.repartition(coalesce_blocks, shuffle=False)
     ds = ds.groupby("p").map_groups(_dedup_partition, batch_format="pyarrow")
     ds = ds.map_batches(_decode_key, batch_format="pyarrow", batch_size=None)
     if sort:
@@ -103,50 +116,53 @@ def distinct_edges(edges: Dataset, *, sort: bool = True,
     return ds
 
 
+def _node_out(counts, cls) -> pa.Table:
+    """(counts ⟕ classes) polars frames → Arrow table in NODE_SCHEMA."""
+    import polars as pl
+    out = (counts.join(cls, on="subj", how="left")
+           .with_columns(pl.col("classes").fill_null(""))
+           .select(["subj", "classes", "n_edges", "n_literals"]))
+    return out.to_arrow().cast(NODE_SCHEMA)
+
+
 def _node_partial(batch: pa.Table) -> pa.Table:
     """Per-block partial node aggregate: (subj, classes set, n_edges,
-    n_literals). Emits ≤ one row per subject per block."""
-    df = batch.to_pandas()
-    is_type = df["pred"] == ns.RDF_TYPE
-    g = df.groupby("subj", sort=False)
-    classes = df[is_type].groupby("subj", sort=False)["obj"].agg(
-        lambda s: "|".join(sorted(set(s))))
-    out = pd.DataFrame({
-        "subj": list(g.groups),
-        "n_edges": g.size().values,
-        "n_literals": g["obj_is_literal"].sum().astype("int64").values,
-    })
-    out["classes"] = out["subj"].map(classes).fillna("")
-    return pa.Table.from_pydict(
-        {"subj": out["subj"].tolist(), "classes": out["classes"].tolist(),
-         "n_edges": out["n_edges"].astype("int64").tolist(),
-         "n_literals": out["n_literals"].tolist()},
-        schema=NODE_SCHEMA,
-    )
+    n_literals). Emits ≤ one row per subject per block. All-Rust polars
+    aggregation (the pandas per-subject ``"|".join`` lambda was the one
+    Python-per-group loop left in the finalize path)."""
+    import polars as pl
+    df = pl.from_arrow(batch.select(
+        ["subj", "pred", "obj", "obj_is_literal"]))
+    counts = df.group_by("subj").agg(
+        pl.len().cast(pl.Int64).alias("n_edges"),
+        pl.col("obj_is_literal").sum().cast(pl.Int64).alias("n_literals"))
+    cls = (df.filter(pl.col("pred") == ns.RDF_TYPE)
+           .select("subj", "obj").unique()
+           .group_by("subj")
+           .agg(pl.col("obj").sort().str.join("|").alias("classes")))
+    return _node_out(counts, cls)
 
 
 def _node_merge_partition(part: pa.Table) -> pa.Table:
-    """Vectorized merge of ALL partials inside one hash partition (one
-    pandas groupby.agg per partition, not one Python call per subject)."""
-    df = part.to_pandas()
+    """Vectorized merge of ALL partials inside one hash partition:
+    polars sum for the counts, split→explode→unique→sorted-join for the
+    class sets (classes never contain '|')."""
+    import warnings
 
-    def merge_classes(series):
-        cls = set()
-        for cs in series:
-            if cs:
-                cls.update(cs.split("|"))
-        return "|".join(sorted(cls))
-
-    g = df.groupby("subj", sort=False).agg(
-        classes=("classes", merge_classes),
-        n_edges=("n_edges", "sum"),
-        n_literals=("n_literals", "sum")).reset_index()
-    return pa.Table.from_pydict(
-        {"subj": g["subj"].tolist(), "classes": g["classes"].tolist(),
-         "n_edges": g["n_edges"].astype("int64").tolist(),
-         "n_literals": g["n_literals"].astype("int64").tolist()},
-        schema=NODE_SCHEMA,
-    )
+    import polars as pl
+    df = pl.from_arrow(part)
+    counts = df.group_by("subj").agg(
+        pl.col("n_edges").sum().cast(pl.Int64),
+        pl.col("n_literals").sum().cast(pl.Int64))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        cls = (df.filter(pl.col("classes") != "")
+               .select("subj", "classes")
+               .with_columns(pl.col("classes").str.split("|"))
+               .explode("classes").unique()
+               .group_by("subj")
+               .agg(pl.col("classes").sort().str.join("|")))
+    return _node_out(counts, cls)
 
 
 def node_table(distinct: Dataset, num_partitions: int = 16) -> Dataset:
@@ -178,38 +194,36 @@ def _props_partial(batch: pa.Table) -> pa.Table:
     """Per-block partial of the multival property aggregation (A4,
     neo4j/import/init.cypher:3-16): ≤ one row per (subj, pred) per
     block; values carried with the \\x1f separator (never occurs in
-    values), joined with ';;' only at final output."""
-    df = batch.to_pandas()
-    df = df[df["obj_is_literal"]]
+    values), joined with ';;' only at final output. All-Rust polars."""
+    import polars as pl
+    df = (pl.from_arrow(batch.select(["subj", "pred", "obj",
+                                      "obj_is_literal"]))
+          .filter(pl.col("obj_is_literal")))
     if len(df) == 0:
         return pa.Table.from_pydict(
             {"k": [], "subj": [], "pred": [], "vals": []},
             schema=_PROPS_PARTIAL_SCHEMA)
-    g = (df.groupby(["subj", "pred"], sort=False)["obj"]
-         .agg(lambda s: _SEP.join(sorted(set(s)))).reset_index())
-    return pa.Table.from_pydict({
-        "k": (g["subj"] + _SEP + g["pred"]).tolist(),
-        "subj": g["subj"].tolist(), "pred": g["pred"].tolist(),
-        "vals": g["obj"].tolist()},
-        schema=_PROPS_PARTIAL_SCHEMA)
+    g = (df.group_by(["subj", "pred"])
+         .agg(pl.col("obj").unique().sort().str.join(_SEP).alias("vals"))
+         .with_columns((pl.col("subj") + _SEP + pl.col("pred")).alias("k"))
+         .select(["k", "subj", "pred", "vals"]))
+    return g.to_arrow().cast(_PROPS_PARTIAL_SCHEMA)
 
 
 def _props_merge_partition(part: pa.Table) -> pa.Table:
-    """Vectorized merge of all partials in one hash partition: one pandas
-    groupby.agg per partition, not one Python call per key."""
-    df = part.to_pandas()
+    """Vectorized merge of all partials in one hash partition:
+    split→explode→unique→sorted-join per (subj, pred), all in polars."""
+    import warnings
 
-    def merge_vals(series):
-        vals = set()
-        for v in series:
-            vals.update(v.split(_SEP))
-        return _VAL_SEP.join(sorted(vals))
-
-    g = (df.groupby(["subj", "pred"], sort=False)["vals"]
-         .agg(merge_vals).reset_index())
-    return pa.Table.from_pydict(
-        {"subj": g["subj"].tolist(), "pred": g["pred"].tolist(),
-         "vals": g["vals"].tolist()}, schema=_PROPS_SCHEMA)
+    import polars as pl
+    df = pl.from_arrow(part)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        g = (df.with_columns(pl.col("vals").str.split(_SEP))
+             .explode("vals").unique()
+             .group_by(["subj", "pred"])
+             .agg(pl.col("vals").sort().str.join(_VAL_SEP)))
+    return g.select(["subj", "pred", "vals"]).to_arrow().cast(_PROPS_SCHEMA)
 
 
 def node_props(distinct: Dataset, num_partitions: int = 16) -> Dataset:
