@@ -55,67 +55,111 @@ def sessionize(events: Dataset, *, gap_minutes: int = 30,
     the previous event exceeds `gap_minutes`.
     Output: (user_id, session_start_us, n_events, duration_us).
 
-    Skew-safe partitioning: events group by (user, time-bucket), each
-    bucket computes its maximal intra-bucket session FRAGMENTS
-    (start, end, count) vectorized, then a per-user stitch merges
-    consecutive fragments whose boundary gap is ≤ the session gap. The
-    stitch group holds fragments, not events — bounded by #buckets +
-    #sessions per user, so one hot user (half the log) spreads its event
-    volume across time-bucket tasks instead of one giant group. Result
-    is identical to single-group sessionization: fragments are maximal
-    runs within buckets, so the only possible merges are at fragment
-    boundaries, which the stitch tests exactly."""
+    Skew-safe partitioning: events hash-partition by (user, time-bucket)
+    and each partition computes maximal intra-bucket session FRAGMENTS
+    (start, end, count) for ALL its (user, bucket) groups in ONE
+    vectorized pandas pass (a sort + run-break cumsum — never one
+    Python call per micro-group; the per-group map_groups variant
+    measured 25 s vs <4 s at sf0.1/32 CPUs). A second partition pass by
+    user stitches consecutive fragments whose boundary gap is ≤ the
+    session gap. The stitch input holds fragments, not events — bounded
+    by #buckets + #sessions per user, so one hot user (half the log)
+    spreads its event volume across (user, bucket) partitions instead
+    of one giant group. Result is identical to single-group
+    sessionization: fragments are maximal runs within buckets, so the
+    only possible merges are at fragment boundaries, which the stitch
+    tests exactly."""
     import pandas as pd
+
+    from uckg_ray.config import default_num_partitions
 
     gap_us = gap_minutes * 60 * 1_000_000
     bucket_us = bucket_minutes * 60 * 1_000_000
+    n_parts = default_num_partitions()
+    _K = np.uint64(2654435761)  # Knuth multiplicative hash
 
     def tag(b: pa.Table) -> pa.Table:
+        # partition id computed here (hash of (user, bucket)) — one map
+        # pass feeds the fragment shuffle directly
         ts_us = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
                  .to_numpy(zero_copy_only=False))
+        u = (b.column("user_id").cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        bk = np.floor_divide(ts_us, bucket_us)
+        h = (u.astype(np.uint64) * _K) ^ (bk.astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15))
         return pa.table({
-            "user_id": b.column("user_id").cast(pa.int64()),
-            "bucket": pa.array(np.floor_divide(ts_us, bucket_us), pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "bucket": pa.array(bk, pa.int64()),
             "ts_us": pa.array(ts_us, pa.int64()),
+            "p": pa.array((h % np.uint64(n_parts)).astype(np.int32),
+                          pa.int32()),
         })
 
-    def fragments(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts_us"].to_numpy(np.int64))
+    def fragments_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Maximal gap-bounded runs within every (user, bucket) group of
+        one hash partition, in one vectorized pass: sort by (user,
+        bucket, ts), break a run at any user/bucket change or gap."""
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "start_us": pd.Series([], dtype="int64"),
+                "end_us": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "q": pd.Series([], dtype="int32")})
+        g = g.sort_values(["user_id", "bucket", "ts_us"], ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        bk = g["bucket"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
         brk = np.ones(len(ts), dtype=bool)
-        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        brk[1:] = ((u[1:] != u[:-1]) | (bk[1:] != bk[:-1])
+                   | ((ts[1:] - ts[:-1]) > gap_us))
         fid = np.cumsum(brk) - 1
-        starts = ts[brk]
-        ends = ts[np.append(brk[1:], True)]
-        n = np.bincount(fid)
+        users = u[brk]
+        # stitch partition id (hash of user alone) rides along so the
+        # second shuffle needs no extra map pass
+        q = ((users.astype(np.uint64) * _K) % np.uint64(n_parts)) \
+            .astype(np.int32)
         return pd.DataFrame({
-            "user_id": np.full(len(starts), g["user_id"].iloc[0],
-                               dtype=np.int64),
-            "start_us": starts, "end_us": ends,
-            "n": n.astype(np.int64)})
+            "user_id": users,
+            "start_us": ts[brk],
+            "end_us": ts[np.append(brk[1:], True)],
+            "n": np.bincount(fid).astype(np.int64),
+            "q": q})
 
-    def stitch(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("start_us")
+    def stitch_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Merge consecutive fragments (gap ≤ gap_us) for every user in
+        one hash partition — same sort + run-break shape."""
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "duration_us": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "start_us"], ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
         s = g["start_us"].to_numpy(np.int64)
         e = g["end_us"].to_numpy(np.int64)
         n = g["n"].to_numpy(np.int64)
         brk = np.ones(len(s), dtype=bool)
-        brk[1:] = (s[1:] - e[:-1]) > gap_us
+        brk[1:] = (u[1:] != u[:-1]) | ((s[1:] - e[:-1]) > gap_us)
         sid = np.cumsum(brk) - 1
         out_start = s[brk]
         out_end = e[np.append(brk[1:], True)]
         out_n = np.bincount(sid, weights=n).astype(np.int64)
         return pd.DataFrame({
-            "user_id": np.full(len(out_start), g["user_id"].iloc[0],
-                               dtype=np.int64),
+            "user_id": u[brk],
             "session_start_us": out_start,
             "n_events": out_n,
             "duration_us": out_end - out_start})
 
     frags = (events.map_batches(tag, batch_format="pyarrow", batch_size=None)
-             .groupby(["user_id", "bucket"])
-             .map_groups(lambda g: fragments(g.drop(columns=["bucket"])),
-                         batch_format="pandas"))
-    return frags.groupby("user_id").map_groups(stitch, batch_format="pandas")
+             .groupby("p")
+             .map_groups(lambda g: fragments_partition(
+                 g.drop(columns=["p"])), batch_format="pandas"))
+    return (frags.groupby("q")
+            .map_groups(lambda g: stitch_partition(g.drop(columns=["q"])),
+                        batch_format="pandas"))
 
 
 def hopping_window_agg(events: Dataset, *, size_minutes: int = 60,
