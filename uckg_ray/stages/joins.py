@@ -51,7 +51,20 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
     per (key, bucket), so the per-key stitch stays tiny even when the
     raw key group would not). The result is bit-identical to the
     single-group merge_asof."""
+    from uckg_ray.config import default_num_partitions
+
     bucket_us = bucket_minutes * 60 * 1_000_000
+    n_parts = default_num_partitions()
+    _K = np.uint64(2654435761)          # Knuth multiplicative hash
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def merge_part_ids(u: np.ndarray, bk: np.ndarray) -> np.ndarray:
+        """(key, bucket)-hash partition id for the final merge shuffle —
+        computed inline wherever rows are built (tag, carries) so no
+        extra map pass runs just to append it (each pass over the block
+        set costs ~1 s of task overhead at 32 CPUs)."""
+        h = (u.astype(np.uint64) * _K) ^ (bk.astype(np.uint64) * _GOLD)
+        return (h % np.uint64(n_parts)).astype(np.int32)
 
     def tag(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -60,12 +73,15 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
                                     pc.equal(et, right_type)))
         ts_us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
+        u = t.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bk = np.floor_divide(ts_us, bucket_us)
         return pa.table({
-            key: t.column(key).cast(pa.int64()),
-            "bucket": pa.array(np.floor_divide(ts_us, bucket_us), pa.int64()),
+            key: pa.array(u, pa.int64()),
+            "bucket": pa.array(bk, pa.int64()),
             "is_left": pc.equal(t.column("event_type"), left_type),
             "event_id": t.column("event_id").cast(pa.int64()),
             "ts_us": pa.array(ts_us, pa.int64()),
+            "p": pa.array(merge_part_ids(u, bk), pa.int32()),
         })
 
     tagged = events.map_batches(tag, batch_format="pyarrow",
@@ -73,7 +89,8 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
 
     # per-(key, bucket) summary: best right event (max ts, then max id —
     # exactly the row backward merge_asof would pick) + has-left flag;
-    # block-local partial first, global merge inside key-hash partitions
+    # block-local partial first, global merge inside key-hash partitions.
+    # The key-hash stitch partition id "q" is emitted here inline.
     def summarize(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             key: b.column(key).to_numpy(zero_copy_only=False),
@@ -90,12 +107,15 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
               .assign(event_id=np.int64(-1), ts_us=np.int64(-2**62),
                       has_left=True))
         out = pd.concat([r, le], ignore_index=True)
+        u = out[key].to_numpy(np.int64)
+        q = ((u.astype(np.uint64) * _K) % np.uint64(n_parts)).astype(np.int32)
         return pa.Table.from_pydict({
-            key: pa.array(out[key].to_numpy(np.int64), pa.int64()),
+            key: pa.array(u, pa.int64()),
             "bucket": pa.array(out["bucket"].to_numpy(np.int64), pa.int64()),
             "event_id": pa.array(out["event_id"].to_numpy(np.int64), pa.int64()),
             "ts_us": pa.array(out["ts_us"].to_numpy(np.int64), pa.int64()),
             "has_left": pa.array(out["has_left"].to_numpy(bool), pa.bool_()),
+            "q": pa.array(q, pa.int32()),
         })
 
     summaries = tagged.map_batches(summarize, batch_format="pyarrow",
@@ -124,12 +144,15 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
         s["carry_id"] = s.groupby(key, sort=False)["carry_id"].ffill()
         s["carry_ts"] = s.groupby(key, sort=False)["carry_ts"].ffill()
         out = s[s["has_left"] & s["carry_id"].notna()]
+        u = out[key].to_numpy(np.int64)
+        bk = out["bucket"].to_numpy(np.int64)
         return pd.DataFrame({
-            key: out[key].astype("int64"),
-            "bucket": out["bucket"].astype("int64"),
+            key: u,
+            "bucket": bk,
             "is_left": np.zeros(len(out), dtype=bool),
-            "event_id": out["carry_id"].astype("int64"),
-            "ts_us": out["carry_ts"].astype("int64"),
+            "event_id": out["carry_id"].to_numpy(np.int64),
+            "ts_us": out["carry_ts"].to_numpy(np.int64),
+            "p": merge_part_ids(u, bk),
         })
 
     def to_arrow(b: pa.Table) -> pa.Table:
@@ -141,30 +164,16 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
             "is_left": b.column("is_left").cast(pa.bool_()),
             "event_id": b.column("event_id").cast(pa.int64()),
             "ts_us": b.column("ts_us").cast(pa.int64()),
+            "p": b.column("p").cast(pa.int32()),
         })
 
-    # key-hash partitions: each key's (tiny) summary rows co-locate so
-    # the shift+ffill stays within one task; partition count scales with
-    # the cluster
-    from uckg_ray.config import default_num_partitions
-    n_parts = default_num_partitions()
-
-    def keyed_partition(b: pa.Table, *cols: str) -> pa.Table:
-        """Append a hash-partition id over one or more int64 columns.
-        The final merge partitions on (key, bucket) so a hot key spreads
-        across its time range; the carry stage partitions on key alone
-        (its input is the tiny per-(key,bucket) summary table)."""
-        import polars as pl
-        df = pl.from_arrow(b.select(list(cols)))
-        p = (df.hash_rows(seed=0) % n_parts).cast(pl.Int32).to_numpy()
-        return b.append_column("p", pa.array(p, pa.int32()))
-
+    # key-hash stitch partitions ("q", emitted by summarize): each key's
+    # (tiny) summary rows co-locate so the shift+ffill stays within one
+    # task; carry rows come out tagged with their merge partition "p"
     carry_ds = (summaries
-                .map_batches(lambda b: keyed_partition(b, key),
-                             batch_format="pyarrow", batch_size=None)
-                .groupby("p")
+                .groupby("q")
                 .map_groups(lambda g: carries_partition(
-                    g.drop(columns=["p"])), batch_format="pandas")
+                    g.drop(columns=["q"])), batch_format="pandas")
                 .map_batches(to_arrow, batch_format="pyarrow"))
 
     def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -180,35 +189,33 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
                                               "event_id"],
                                              ignore_index=True)
         if len(left) == 0:
-            return pd.DataFrame({"left_id": pd.Series([], dtype="int64"),
-                                 "right_id": pd.Series([], dtype="int64"),
-                                 key: pd.Series([], dtype="int64")})
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             key: pa.array([], pa.int64())})
         if len(right) == 0:
-            return pd.DataFrame({"left_id": left["event_id"].to_numpy(),
-                                 "right_id": np.full(len(left), np.nan),
-                                 key: left[key].to_numpy()})
+            return pa.table({
+                "left_id": pa.array(left["event_id"].to_numpy(np.int64)),
+                "right_id": pa.nulls(len(left), pa.int64()),
+                key: pa.array(left[key].to_numpy(np.int64))})
         m = pd.merge_asof(
             left.rename(columns={"event_id": "left_id"}),
             right[[key, "bucket", "event_id", "ts_us"]].rename(
                 columns={"event_id": "right_id"}),
             on="ts_us", by=[key, "bucket"], direction="backward")
-        return m[["left_id", "right_id", key]]
+        # right_id comes back float64 (NaN where unmatched); emit arrow
+        # int64-with-nulls directly so no final cast pass is needed
+        rid = m["right_id"].to_numpy()
+        return pa.table({
+            "left_id": pa.array(m["left_id"].to_numpy(np.int64)),
+            "right_id": pa.array(np.where(np.isnan(rid), 0, rid)
+                                 .astype(np.int64), pa.int64(),
+                                 mask=np.isnan(rid)),
+            key: pa.array(m[key].to_numpy(np.int64))})
 
-    out = (tagged.union(carry_ds)
-           .map_batches(lambda b: keyed_partition(b, key, "bucket"),
-                        batch_format="pyarrow", batch_size=None)
-           .groupby("p")
-           .map_groups(lambda g: merge_partition(g.drop(columns=["p"])),
-                       batch_format="pandas"))
-
-    def cast(b: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict({
-            "left_id": b.column("left_id").cast(pa.int64()),
-            "right_id": b.column("right_id").cast(pa.int64()),
-            key: b.column(key).cast(pa.int64()),
-        })
-
-    return out.map_batches(cast, batch_format="pyarrow")
+    return (tagged.union(carry_ds)
+            .groupby("p")
+            .map_groups(lambda g: merge_partition(g.drop(columns=["p"])),
+                        batch_format="pandas"))
 
 
 def hash_join_sum(orders: Dataset, lineitem: Dataset,
