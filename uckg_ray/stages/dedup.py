@@ -166,14 +166,27 @@ def distinct_pairs(pair_ds: Dataset, num_partitions: int = 32) -> Dataset:
 
 def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
                     num_partitions: int = 32,
-                    verify=None) -> Dataset:
+                    sig_col: str | None = None,
+                    sig_verify=None,
+                    distinct: bool = True) -> Dataset:
     """Candidate (doc_a < doc_b) pairs sharing any bucket, as a Dataset:
     hash-partition on the bucket key, emit pairs with one vectorized
     pandas pass per partition, then a distributed pair-keyed distinct
-    (the same pair can surface in two bands → two partitions). An
-    optional ``verify(a_ids, b_ids) -> bool mask`` runs INSIDE the
-    partition task so dense buckets never ship unverified candidates
-    anywhere. Nothing O(corpus) or O(candidates) lands on the driver."""
+    (the same pair can surface in two bands → two partitions).
+
+    When ``sig_col``/``sig_verify`` are given, each sig row carries a
+    per-doc uint64 value into its bucket partition and
+    ``sig_verify(a_vals, b_vals) -> bool mask`` culls candidate pairs
+    IN the partition task, before the distinct shuffle — the verify
+    needs no second lookup join because every doc in the bucket brought
+    its value along. Nothing O(corpus) or O(candidates) ever lands on
+    the driver.
+
+    ``distinct=False`` skips the global pair-keyed distinct (pairs found
+    by several bands still collapse within a partition) — callers whose
+    downstream verify culls candidates by orders of magnitude dedupe
+    AFTER verification instead, so the all-to-all distinct moves the
+    small verified set, not the candidate flood."""
     import polars as pl
 
     def add_p(batch: pa.Table) -> pa.Table:
@@ -184,20 +197,38 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
                 batch.column(c).cast(pa.string()).combine_chunks(), "\x1f")
         h = pl.from_arrow(key.combine_chunks()
                           if isinstance(key, pa.ChunkedArray) else key).hash(seed=0)
-        return pa.Table.from_pydict({
+        cols = {
             "bkey": key, "doc_id": batch.column("doc_id").cast(pa.int64()),
             "p": pa.array((h % num_partitions).cast(pl.Int32).to_numpy(),
-                          pa.int32())})
+                          pa.int32())}
+        if sig_col is not None:
+            cols["_sv"] = batch.column(sig_col).cast(pa.uint64())
+        return pa.Table.from_pydict(cols)
 
     def pairs_in_partition(part: pa.Table) -> pa.Table:
         df = part.to_pandas()
+        # vectorized singleton cull: most buckets hold one doc and emit
+        # nothing — drop them before the per-bucket loop (80k bucket
+        # iterations → a handful)
+        df = df[df.groupby("bkey", sort=False)["doc_id"]
+                .transform("size").ge(2)]
         A, B = [], []
         for _, g in df.groupby("bkey", sort=False):
-            ids = np.sort(g["doc_id"].unique())
-            if len(ids) < 2:
-                continue
-            iu, ju = np.triu_indices(len(ids), k=1)
-            A.append(ids[iu]); B.append(ids[ju])
+            if sig_col is None:
+                ids = np.sort(g["doc_id"].unique())
+                if len(ids) < 2:
+                    continue
+                iu, ju = np.triu_indices(len(ids), k=1)
+                A.append(ids[iu]); B.append(ids[ju])
+            else:
+                g2 = g.drop_duplicates("doc_id").sort_values("doc_id")
+                ids = g2["doc_id"].to_numpy()
+                if len(ids) < 2:
+                    continue
+                vals = g2["_sv"].to_numpy()
+                iu, ju = np.triu_indices(len(ids), k=1)
+                keep = sig_verify(vals[iu], vals[ju])
+                A.append(ids[iu][keep]); B.append(ids[ju][keep])
         if not A:
             return _EMPTY_PAIRS
         a = np.concatenate(A)
@@ -205,9 +236,6 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
         # in-partition dedup (a pair found by several bands collapses here)
         u = np.unique(np.stack([a, b], axis=1), axis=0)
         a, b = u[:, 0], u[:, 1]
-        if verify is not None:
-            keep = verify(a, b)
-            a, b = a[keep], b[keep]
         return pa.Table.from_pydict({
             "doc_a": pa.array(a, pa.int64()),
             "doc_b": pa.array(b, pa.int64())})
@@ -216,7 +244,7 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
     pair_ds = parted.groupby("p").map_groups(
         lambda t: pairs_in_partition(t.drop_columns(["p"])),
         batch_format="pyarrow")
-    return distinct_pairs(pair_ds, num_partitions)
+    return distinct_pairs(pair_ds, num_partitions) if distinct else pair_ds
 
 _MERSENNE = (1 << 61) - 1
 
@@ -310,13 +338,22 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
 
     # hash-partition on band_hash, then ONE vectorized pair-emission pass
     # per partition (not one Python call per bucket — 80k tiny buckets
-    # made the per-bucket map_groups the bottleneck)
-    cand = _bucketed_pairs(sigs, ["band", "band_hash"]).materialize()
+    # made the per-bucket map_groups the bottleneck). No pre-verify
+    # distinct: the exact-Jaccard verify culls candidates first and the
+    # global pair dedup runs on the verified survivors (distinct_pairs
+    # at the end).
+    cand = _bucketed_pairs(sigs, ["band", "band_hash"],
+                           distinct=False).materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(_EMPTY_PAIRS)
 
-    need = np.array(sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b"))),
-                    dtype=np.int64)
+    # candidate-doc id set: one local pass over the (materialized,
+    # candidate-bounded) pair blocks — not two more Dataset jobs
+    need_chunks = []
+    for b in cand.iter_batches(batch_format="pyarrow", batch_size=None):
+        need_chunks.append(b.column("doc_a").to_numpy(zero_copy_only=False))
+        need_chunks.append(b.column("doc_b").to_numpy(zero_copy_only=False))
+    need = np.unique(np.concatenate(need_chunks)).astype(np.int64)
     need_ref = ray.put(need)
     w = shingle_w
 
@@ -396,8 +433,12 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
         return pa.Table.from_pydict({
             "doc_a": pa.array(A, pa.int64()), "doc_b": pa.array(B, pa.int64())})
 
-    return (cand.map_batches(verify_pairs, batch_format="pyarrow")
-            .sort(["doc_a", "doc_b"]))
+    # set-semantics output; duplicate candidates (same pair from two
+    # bands in different partitions) collapse in the post-verify
+    # distinct, which moves only the verified survivors. Row order is
+    # not part of the contract — no cosmetic global sort.
+    return distinct_pairs(cand.map_batches(verify_pairs,
+                                           batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -431,61 +472,6 @@ def simhash_signatures(docs: Dataset) -> Dataset:
             "doc_id": pa.array(ids, pa.int64()),
             "simhash": pa.array(sigs, pa.uint64())})
     return docs.map_batches(sh, batch_format="pyarrow")
-
-
-def _attach_sig(pair_ds: Dataset, sigs: Dataset, key_col: str, out_col: str,
-                carry: dict[str, pa.DataType],
-                num_partitions: int = 32) -> Dataset:
-    """Attach ``sigs``' simhash for each pair row's ``key_col`` as
-    ``out_col`` via a hash-partitioned union + in-partition vectorized
-    searchsorted lookup. The signature table flows THROUGH the shuffle
-    (8 B/doc, spread over partitions) — nothing O(corpus) ever lands on
-    the driver, unlike a broadcast signature map."""
-    M = np.uint64(0x9E3779B97F4A7C15)
-    P = np.uint64(num_partitions)
-
-    def tag_pairs(b: pa.Table) -> pa.Table:
-        k = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        cols = {c: b.column(c) for c in carry}
-        cols["_k"] = b.column(key_col).cast(pa.int64())
-        cols["_sig"] = pa.nulls(b.num_rows, pa.uint64())
-        cols["p"] = pa.array(((k * M) % P).astype(np.int32), pa.int32())
-        return pa.table(cols)
-
-    def tag_sigs(b: pa.Table) -> pa.Table:
-        k = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        cols = {c: pa.nulls(b.num_rows, t) for c, t in carry.items()}
-        cols["_k"] = b.column("doc_id").cast(pa.int64())
-        cols["_sig"] = b.column("simhash")
-        cols["p"] = pa.array(((k * M) % P).astype(np.int32), pa.int32())
-        return pa.table(cols)
-
-    def lookup(part: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        is_sig = pc.is_valid(part.column("_sig"))
-        pair_rows = part.filter(pc.invert(is_sig))
-        if pair_rows.num_rows == 0:
-            empty = {c: pa.array([], t) for c, t in carry.items()}
-            empty[out_col] = pa.array([], pa.uint64())
-            return pa.table(empty)
-        sig_rows = part.filter(is_sig)
-        sk = sig_rows.column("_k").to_numpy(zero_copy_only=False)
-        sv = (sig_rows.column("_sig").to_numpy(zero_copy_only=False)
-              .astype(np.uint64))
-        order = np.argsort(sk)
-        sk, sv = sk[order], sv[order]
-        pk = pair_rows.column("_k").to_numpy(zero_copy_only=False)
-        out = {c: pair_rows.column(c) for c in carry}
-        # every pair key hash-routes with its signature row by construction
-        out[out_col] = pa.array(sv[np.searchsorted(sk, pk)], pa.uint64())
-        return pa.table(out)
-
-    tagged = (pair_ds.map_batches(tag_pairs, batch_format="pyarrow",
-                                  batch_size=None)
-              .union(sigs.map_batches(tag_sigs, batch_format="pyarrow",
-                                      batch_size=None)))
-    return tagged.groupby("p").map_groups(
-        lambda t: lookup(t.drop_columns(["p"])), batch_format="pyarrow")
 
 
 def neardup_canonical_docs(docs: Dataset, pairs: Dataset, *,
@@ -542,14 +528,15 @@ def neardup_canonical_docs(docs: Dataset, pairs: Dataset, *,
 def simhash_pairs(docs: Dataset, *, max_hamming: int = 3,
                   num_partitions: int = 32) -> Dataset:
     """Hamming ≤ k near-dup pairs via (k+1)-band exact-match blocking over
-    the 64-bit simhash (pigeonhole guarantees full recall). Candidate
-    generation uses the hash-partitioned vectorized bucket-pair pass;
-    verification is SHARDED: candidate pairs are hash-partition-joined
-    against the signature table (once per pair side), then the Hamming
-    popcount filter runs vectorized per batch. No broadcast, no driver
-    gather — both the pair stream and the signature stream only ever
-    move through shuffles. Exactly reproduced by the dedup_simhash SQL
-    oracle (md5_number_upper token hashing)."""
+    the 64-bit simhash (pigeonhole guarantees full recall). Each banded
+    row carries the doc's FULL 64-bit signature into its bucket
+    partition, so the Hamming popcount verify runs vectorized inside the
+    same partition task that emits the candidates — only TRUE pairs ever
+    reach the distinct shuffle (the earlier shape shipped every
+    unverified candidate through two more signature-lookup shuffles; at
+    sf0.1 that was 1.96M candidate rows × 3 exchanges for 166k real
+    pairs). No broadcast, no driver gather. Exactly reproduced by the
+    dedup_simhash SQL oracle (md5_number_upper token hashing)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
@@ -562,26 +549,19 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3,
               & np.uint64((1 << width) - 1)).reshape(-1)
         return pa.Table.from_pydict({
             "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+            "simhash": pa.array(np.repeat(s, n_bands), pa.uint64()),
             "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32),
                                      len(ids)), pa.int32()),
             "band_val": pa.array(bv, pa.uint64())})
 
-    sigs = simhash_signatures(docs).materialize()  # consumed 3× below
-    banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=None)
-    cand = _bucketed_pairs(banded, ["band", "band_val"], num_partitions)
-    with_a = _attach_sig(cand, sigs, "doc_a", "sig_a",
-                         {"doc_a": pa.int64(), "doc_b": pa.int64()},
-                         num_partitions)
-    with_b = _attach_sig(with_a, sigs, "doc_b", "sig_b",
-                         {"doc_a": pa.int64(), "doc_b": pa.int64(),
-                          "sig_a": pa.uint64()}, num_partitions)
+    def ham_ok(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        x = np.ascontiguousarray(sa.astype(np.uint64) ^ sb.astype(np.uint64))
+        return (np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1) <= max_hamming)
 
-    def ham(b: pa.Table) -> pa.Table:
-        sa = b.column("sig_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        sb = b.column("sig_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        x = np.ascontiguousarray(sa ^ sb).view(np.uint8).reshape(-1, 8)
-        keep = np.unpackbits(x, axis=1).sum(axis=1) <= max_hamming
-        return b.filter(pa.array(keep)).select(["doc_a", "doc_b"])
-
-    return (with_b.map_batches(ham, batch_format="pyarrow", batch_size=None)
-            .sort(["doc_a", "doc_b"]))
+    banded = simhash_signatures(docs).map_batches(
+        bands, batch_format="pyarrow", batch_size=None)
+    # set-semantics output (globally distinct); row order is not part of
+    # the contract — no cosmetic global sort
+    return _bucketed_pairs(banded, ["band", "band_val"], num_partitions,
+                           sig_col="simhash", sig_verify=ham_ok)

@@ -174,13 +174,22 @@ def embedding_neardup_lsh_pairs(emb: Dataset, *, tau: float = 0.45,
             "band_val": pa.array(np.concatenate(BV), pa.int64())})
 
     banded = emb.map_batches(band_rows, batch_format="pyarrow")
-    cand = _bucketed_pairs(banded, ["band", "band_val"]).materialize()
+    # no pre-verify distinct: the exact-cosine verify culls the candidate
+    # flood by orders of magnitude, so the global pair dedup runs on the
+    # verified survivors instead (distinct_pairs below)
+    cand = _bucketed_pairs(banded, ["band", "band_val"],
+                           distinct=False).materialize()
     empty = _EMPTY_PAIRS.rename_columns(["vec_a", "vec_b"])
     if cand.count() == 0:
         return ray.data.from_arrow(empty)
 
-    need = np.array(sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b"))),
-                    dtype=np.int64)
+    # candidate-doc id set: one local pass over the (materialized,
+    # candidate-bounded) pair blocks — not two more Dataset jobs
+    need_chunks = []
+    for b in cand.iter_batches(batch_format="pyarrow", batch_size=None):
+        need_chunks.append(b.column("doc_a").to_numpy(zero_copy_only=False))
+        need_chunks.append(b.column("doc_b").to_numpy(zero_copy_only=False))
+    need = np.unique(np.concatenate(need_chunks)).astype(np.int64)
     need_ref = ray.put(need)
 
     def cand_vectors(batch: pa.Table) -> pa.Table:
@@ -219,8 +228,13 @@ def embedding_neardup_lsh_pairs(emb: Dataset, *, tau: float = 0.45,
             "vec_a": pa.array(a[keep], pa.int64()),
             "vec_b": pa.array(b[keep], pa.int64())})
 
-    return (cand.map_batches(verify_pairs, batch_format="pyarrow")
-            .sort(["vec_a", "vec_b"]))
+    from uckg_ray.stages.dedup import distinct_pairs
+    verified = cand.map_batches(verify_pairs, batch_format="pyarrow")
+    # set-semantics output; row order is not part of the contract — no
+    # cosmetic global sort
+    return (distinct_pairs(verified.rename_columns(["doc_a", "doc_b"]))
+            .map_batches(lambda b: b.rename_columns(["vec_a", "vec_b"]),
+                         batch_format="pyarrow"))
 
 
 class IVFIndex:
