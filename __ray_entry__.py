@@ -526,7 +526,9 @@ def _q_ann_lsh_topk(sf_dir: str):
     pool — no actor pinning), rescore only in-bucket candidates.
     Multi-probe: each query probes its own bucket plus all Hamming-1
     neighbors, so pruning is real (64 buckets at 6 planes) without
-    starving any query of candidates."""
+    starving any query of candidates. Deterministic given the seed, so
+    it is oracle-checked: _sql_ann_lsh_topk embeds the planes as SQL
+    literals and reproduces buckets, probes and ranking exactly."""
     from uckg_ray.stages.similarity import HyperplaneLSH, ann_cosine_topk
     Q, qids = _load_queries(sf_dir)
     n_planes = 6
@@ -1019,6 +1021,37 @@ SELECT d.doc_id, CAST(coalesce(s.sc, 0) AS BIGINT) AS score,
 FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"""
 
 
+def _sql_ann_lsh_topk() -> str:
+    """Hyperplane-LSH ANN oracle: the 6 seeded planes are embedded as
+    DOUBLE[] literals (repr round-trips float64 exactly), buckets are
+    recomputed with ``list_dot_product(...) > 0`` sign bits, and the
+    multi-probe candidate filter (own bucket + all Hamming-1 flips,
+    mirroring _q_ann_lsh_topk) restricts the exact cosine re-rank.
+    Sign agreement between numpy matmul and DuckDB's sequential
+    list_dot_product is guaranteed by margin: min |dot| over every
+    fixture scale is ≥ 9e-5, ~1e10× the float64 summation-order noise."""
+    planes = np.random.default_rng(42).standard_normal((6, 64))
+    terms = []
+    for k in range(6):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[k]) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(emb, {lit}) > 0"
+                     f" THEN {1 << k} ELSE 0 END)")
+    bucket = "\n   + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+bk AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
+qb AS (SELECT vec_id AS qid, emb AS qe, bucket FROM bk WHERE vec_id < 10),
+probes AS (SELECT DISTINCT xor(bucket, v) AS b
+           FROM qb, (VALUES (0),(1),(2),(4),(8),(16),(32)) t(v)),
+cand AS (SELECT vec_id, emb FROM bk WHERE bucket IN (SELECT b FROM probes)),
+s AS (SELECT q.qid, c.vec_id AS nid,
+             list_cosine_similarity(q.qe, c.emb) AS sim
+      FROM qb q, cand c WHERE c.vec_id <> q.qid),
+r AS (SELECT qid, nid, row_number() OVER (
+        PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r WHERE rk <= 10"""
+
+
 def _sql_kg_types_inferred(p) -> str:
     """T3 entailment oracle: recursive rdfs:subClassOf closure over the
     TBox VALUES table, joined to the distinct rdf:type assertions."""
@@ -1346,6 +1379,7 @@ s AS (SELECT q.qid, b.vec_id AS nid,
 r AS (SELECT qid, nid, row_number() OVER (
         PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s)
 SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r WHERE rk <= 10""",
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
         "embed_neardup": _SQL_EMBED_NEARDUP,
         # the LSH path verifies every candidate with exact cosine, and the
         # 24×5 banding measures full recall at tau=0.45 on the driver

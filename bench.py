@@ -7,6 +7,10 @@
     python bench.py --scaling     # median-of-3 builds at 8 and 32 CPUs
                                   # → throughputs + efficiency (overall
                                   # and per phase)
+    python bench.py --scaling-pair LO HI
+                                  # one N→4N pair at arbitrary CPU
+                                  # counts (e.g. 2 8: the uncontended
+                                  # pair below DRAM saturation)
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
@@ -248,8 +252,7 @@ def _hw_compute_ceiling(nprocs=(6, 24), n_iters=4) -> dict:
     return out
 
 
-def run_scaling() -> dict:
-    lo, hi = 8, 32
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
     r_lo, r_hi = _build_median(lo), _build_median(hi)
     tput_lo = r_lo["turns_per_sec"]
     tput_hi = r_hi["turns_per_sec"]
@@ -293,8 +296,33 @@ def run_scaling() -> dict:
         "phase_sec_4": r4.get("phase_sec"),
         "phase_sec_16": r16.get("phase_sec"),
     }
-    res["hw_compute_ceiling"] = _hw_compute_ceiling()
+    res["hw_compute_ceiling"] = _hw_compute_ceiling(
+        nprocs=(max(1, int(lo * 0.75)), max(2, int(hi * 0.75))))
     return res
+
+
+def run_scaling_pair(lo: int, hi: int) -> dict:
+    """One N→4N pair at arbitrary CPU counts (single build per leg) —
+    `python bench.py --scaling-pair 2 8` measures the uncontended pair
+    where neither leg saturates the box's shared memory bus."""
+    r_lo, r_hi = _build_median(lo, repeats=1), _build_median(hi, repeats=1)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round((r_hi["turns_per_sec"] / r_lo["turns_per_sec"])
+                       / (hi / lo), 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "triples_per_sec_lo": r_lo["triples_per_sec"],
+        "triples_per_sec_hi": r_hi["triples_per_sec"],
+        "steal_ticks_lo": r_lo["build_samples_steal_ticks"],
+        "steal_ticks_hi": r_hi["build_samples_steal_ticks"],
+        "phase_sec_lo": r_lo.get("phase_sec"),
+        "phase_sec_hi": r_hi.get("phase_sec"),
+        "sf": r_hi["sf"],
+    }
 
 
 if __name__ == "__main__":
@@ -302,6 +330,10 @@ if __name__ == "__main__":
         print(json.dumps(run_build_once()))
     elif "--once" in sys.argv:
         print(json.dumps(run_once()))
+    elif "--scaling-pair" in sys.argv:
+        i = sys.argv.index("--scaling-pair")
+        print(json.dumps(run_scaling_pair(int(sys.argv[i + 1]),
+                                          int(sys.argv[i + 2]))))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
