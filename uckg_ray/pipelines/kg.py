@@ -150,6 +150,23 @@ def build_canonical_rewriter(turns: Dataset, fixture_dir: str,
     return rewriter_from_observed_aliases(set(observed_ds), fixture_dir, cfg)
 
 
+@ray.remote(num_cpus=1)
+def _block_aliases(b: pa.Table) -> set:
+    """Distinct alias-marker subjects of ONE edge block. Submitted as a
+    raw task per block ref: a full Ray Data map job here costs ~2 s of
+    streaming-executor setup for ~0.1 s of work (measured at sf0.1/32
+    CPUs) and a unique() would shuffle. Blocks never move — only tiny
+    per-block sets (bounded by the alias dictionary) return."""
+    import pyarrow.compute as pc
+    from uckg_ray.stages.extract import ALIAS_MARKER_PRED
+    # mask on pred, filter ONLY the subj column — a whole-table filter
+    # would copy every column for the few marker rows
+    mask = pc.equal(b.column("pred"), ALIAS_MARKER_PRED)
+    s = pc.filter(b.column("subj"), mask)
+    u = pc.unique(s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s)
+    return set(u.to_pylist())
+
+
 def _apply_rewrite(batch: pa.Table, rewrite: dict[str, str]) -> pa.Table:
     """Vectorized IRI rewrite: index_in against the (small) canonical map,
     take + coalesce — no Python row loop."""
@@ -231,6 +248,7 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     group_stats = []
     skipped = 0
     reuse_blocks = len(groups) == 1
+    alias_futs: list = []
     mat_groups: list[Dataset] = []
     shard_writes: list[_cf.Future] = []
     write_pool = _cf.ThreadPoolExecutor(max_workers=4)
@@ -251,6 +269,14 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         if reuse_blocks:
             edges_mat = edges.materialize()
             mat_groups.append(edges_mat)
+            if canonicalize:
+                # launch the per-block alias scans NOW, before the
+                # background shard write floods the cluster with write
+                # tasks — they finish in milliseconds and phase B only
+                # ray.get()s the futures
+                alias_futs.extend(
+                    _block_aliases.remote(ref)
+                    for ref in edges_mat.get_internal_block_refs())
 
             def _write_shard(edges_mat=edges_mat, tmp_dir=tmp_dir,
                              gdir=gdir, gfiles=gfiles, t0=t0,
@@ -319,8 +345,12 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         skipped_files = sorted(glob.glob(
             os.path.join(shards_root, "group-*", "*.parquet")))
     if skipped_files:
-        fresh_parts.append(ray.data.read_parquet(
-            skipped_files, override_num_blocks=n_cpus).materialize())
+        skipped_ds = ray.data.read_parquet(
+            skipped_files, override_num_blocks=n_cpus).materialize()
+        fresh_parts.append(skipped_ds)
+        if canonicalize:
+            alias_futs.extend(_block_aliases.remote(ref) for ref in
+                              skipped_ds.get_internal_block_refs())
     shard_edges = (fresh_parts[0].union(*fresh_parts[1:])
                    if len(fresh_parts) > 1 else fresh_parts[0])
     t_shard_read = time.perf_counter() - t_start - t_phase_a
@@ -328,23 +358,12 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     rewrite: dict[str, str] = {}
     if canonicalize:
         # observed aliases from the marker rows — the data-scale step of
-        # canonicalization, an in-memory scan of the materialized shard
-        # blocks. Per-block local distinct (bounded by the alias
-        # dictionary) + a driver set-union replaces a full unique()
-        # shuffle: the scan stays parallel, the merge is O(dict × blocks).
-        import pyarrow.compute as pc
-
-        def local_aliases(b: pa.Table) -> pa.Table:
-            # mask on pred, filter ONLY the subj column — a whole-table
-            # filter would copy every column for the few marker rows
-            mask = pc.equal(b.column("pred"), ALIAS_MARKER_PRED)
-            s = pc.filter(b.column("subj"), mask)
-            return pa.table({"subj": pc.unique(
-                s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s)})
-
-        observed_ds = shard_edges.map_batches(
-            local_aliases, batch_format="pyarrow", batch_size=None)
-        observed = {r["subj"] for r in observed_ds.take_all()}
+        # canonicalization. Every block (freshly materialized in phase A
+        # or re-read from shard parquet above) already has a raw
+        # _block_aliases task in flight; union the tiny per-block sets
+        # (bounded by the alias dictionary × blocks) on the driver.
+        alias_sets = ray.get(alias_futs)
+        observed = set().union(*alias_sets) if alias_sets else set()
         rewrite = rewriter_from_observed_aliases(observed, fixture_dir, cfg)
     t_canon = time.perf_counter() - t_start - t_phase_a - t_shard_read
 
