@@ -248,7 +248,7 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     group_stats = []
     skipped = 0
     reuse_blocks = len(groups) == 1
-    alias_futs: list = []
+    alias_sets: list = []
     mat_groups: list[Dataset] = []
     shard_writes: list[_cf.Future] = []
     write_pool = _cf.ThreadPoolExecutor(max_workers=4)
@@ -270,13 +270,15 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
             edges_mat = edges.materialize()
             mat_groups.append(edges_mat)
             if canonicalize:
-                # launch the per-block alias scans NOW, before the
+                # run the per-block alias scans NOW, before the
                 # background shard write floods the cluster with write
-                # tasks — they finish in milliseconds and phase B only
-                # ray.get()s the futures
-                alias_futs.extend(
-                    _block_aliases.remote(ref)
-                    for ref in edges_mat.get_internal_block_refs())
+                # tasks — ~0.15 s total at sf0.1/32 CPUs, and collecting
+                # eagerly here keeps them off the contended window
+                # (futures left in flight measured 0.6–2.2 s to drain
+                # once the write job starts grabbing slots)
+                alias_sets.extend(ray.get(
+                    [_block_aliases.remote(ref)
+                     for ref in edges_mat.get_internal_block_refs()]))
 
             def _write_shard(edges_mat=edges_mat, tmp_dir=tmp_dir,
                              gdir=gdir, gfiles=gfiles, t0=t0,
@@ -349,8 +351,9 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
             skipped_files, override_num_blocks=n_cpus).materialize()
         fresh_parts.append(skipped_ds)
         if canonicalize:
-            alias_futs.extend(_block_aliases.remote(ref) for ref in
-                              skipped_ds.get_internal_block_refs())
+            alias_sets.extend(ray.get(
+                [_block_aliases.remote(ref)
+                 for ref in skipped_ds.get_internal_block_refs()]))
     shard_edges = (fresh_parts[0].union(*fresh_parts[1:])
                    if len(fresh_parts) > 1 else fresh_parts[0])
     t_shard_read = time.perf_counter() - t_start - t_phase_a
@@ -359,10 +362,9 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     if canonicalize:
         # observed aliases from the marker rows — the data-scale step of
         # canonicalization. Every block (freshly materialized in phase A
-        # or re-read from shard parquet above) already has a raw
-        # _block_aliases task in flight; union the tiny per-block sets
-        # (bounded by the alias dictionary × blocks) on the driver.
-        alias_sets = ray.get(alias_futs)
+        # or re-read from shard parquet above) was scanned by a raw
+        # _block_aliases task at materialize time; union the tiny
+        # per-block sets (bounded by the alias dictionary × blocks).
         observed = set().union(*alias_sets) if alias_sets else set()
         rewrite = rewriter_from_observed_aliases(observed, fixture_dir, cfg)
     t_canon = time.perf_counter() - t_start - t_phase_a - t_shard_read

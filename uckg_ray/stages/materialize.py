@@ -82,38 +82,56 @@ def distinct_edges(edges: Dataset, *, sort: bool = True,
     obj_is_literal, obj_datatype), optionally followed by the final
     global sort required for the canonical edge table (SURVEY.md §2.7).
 
-    Shape: block-local distinct (combiner) → encode the 5 columns into
-    one key → explicit hash partitioning on the key (vectorized 64-bit
-    hash) → per-partition vectorized distinct → decode → global sort
-    over the (much smaller) distinct set. The explicit hash-partition +
+    Shape when ``sort=True`` (the canonical-table path): block-local
+    distinct (combiner) → ONE all-to-all — the global range-partitioned
+    sort on (subj, pred, obj) — → per-block vectorized first-distinct
+    mask. The sort's range partitioner is a pure function of the key, so
+    every copy of a key (the combiner leaves ≤ one per block) lands in
+    the same sorted partition and the in-block mask is a *global*
+    distinct. This fuses what used to be two exchanges (hash-partition
+    dedup shuffle + sort shuffle) plus an encode/decode pair into the
+    sort alone: 8.6 s → 7.2 s median at sf0.1/32 CPUs, and the win grows
+    with scale (one exchange of N rows instead of two).
+
+    Shape when ``sort=False``: encode the 5 columns into one key →
+    explicit hash partitioning (vectorized 64-bit hash) → per-partition
+    vectorized distinct → decode. The explicit hash-partition +
     map_groups path measures ~2× faster than Ray's multi-column
-    sort-based aggregate on this workload, and hot keys are already
-    collapsed to ≤ one row per block by the combiner before the shuffle.
+    sort-based aggregate on this workload.
     """
     ds = edges.map_batches(_local_dedup, batch_format="pyarrow", batch_size=None)
-    ds = ds.map_batches(_encode_key, batch_format="pyarrow", batch_size=None)
-    ds = ds.map_batches(lambda b: _add_hash_partition(b, num_partitions),
-                        batch_format="pyarrow", batch_size=None)
     # block-count control before the wide ops: the sort-based shuffle
     # exchanges (#map-blocks × #reduce-partitions) fragments, so feeding
     # it hundreds of small map-task output blocks is quadratic waste —
     # coalesce adjacent blocks (repartition WITHOUT shuffle, one concat
-    # pass over the narrow encoded keys) first. Measured: groupby
-    # 25 s → 1.7 s, sort 26 s → 6 s at sf0.1 when the upstream was a
-    # 200-block materialized extract output. (`target_num_rows_per_block`
-    # is NOT usable here: it only splits oversized blocks, never merges
-    # small ones.) Callers with an already block-controlled upstream
-    # (e.g. `read_parquet(override_num_blocks=...)`) leave this off.
+    # pass) first. Measured: groupby 25 s → 1.7 s, sort 26 s → 6 s at
+    # sf0.1 when the upstream was a 200-block materialized extract
+    # output. (`target_num_rows_per_block` is NOT usable here: it only
+    # splits oversized blocks, never merges small ones.) Callers with an
+    # already block-controlled upstream (e.g.
+    # `read_parquet(override_num_blocks=...)`) leave this off.
     if coalesce_blocks:
         ds = ds.repartition(coalesce_blocks, shuffle=False)
-    ds = ds.groupby("p").map_groups(_dedup_partition, batch_format="pyarrow")
-    ds = ds.map_batches(_decode_key, batch_format="pyarrow", batch_size=None)
     if sort:
         # terminal shuffle: nothing after the sort, so block order is the
         # sorted order all the way into the writer (don't enable
         # use_polars_sort — its output dtype is large_string)
         ds = ds.sort(["subj", "pred", "obj"])
-    return ds
+
+        def _first_distinct(b: pa.Table) -> pa.Table:
+            import polars as pl
+            df = pl.from_arrow(b)
+            cols = [c for c in EDGE_KEY_COLS if c in df.columns]
+            return (df.filter(pl.struct(cols).is_first_distinct())
+                    .to_arrow().cast(b.schema))
+
+        return ds.map_batches(_first_distinct, batch_format="pyarrow",
+                              batch_size=None)
+    ds = ds.map_batches(_encode_key, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(lambda b: _add_hash_partition(b, num_partitions),
+                        batch_format="pyarrow", batch_size=None)
+    ds = ds.groupby("p").map_groups(_dedup_partition, batch_format="pyarrow")
+    return ds.map_batches(_decode_key, batch_format="pyarrow", batch_size=None)
 
 
 def _node_out(counts, cls) -> pa.Table:
