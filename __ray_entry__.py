@@ -352,6 +352,11 @@ def _q_dedup_token_jaccard(sf_dir: str):
     return token_jaccard_pairs(_table(sf_dir, "documents"), num=2, den=3)
 
 
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    from uckg_ray.stages.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_table(sf_dir, "documents"), n=5, num=7, den=10)
+
+
 def _q_dedup_minhash(sf_dir: str):
     from uckg_ray.stages.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_table(sf_dir, "documents"), tau=0.5)
@@ -626,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_fingerprint": _q_dedup_fingerprint,
         "dedup_token_jaccard": _q_dedup_token_jaccard,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1333,6 +1339,21 @@ pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
 SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
 FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE 3 * inter >= 2 * (sa.n + sb.n - inter)""",
+        # char-5-gram shingle Jaccard: substring() and length() are both
+        # code-point based, matching Python slicing; empty shingle sets
+        # (len(text) < 5) are excluded by the uni > 0 guard on both sides
+        "dedup_ngram_jaccard": """
+WITH g AS (SELECT doc_id, source,
+           list_distinct(list_transform(range(greatest(length(text) - 4, 0)),
+                                        i -> substring(text, i + 1, 5))) AS sh
+           FROM documents),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) + len(b.sh) AS tot
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       CAST(tot - inter AS BIGINT) AS uni
+FROM p WHERE 10 * inter >= 7 * (tot - inter) AND tot - inter > 0""",
         "text_quality": f"""
 WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq,

@@ -39,6 +39,24 @@ def test_token_jaccard_exact(ray_session):
     assert got == want
 
 
+def test_ngram_jaccard_exact(ray_session):
+    from uckg_ray.stages.dedup import ngram_jaccard_pairs
+    texts = ["the quick brown fox", "the quick brown cat",
+             "completely different", "the quick brown fox", "tiny"]
+    ds = _docs_ds(ray_session, texts)
+    rows = ngram_jaccard_pairs(ds, n=5, num=1, den=2).take_all()
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["uni"]) for r in rows}
+    sets = [{t[i:i + 5] for i in range(len(t) - 4)} for t in texts]
+    want = {}
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        inter = len(sets[i] & sets[j])
+        uni = len(sets[i] | sets[j])
+        if uni and 2 * inter >= uni:
+            want[(i, j)] = (inter, uni)
+    assert got == want
+    assert all((4 not in p) for p in got)  # len<5 doc never pairs
+
+
 def test_minhash_recall_vs_exact(ray_session):
     """MinHash-LSH must find the clear near-duplicates (high-J pairs)."""
     from uckg_ray.stages.dedup import MinHasher, minhash_lsh_pairs

@@ -131,6 +131,53 @@ def token_jaccard_pairs(docs: Dataset, *, block_col: str = "source",
                         batch_format="pandas"))
 
 
+def ngram_jaccard_pairs(docs: Dataset, *, n: int = 5,
+                        block_col: str = "source",
+                        num: int = 7, den: int = 10) -> Dataset:
+    """Near-dup pairs (doc_a < doc_b, same block) with character
+    ``n``-gram (shingle) set Jaccard ≥ num/den, reported as integer
+    (inter, uni) so no float compare. The shingle-set sibling of
+    ``token_jaccard_pairs`` — robust to tokenization differences
+    (word-set Jaccard misses reordered/concatenated near-dups that
+    share character shingles). Docs shorter than ``n`` have an empty
+    shingle set and never pair (uni > 0 guard).
+
+    Distributed shape: one groupby shuffle on the blocking column, then
+    a vectorized all-pairs intersection per block (binary doc×shingle
+    matrix, M·Mᵀ). The blocking column bounds the quadratic term — at
+    corpus scale use ``minhash_lsh_pairs``; this is the exact,
+    oracle-checked variant.
+    """
+    def per_block(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        sets = [{t[i:i + n] for i in range(len(t) - n + 1)}
+                for t in group["text"].to_numpy()[order]]
+        vocab: dict[str, int] = {}
+        for s in sets:
+            for w in s:
+                vocab.setdefault(w, len(vocab))
+        M = np.zeros((len(ids), len(vocab)), dtype=np.int32)
+        for i, s in enumerate(sets):
+            for w in s:
+                M[i, vocab[w]] = 1
+        inter = M @ M.T
+        sizes = M.sum(axis=1)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        it = inter[iu, ju].astype(np.int64)
+        uni = (sizes[iu] + sizes[ju]).astype(np.int64) - it
+        keep = (den * it >= num * uni) & (uni > 0)
+        return pd.DataFrame({
+            "doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
+            "inter": it[keep], "uni": uni[keep]})
+
+    return (docs.select_columns(["doc_id", block_col, "text"])
+            .groupby(block_col)
+            .map_groups(lambda g: per_block(g.drop(columns=[block_col])),
+                        batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
