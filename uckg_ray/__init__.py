@@ -27,4 +27,15 @@ Nothing in this package calls ``ray.init``/``ray.shutdown``; sessions are
 owned by the test fixture, ``bench.py`` and CLI entry points only.
 """
 
+import os as _os
+
+# One polars thread per process, set before any polars import (rayon
+# sizes its pool at import time). Every hot polars call here runs inside
+# a Ray task/actor declared num_cpus=1 — an unpinned pool spawns
+# #cores threads PER worker (24 actors × 32 threads at bench scale) and
+# the oversubscription costs 1.7× on the mention scan at 24 busy cores
+# (measured). Ray already pins OMP_NUM_THREADS=1 for numpy/BLAS; this is
+# the polars analogue. setdefault → a user can still override.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"
