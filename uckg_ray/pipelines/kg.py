@@ -384,8 +384,11 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         shard_edges.map_batches(finalize_batch, batch_format="pyarrow", batch_size=None),
         side.select(EDGE_KEY_COLS))
 
-    final = distinct_edges(all_edges, sort=True,
-                           coalesce_blocks=n_cpus).materialize()
+    # finalize_batch already left each block locally distinct — skip the
+    # combiner map pass inside distinct_edges (global distinct is the
+    # sort's in-block mask either way)
+    final = distinct_edges(all_edges, sort=True, coalesce_blocks=n_cpus,
+                           local_combine=False).materialize()
     edges_dir = os.path.join(out_dir, "edges")
     nodes_dir = os.path.join(out_dir, "nodes")
     props_dir = os.path.join(out_dir, "props")

@@ -127,7 +127,8 @@ def _decode_sorted_distinct(batch: pa.Table) -> pa.Table:
 
 def distinct_edges(edges: Dataset, *, sort: bool = True,
                    num_partitions: int = 64,
-                   coalesce_blocks: int | None = None) -> Dataset:
+                   coalesce_blocks: int | None = None,
+                   local_combine: bool = True) -> Dataset:
     """Global exact dedup of the edge stream on (subj, pred, obj,
     obj_is_literal, obj_datatype), optionally followed by the final
     global sort required for the canonical edge table (SURVEY.md §2.7).
@@ -148,8 +149,15 @@ def distinct_edges(edges: Dataset, *, sort: bool = True,
     vectorized distinct → decode. The explicit hash-partition +
     map_groups path measures ~2× faster than Ray's multi-column
     sort-based aggregate on this workload.
+
+    ``local_combine=False`` skips the block-local combiner for callers
+    whose input blocks are already block-locally distinct (build_kg's
+    finalize pass dedups as it rewrites) — one full map pass saved.
     """
-    ds = edges.map_batches(_local_dedup, batch_format="pyarrow", batch_size=None)
+    ds = edges
+    if local_combine:
+        ds = ds.map_batches(_local_dedup, batch_format="pyarrow",
+                            batch_size=None)
     # block-count control before the wide ops: the sort-based shuffle
     # exchanges (#map-blocks × #reduce-partitions) fragments, so feeding
     # it hundreds of small map-task output blocks is quadratic waste —
