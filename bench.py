@@ -144,7 +144,8 @@ def run_bench() -> dict:
 
     q = entrymod.queries()
     for name in ("kg_edges", "kg_mentions", "dedup_minhash", "dedup_simhash",
-                 "dedup_token_jaccard", "ann_cosine_topk", "events_window",
+                 "dedup_token_jaccard", "dedup_ngram_jaccard",
+                 "ann_cosine_topk", "events_window",
                  "events_asof", "order_join", "q1_pricing", "text_quality",
                  "token_count", "kg_custom_spec", "doc_winnow",
                  "embed_neardup_lsh"):

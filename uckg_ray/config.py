@@ -79,8 +79,10 @@ class PipelineConfig:
             hi = self.concurrency_max
             if hi is None:
                 # actors permanently reserve their CPU: leave ~1/4 of the
-                # cluster for read/write tasks or the pipeline starves
-                hi = max(2, (cpus * 3) // 4)
+                # cluster (and never less than one whole CPU — a 2-CPU
+                # cluster with 2 actors starves the read tasks and the
+                # pipeline stalls) for read/write tasks
+                hi = max(1, min(cpus - 1, (cpus * 3) // 4))
             if lo is None:
                 lo = hi  # fixed-size pool: full parallelism from the start
             lo = min(lo, hi)  # a pinned floor never exceeds the ceiling
