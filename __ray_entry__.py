@@ -471,6 +471,11 @@ def _q_model_scores(sf_dir: str):
     return model_scores(_table(sf_dir, "documents"))
 
 
+def _q_ngram_contamination(sf_dir: str):
+    from uckg_ray.stages.text import ngram_contamination
+    return ngram_contamination(_table(sf_dir, "documents"), n=8)
+
+
 def _q_ngram_counts(sf_dir: str):
     from uckg_ray.stages.text import ngram_counts
     return ngram_counts(_table(sf_dir, "documents"), n=2)
@@ -642,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_scores": _q_model_scores,
         "stratified_sample": _q_stratified_sample,
         "ngram_counts": _q_ngram_counts,
+        "ngram_contamination": _q_ngram_contamination,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_count": _q_token_count,
@@ -1419,6 +1425,19 @@ g AS (SELECT unnest(list_transform(range(len(toks) - 1),
               i -> toks[CAST(i AS INT) + 1] || ' ' ||
                    toks[CAST(i AS INT) + 2])) AS ngram FROM t)
 SELECT ngram, CAST(count(*) AS BIGINT) AS count FROM g GROUP BY ngram""",
+        # word-8-gram decontamination check: test split = doc_id%10==0;
+        # both sides distinct per doc, so count(*) = distinct shared grams
+        "ngram_contamination": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(greatest(len(t) - 7, 0)),
+        i -> array_to_string(t[i + 1:i + 8], ' ')))) AS gram FROM toks),
+te AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 != 0)
+SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc,
+       CAST(count(*) AS BIGINT) AS overlap
+FROM te JOIN tr ON te.gram = tr.gram
+GROUP BY 1, 2 HAVING count(*) >= 1""",
         "stratified_sample": (
             "SELECT doc_id, source FROM documents WHERE "
             "(doc_id * 2654435761) % 4294967296 % 100 < CASE source "

@@ -133,6 +133,26 @@ def test_tfidf_components(ray_session):
         (1, "a"): (1, 2, 2), (1, "c"): (1, 1, 2)}
 
 
+def test_ngram_contamination(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.text import ngram_contamination
+
+    # doc 10 (test: %10==0) shares the 3-gram "w x y" with train docs 1
+    # and 2 (twice in doc 2's text but distinct-per-doc → counted once),
+    # plus "x y z" with doc 1; doc 20 shares nothing long enough
+    ds = ray.data.from_items([
+        {"doc_id": 10, "text": "w x y z q"},
+        {"doc_id": 20, "text": "p q r"},
+        {"doc_id": 1, "text": "a w x y z b"},
+        {"doc_id": 2, "text": "w x y c w x y"},
+        {"doc_id": 3, "text": "nothing shared here"},
+    ])
+    got = {(r["test_doc"], r["train_doc"]): r["overlap"]
+           for r in ngram_contamination(ds, n=3).take_all()}
+    assert got == {(10, 1): 2, (10, 2): 1}
+
+
 def test_ngram_counts(ray_session):
     import ray.data
 

@@ -281,3 +281,86 @@ def ngram_counts(docs: Dataset, *, n: int = 2) -> Dataset:
 
     return (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("ngram").aggregate(Sum("count", alias_name="count")))
+
+
+def ngram_contamination(docs: Dataset, *, n: int = 8, probe_mod: int = 10,
+                        min_overlap: int = 1,
+                        num_partitions: int = 32) -> Dataset:
+    """Benchmark-contamination detection: for every (test, train) doc
+    pair that shares ≥ ``min_overlap`` distinct word ``n``-grams, report
+    the exact overlap count — the standard n-gram decontamination check
+    run before LLM training. The probe (test) split is
+    ``doc_id % probe_mod == 0``; callers with a real benchmark table
+    union it in with ids in that residue class.
+
+    Distributed shape (nothing quadratic, nothing on the driver):
+    per-block distinct-gram explosion → hash partition on the gram
+    (polars 64-bit hash) → per-partition vectorized test×train join +
+    pair-count partial → one Sum groupby on the packed (test<<32|train)
+    pair key → decode + threshold. The gram join is an inverted index:
+    a gram shared by T test and R train docs contributes T·R rows in
+    its partition only — hot grams are the skew risk, bounded upstream
+    by the distinct-per-doc explosion (stopword runs appear once per
+    doc, not once per occurrence)."""
+    import numpy as np
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids_out, grams_out, test_out = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = (t or "").split(" ")
+            gs = {" ".join(toks[j:j + n])
+                  for j in range(len(toks) - n + 1)}
+            ids_out.extend([d] * len(gs))
+            grams_out.extend(gs)
+            test_out.extend([d % probe_mod == 0] * len(gs))
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "gram": pa.array(grams_out, pa.string()),
+            "is_test": pa.array(test_out, pa.bool_())})
+
+    def add_p(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        h = pl.from_arrow(batch.column("gram").combine_chunks()).hash(seed=0)
+        p = (h % num_partitions).cast(pl.Int32).to_numpy()
+        return batch.append_column("p", pa.array(p, pa.int32()))
+
+    _PARTIAL = pa.schema([("pk", pa.int64()), ("c", pa.int64())])
+
+    def join_count(part: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(part.drop_columns(["p"]))
+        te = df.filter(pl.col("is_test")).select("gram", test_doc="doc_id")
+        tr = df.filter(~pl.col("is_test")).select("gram", train_doc="doc_id")
+        if te.height == 0 or tr.height == 0:
+            return _PARTIAL.empty_table()
+        pairs = (te.join(tr, on="gram")
+                 .group_by(["test_doc", "train_doc"]).len("c"))
+        pk = ((pairs["test_doc"].to_numpy().astype(np.int64) << 32)
+              | pairs["train_doc"].to_numpy().astype(np.int64))
+        return pa.Table.from_pydict({
+            "pk": pa.array(pk, pa.int64()),
+            "c": pa.array(pairs["c"].to_numpy().astype(np.int64), pa.int64())})
+
+    _OUT = pa.schema([("test_doc", pa.int64()), ("train_doc", pa.int64()),
+                      ("overlap", pa.int64())])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "pk" not in batch.column_names:
+            return _OUT.empty_table()
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        ov = batch.column("overlap").to_numpy(zero_copy_only=False)
+        keep = ov >= min_overlap
+        pk, ov = pk[keep], ov[keep]
+        return pa.Table.from_pydict({
+            "test_doc": pa.array(pk >> 32, pa.int64()),
+            "train_doc": pa.array(pk & 0xFFFFFFFF, pa.int64()),
+            "overlap": pa.array(ov, pa.int64())})
+
+    parted = (docs.select_columns(["doc_id", "text"])
+              .map_batches(grams, batch_format="pyarrow", batch_size=None)
+              .map_batches(add_p, batch_format="pyarrow", batch_size=None))
+    partial = parted.groupby("p").map_groups(join_count,
+                                             batch_format="pyarrow")
+    agg = partial.groupby("pk").aggregate(Sum("c", alias_name="overlap"))
+    return agg.map_batches(decode, batch_format="pyarrow", batch_size=None)
