@@ -1042,7 +1042,13 @@ def _sql_ann_lsh_topk() -> str:
     Sign agreement between numpy matmul and DuckDB's sequential
     list_dot_product is guaranteed by margin: min |dot| over every
     fixture scale is ≥ 9e-5, ~1e10× the float64 summation-order noise."""
-    planes = np.random.default_rng(42).standard_normal((6, 64))
+    from uckg_ray.stages.similarity import HyperplaneLSH
+
+    # ONE source of truth for plane generation: the engine's own
+    # HyperplaneLSH (same seed, same rng stream). dim=64 is the
+    # embeddings fixture's vector width (TESTDATA.md) — the engine side
+    # derives it from Q.shape[1], which is 64 for every sf tier.
+    planes = HyperplaneLSH(64, n_planes=6).planes
     terms = []
     for k in range(6):
         lit = "[" + ", ".join(repr(float(x)) for x in planes[k]) + "]"

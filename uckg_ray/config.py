@@ -81,7 +81,15 @@ class PipelineConfig:
                 # actors permanently reserve their CPU: leave ~1/4 of the
                 # cluster (and never less than one whole CPU — a 2-CPU
                 # cluster with 2 actors starves the read tasks and the
-                # pipeline stalls) for read/write tasks
+                # pipeline stalls) for read/write tasks. A 1-CPU cluster
+                # cannot host an actor pool AND its feeding read tasks at
+                # all — fail loudly instead of stalling forever.
+                if cpus < 2:
+                    raise ValueError(
+                        "actor-pool stages need >= 2 CPUs (one actor + "
+                        "one read/write slot); this cluster has "
+                        f"{cpus} — raise num_cpus or set "
+                        "concurrency_min/max explicitly")
                 hi = max(1, min(cpus - 1, (cpus * 3) // 4))
             if lo is None:
                 lo = hi  # fixed-size pool: full parallelism from the start

@@ -186,6 +186,31 @@ _EMPTY_PAIRS = pa.Table.from_pydict(
     {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
 
 
+def pair_doc_ids(pair_ds) -> "np.ndarray":
+    """Distinct doc ids referenced by a materialized pair dataset — one
+    raw task per block, each returning its block's np.unique; the driver
+    unions per-block DISTINCT arrays (O(candidate docs) each), so the
+    raw pair stream (O(candidate pairs), with cross-partition dupes when
+    the producer skipped its pre-verify distinct) never crosses the
+    driver."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _block_ids(b: pa.Table):
+        # groupby can emit schema-less EMPTY blocks — treat them as no ids
+        if b.num_rows == 0 or "doc_a" not in b.column_names:
+            return np.array([], np.int64)
+        return np.unique(np.concatenate([
+            b.column("doc_a").to_numpy(zero_copy_only=False),
+            b.column("doc_b").to_numpy(zero_copy_only=False)]))
+
+    chunks = ray.get([_block_ids.remote(r)
+                      for r in pair_ds.get_internal_block_refs()])
+    if not chunks:
+        return np.array([], np.int64)
+    return np.unique(np.concatenate(chunks)).astype(np.int64)
+
+
 def distinct_pairs(pair_ds: Dataset, num_partitions: int = 32) -> Dataset:
     """Globally distinct (doc_a, doc_b): hash-partition on the pair key,
     vectorized np.unique per partition. The pair stream never touches
@@ -394,13 +419,10 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
     if cand.count() == 0:
         return ray.data.from_arrow(_EMPTY_PAIRS)
 
-    # candidate-doc id set: one local pass over the (materialized,
-    # candidate-bounded) pair blocks — not two more Dataset jobs
-    need_chunks = []
-    for b in cand.iter_batches(batch_format="pyarrow", batch_size=None):
-        need_chunks.append(b.column("doc_a").to_numpy(zero_copy_only=False))
-        need_chunks.append(b.column("doc_b").to_numpy(zero_copy_only=False))
-    need = np.unique(np.concatenate(need_chunks)).astype(np.int64)
+    # candidate-doc id set: per-block raw tasks return block-distinct
+    # ids; the driver sees O(candidate docs) per block, never the pair
+    # stream
+    need = pair_doc_ids(cand)
     need_ref = ray.put(need)
     w = shingle_w
 
@@ -550,22 +572,34 @@ def neardup_canonical_docs(docs: Dataset, pairs: Dataset, *,
                             "dst": pad(b.column("doc_b"))}),
         batch_format="pyarrow")
     has_pairs = prefixed.materialize()
-    cc_map: dict[int, int] = {}
+    nodes = np.array([], np.int64)
+    labels = np.array([], np.int64)
     if has_pairs.count() > 0:
         cc = connected_components(has_pairs, "src", "dst", salt=salt)
         # component map is O(duplicate docs) — the documented small side
-        for r in cc.take_all():
-            cc_map[int(r["node"])] = int(r["label"])
-    map_ref = ray.put(cc_map)
+        rows = cc.take_all()
+        nodes = np.array([int(r["node"]) for r in rows], np.int64)
+        labels = np.array([int(r["label"]) for r in rows], np.int64)
+        order = np.argsort(nodes)
+        nodes, labels = nodes[order], labels[order]
+    map_ref = ray.put((nodes, labels))
 
     def assign(batch: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        canon = np.array([m.get(int(i), int(i)) for i in ids], np.int64)
+        # vectorized lookup: searchsorted into the broadcast sorted node
+        # array (no per-row Python dict probes over the corpus)
+        nd, lb = ray.get(map_ref)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        canon = ids.copy()
+        if len(nd):
+            pos = np.searchsorted(nd, ids)
+            pos_c = np.clip(pos, 0, len(nd) - 1)
+            hit = nd[pos_c] == ids
+            canon[hit] = lb[pos_c[hit]]
         return pa.Table.from_pydict({
-            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
             "canonical_id": pa.array(canon, pa.int64()),
-            "is_dup": pa.array(canon != ids.astype(np.int64), pa.bool_()),
+            "is_dup": pa.array(canon != ids, pa.bool_()),
         })
 
     return docs.select_columns([id_col]).map_batches(

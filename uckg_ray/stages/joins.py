@@ -131,8 +131,11 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
         g = g.sort_values([key, "bucket", "ts_us", "event_id"],
                           ignore_index=True)
         # merge block partials: per (key, bucket) the last (ts,id)-sorted
-        # right row is the bucket best; has_left is an OR
-        right = g[g["event_id"] >= 0]
+        # right row is the bucket best; has_left is an OR. Real right
+        # rows are has_left=False — selecting on the flag (not on
+        # event_id >= 0) keeps genuine negative event ids distinct from
+        # the has-left sentinel rows
+        right = g[~g["has_left"]]
         best = (right.groupby([key, "bucket"], sort=False)
                 [["event_id", "ts_us"]].last())
         flags = g.groupby([key, "bucket"], sort=False)["has_left"].any()

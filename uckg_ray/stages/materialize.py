@@ -40,8 +40,15 @@ def _local_dedup(batch: pa.Table) -> pa.Table:
 def _encode_key(batch: pa.Table) -> pa.Table:
     """5 key columns → one \\x1f-joined key column. A single-column
     shuffle key is ~2× cheaper than a 5-string-column groupby in Ray's
-    sort-based aggregate (measured on sf0.1)."""
+    sort-based aggregate (measured on sf0.1). Nulls are rejected for
+    the same reason as in ``_encode_sort_key``: the element-wise join
+    would null the whole key and collapse distinct rows."""
     import pyarrow.compute as pc
+    for c in EDGE_KEY_COLS:
+        if batch.column(c).null_count:
+            raise ValueError(
+                f"edge column {c!r} contains nulls — normalize to ''"
+                " upstream before the encoded-key distinct")
     k = pc.binary_join_element_wise(
         batch.column("subj").combine_chunks(),
         batch.column("pred").combine_chunks(),
@@ -89,6 +96,14 @@ def _encode_sort_key(batch: pa.Table) -> pa.Table:
     literals escape control chars; a violation raises loudly rather
     than silently mis-sorting)."""
     import pyarrow.compute as pc
+    for c in EDGE_KEY_COLS:
+        nulls = batch.column(c).null_count
+        if nulls:
+            raise ValueError(
+                f"edge column {c!r} contains {nulls} nulls — "
+                "binary_join_element_wise would emit null keys and "
+                "collapse distinct null-bearing rows into one; normalize "
+                "nulls upstream (this engine emits '' not null)")
     for c in ("subj", "pred", "obj", "obj_datatype"):
         bad = pc.sum(pc.count_substring(batch.column(c), _NUL)).as_py()
         if bad:

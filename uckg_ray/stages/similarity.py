@@ -183,13 +183,11 @@ def embedding_neardup_lsh_pairs(emb: Dataset, *, tau: float = 0.45,
     if cand.count() == 0:
         return ray.data.from_arrow(empty)
 
-    # candidate-doc id set: one local pass over the (materialized,
-    # candidate-bounded) pair blocks — not two more Dataset jobs
-    need_chunks = []
-    for b in cand.iter_batches(batch_format="pyarrow", batch_size=None):
-        need_chunks.append(b.column("doc_a").to_numpy(zero_copy_only=False))
-        need_chunks.append(b.column("doc_b").to_numpy(zero_copy_only=False))
-    need = np.unique(np.concatenate(need_chunks)).astype(np.int64)
+    # candidate-doc id set: per-block raw tasks return block-distinct
+    # ids; the driver sees O(candidate docs) per block, never the pair
+    # stream
+    from uckg_ray.stages.dedup import pair_doc_ids
+    need = pair_doc_ids(cand)
     need_ref = ray.put(need)
 
     def cand_vectors(batch: pa.Table) -> pa.Table:

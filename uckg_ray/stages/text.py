@@ -336,8 +336,16 @@ def ngram_contamination(docs: Dataset, *, n: int = 8, probe_mod: int = 10,
             return _PARTIAL.empty_table()
         pairs = (te.join(tr, on="gram")
                  .group_by(["test_doc", "train_doc"]).len("c"))
-        pk = ((pairs["test_doc"].to_numpy().astype(np.int64) << 32)
-              | pairs["train_doc"].to_numpy().astype(np.int64))
+        a = pairs["test_doc"].to_numpy().astype(np.int64)
+        b = pairs["train_doc"].to_numpy().astype(np.int64)
+        # the packed pair key holds two 32-bit ids; ids outside
+        # [0, 2^32) would silently corrupt the (test, train) decode
+        if len(a) and (int(min(a.min(), b.min())) < 0
+                       or int(max(a.max(), b.max())) >= 1 << 32):
+            raise ValueError(
+                "ngram_contamination packs doc ids into 32 bits each; "
+                "ids must be in [0, 2^32) — remap upstream for wider ids")
+        pk = (a << 32) | b
         return pa.Table.from_pydict({
             "pk": pa.array(pk, pa.int64()),
             "c": pa.array(pairs["c"].to_numpy().astype(np.int64), pa.int64())})
