@@ -32,15 +32,19 @@ def join_num_partitions(*row_counts: int | None) -> int:
 
 @dataclass
 class PipelineConfig:
-    # turns per Arrow batch handed to the extraction actors. Sized to
-    # cover a whole input block (one transcript file ≈ 16k turns) so the
-    # fused witness-dedup combiner in TripleEmitter.__call__ collapses
-    # duplicates at block granularity: at sf0.1, 16384 measured 7.6M
-    # rows / 1.2 GB materialized out of extraction vs 13.5M / 2.1 GB at
-    # 4096 and 49.9M / 7.4 GB with no fused combiner — and the larger
-    # call amortizes per-batch scan setup (12.9 s vs 15.3 s stage wall
-    # at 32 CPUs). Raw per-call memory stays small (~80k edge rows).
-    batch_size: int = 16384
+    # turns per Arrow batch handed to the extraction actors. Emitter
+    # cost is dominated by per-batch fixed work (polars query build,
+    # emission frames), so bigger batches win almost linearly: 93k
+    # rows/s/core at 16384 → 376k at 65536 in the single-core
+    # microbench; the full build dropped 21.2 → 17.6 s at sf0.1/32 CPUs
+    # (bigger extraction output blocks also halve the dedup+sort
+    # exchange, 8.5 → 4.9 s). Ray bundles input blocks to reach the
+    # batch size, so this also sets extraction task granularity
+    # (~146 tasks over 24 actors at sf0.1). The fused witness-dedup
+    # combiner sees more rows per call and collapses more (7.6M rows /
+    # 1.2 GB materialized at 16384; less at 65536). Raw per-call memory
+    # stays small (~300k edge rows before the in-call dedup).
+    batch_size: int = 65536
     # extraction actor pool: sized from the cluster at pipeline build time
     # (None → ~3/4 of cluster CPUs, fixed size so there is no autoscale
     # ramp); each actor holds the CWE/CPE/alias dictionaries loaded once
