@@ -23,26 +23,27 @@ def quality_stats(docs: Dataset) -> Dataset:
     is_quality: 5 ≤ n_tokens ≤ 1000 AND 2*n_uniq ≥ n_tokens (integer
     repetitiveness test — a vectorizable stand-in for Gopher-style
     repetition filters)."""
-    en = set(STOP_EN)
+    en = list(STOP_EN)
 
     def stats(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        NT, NU, NS, Q = [], [], [], []
-        for t in texts:
-            toks = t.split(" ")
-            nt = len(toks)
-            nu = len(set(toks))
-            ns = sum(1 for w in toks if w in en)
-            NT.append(nt); NU.append(nu); NS.append(ns)
-            Q.append(5 <= nt <= 1000 and 2 * nu >= nt)
-        return pa.Table.from_pydict({
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_tokens": pa.array(NT, pa.int64()),
-            "n_uniq": pa.array(NU, pa.int64()),
-            "n_stop": pa.array(NS, pa.int64()),
-            "is_quality": pa.array(Q, pa.bool_()),
-        })
+        # all-polars: split once, three list reductions — no Python loop
+        # ('' splits to [''] in both engines, so counts agree exactly)
+        import polars as pl
+        toks = pl.col("text").str.split(" ")
+        out = (pl.from_arrow(batch.select(["doc_id", "text"]))
+               .select(pl.col("doc_id").cast(pl.Int64),
+                       toks.list.len().cast(pl.Int64).alias("n_tokens"),
+                       toks.list.n_unique().cast(pl.Int64).alias("n_uniq"),
+                       toks.list.eval(pl.element().is_in(en)).list.sum()
+                       .cast(pl.Int64).alias("n_stop"))
+               .with_columns(
+                   (pl.col("n_tokens").is_between(5, 1000)
+                    & (2 * pl.col("n_uniq") >= pl.col("n_tokens")))
+                   .alias("is_quality")))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("n_uniq", pa.int64()), ("n_stop", pa.int64()),
+            ("is_quality", pa.bool_())]))
 
     return docs.map_batches(stats, batch_format="pyarrow")
 
@@ -50,22 +51,30 @@ def quality_stats(docs: Dataset) -> Dataset:
 def lang_id(docs: Dataset) -> Dataset:
     """(doc_id, lang_guess) — argmax of marker-stopword hits over
     {en, de, fr}; ties broken en > de > fr; all-zero → 'unk'."""
-    sets = [("en", set(STOP_EN)), ("de", set(STOP_DE)), ("fr", set(STOP_FR))]
-
     def guess(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out = []
-        for t in texts:
-            toks = t.lower().split(" ")
-            scores = [(sum(1 for w in toks if w in s), name) for name, s in sets]
-            best_n = max(n for n, _ in scores)
-            if best_n == 0:
-                out.append("unk")
-            else:
-                out.append(next(name for n, name in scores if n == best_n))
-        return pa.Table.from_pydict({
-            "doc_id": pa.array(ids, pa.int64()), "lang_guess": out})
+        # all-polars: one lowercase+split, three marker counts, then a
+        # branchless argmax with the en > de > fr tie-break
+        import polars as pl
+        toks = pl.col("text").str.to_lowercase().str.split(" ")
+
+        def hits(stop):
+            return (toks.list.eval(pl.element().is_in(list(stop)))
+                    .list.sum().cast(pl.Int64))
+
+        out = (pl.from_arrow(batch.select(["doc_id", "text"]))
+               .select(pl.col("doc_id").cast(pl.Int64),
+                       hits(STOP_EN).alias("he"), hits(STOP_DE).alias("hd"),
+                       hits(STOP_FR).alias("hf"))
+               .select("doc_id",
+                       pl.when((pl.col("he") == 0) & (pl.col("hd") == 0)
+                               & (pl.col("hf") == 0)).then(pl.lit("unk"))
+                       .when((pl.col("he") >= pl.col("hd"))
+                             & (pl.col("he") >= pl.col("hf")))
+                       .then(pl.lit("en"))
+                       .when(pl.col("hd") >= pl.col("hf")).then(pl.lit("de"))
+                       .otherwise(pl.lit("fr")).alias("lang_guess")))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("lang_guess", pa.string())]))
 
     return docs.map_batches(guess, batch_format="pyarrow")
 
@@ -76,22 +85,17 @@ BPE_ISH_RX = r"\w+|[^\w\s]+"   # word runs + punctuation runs (GPT-2-ish)
 def regex_token_counts_by(docs: Dataset, group_col: str = "source") -> Dataset:
     """(group, n_docs, n_tokens) under a BPE-ish regex tokenizer —
     ≡ SQL sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')))."""
-    import re
-    rx = re.compile(BPE_ISH_RX)
-
     def partial(batch: pa.Table) -> pa.Table:
-        groups = batch.column(group_col).to_pylist()
-        texts = batch.column("text").to_pylist()
-        agg: dict[str, list[int]] = {}
-        for g, t in zip(groups, texts):
-            e = agg.setdefault(g, [0, 0])
-            e[0] += 1
-            e[1] += len(rx.findall(t))
-        return pa.Table.from_pydict({
-            group_col: list(agg),
-            "n_docs": pa.array([v[0] for v in agg.values()], pa.int64()),
-            "n_tokens": pa.array([v[1] for v in agg.values()], pa.int64()),
-        })
+        # Rust-regex count_matches (≡ len(findall)) + in-block group agg
+        import polars as pl
+        out = (pl.from_arrow(batch.select([group_col, "text"]))
+               .group_by(group_col)
+               .agg(pl.len().cast(pl.Int64).alias("n_docs"),
+                    pl.col("text").str.count_matches(BPE_ISH_RX)
+                    .cast(pl.Int64).sum().alias("n_tokens")))
+        return out.to_arrow().cast(pa.schema([
+            (group_col, pa.string()), ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64())]))
 
     return (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby(group_col)
