@@ -30,3 +30,20 @@ def test_props_cross_block_merge(ray_session):
            for r in node_props(_edges_ds(ray_session, rows, 6)).take_all()}
     assert out[("s", "p")] == "v0;;v1;;v2;;v3"
     assert out[("t", "q")] == "only"
+
+
+def test_distinct_edges_rejects_null_key_fields(ray_session):
+    """Null key fields would encode to null sort keys and silently
+    collapse distinct rows — both encoders must raise instead."""
+    import ray.data
+
+    from uckg_ray.stages.materialize import distinct_edges
+
+    df = pd.DataFrame({
+        "subj": ["a", "b"], "pred": ["p", "p"], "obj": ["x", "y"],
+        "obj_is_literal": [False, False],
+        "obj_datatype": ["", None],      # one null field
+    })
+    for sort in (True, False):
+        with pytest.raises(Exception, match="null"):
+            distinct_edges(ray.data.from_pandas(df), sort=sort).materialize()
