@@ -576,6 +576,41 @@ def _q_events_asof(sf_dir: str):
                             left_type="click", right_type="view")
 
 
+def _q_events_range_join(sf_dir: str):
+    """Interval join: purchases within 30 min after a view, same user."""
+    from uckg_ray.stages.joins import range_join_events
+    return range_join_events(_table(sf_dir, "events"), left_type="view",
+                             right_type="purchase", window_minutes=30)
+
+
+def _q_events_running(sf_dir: str):
+    """Distributed prefix scan: per-user row_number / running cent sum /
+    lag(event_id) ordered by (ts, event_id)."""
+    from uckg_ray.stages.windows import running_aggregates
+    return running_aggregates(_table(sf_dir, "events"))
+
+
+def _q_events_quantiles(sf_dir: str):
+    """Exact per-type value quantiles via the distributed histogram."""
+    from uckg_ray.stages.relational import grouped_quantiles
+    return grouped_quantiles(_table(sf_dir, "events"))
+
+
+def _q_user_event_stats(sf_dir: str):
+    """Exact two-phase COUNT(*) + COUNT(DISTINCT event_type) per user."""
+    from uckg_ray.stages.relational import distinct_count_per_key
+    return distinct_count_per_key(_table(sf_dir, "events"))
+
+
+_EVENT_TYPES = ("click", "view", "error", "purchase", "signup")
+
+
+def _q_events_pivot(sf_dir: str):
+    """Pivot the log to one wide per-user row of per-type counts."""
+    from uckg_ray.stages.relational import pivot_counts
+    return pivot_counts(_table(sf_dir, "events"), categories=_EVENT_TYPES)
+
+
 def _q_order_join(sf_dir: str):
     from uckg_ray.stages.joins import hash_join_sum
     return hash_join_sum(_table(sf_dir, "orders"), _table(sf_dir, "lineitem"))
@@ -660,6 +695,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
+        "events_running": _q_events_running,
+        "events_quantiles": _q_events_quantiles,
+        "user_event_stats": _q_user_event_stats,
+        "events_pivot": _q_events_pivot,
         "order_join": _q_order_join,
         "top_events_per_user": _q_top_events_per_user,
         "train_test_split": _q_train_test_split,
@@ -1488,6 +1528,51 @@ WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
 SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_range_join": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id
+FROM l JOIN r ON l.user_id = r.user_id
+            AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""",
+        "events_running": """
+WITH e AS (SELECT event_id, user_id, ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_c100,
+       lag(event_id) OVER w AS prev_event_id
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        # quantile_disc picks index max(0, ceil(q*n)-1) of the sorted
+        # multiset — the engine's histogram selection mirrors it exactly
+        "events_quantiles": """
+WITH e AS (SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_c100,
+       CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_c100,
+       CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_c100
+FROM e GROUP BY event_type""",
+        "user_event_stats": """
+SELECT user_id, count(*) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id""",
+        "events_pivot": """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signup,
+       CAST(sum(CASE WHEN event_type NOT IN
+                ('click','view','error','purchase','signup')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM events GROUP BY user_id""",
         "order_join": """
 SELECT o.o_orderstatus, count(*) AS n_items,
        CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -1,0 +1,166 @@
+"""Range join, distributed prefix scan (running aggregates), exact
+grouped quantiles, two-phase distinct counts, pivot — each checked
+against an independent pandas reference on randomized logs, including a
+hot-key distribution and a tiny bucket width so cross-bucket carries are
+exercised."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def _random_events(n=4000, users=12, seed=7, hot=False):
+    rng = np.random.default_rng(seed)
+    if hot:
+        # one user owns half the log
+        uid = np.where(rng.random(n) < 0.5, 0, rng.integers(1, users, n))
+    else:
+        uid = rng.integers(0, users, n)
+    ts = (np.datetime64("2024-01-01", "us")
+          + np.cumsum(rng.integers(1, 5_000_000, n)).astype("timedelta64[us]"))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": uid.astype(np.int64),
+        "event_type": rng.choice(["view", "purchase", "click"], n),
+        "ts": ts,
+        "value": rng.random(n).round(4) * 50})
+
+
+def _ref_range_join(df, left_type, right_type, window_us):
+    l = df[df.event_type == left_type]
+    r = df[df.event_type == right_type]
+    m = l.merge(r, on="user_id", suffixes=("_l", "_r"))
+    dt = (m["ts_r"] - m["ts_l"]).dt.total_seconds() * 1e6
+    m = m[(dt > 0) & (dt <= window_us)]
+    return set(zip(m["event_id_l"], m["event_id_r"]))
+
+
+def test_range_join_matches_pandas(ray_session):
+    import ray.data
+    from uckg_ray.stages.joins import range_join_events
+    df = _random_events()
+    out = range_join_events(ray.data.from_pandas(df), left_type="view",
+                            right_type="purchase",
+                            window_minutes=30).take_all()
+    got = {(r["left_id"], r["right_id"]) for r in out}
+    assert got == _ref_range_join(df, "view", "purchase", 30 * 60 * 1_000_000)
+    assert len(got) == len(out)  # no duplicate pairs from replication
+
+
+def test_range_join_hot_key(ray_session):
+    import ray.data
+    from uckg_ray.stages.joins import range_join_events
+    df = _random_events(hot=True, seed=11)
+    out = range_join_events(ray.data.from_pandas(df), left_type="view",
+                            right_type="purchase",
+                            window_minutes=45).take_all()
+    got = {(r["left_id"], r["right_id"]) for r in out}
+    assert got == _ref_range_join(df, "view", "purchase", 45 * 60 * 1_000_000)
+
+
+def _ref_running(df):
+    e = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    e["c"] = np.floor(e["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    g = e.groupby("user_id", sort=False)
+    e["rn"] = g.cumcount() + 1
+    e["run_sum_c100"] = g["c"].cumsum()
+    e["prev_event_id"] = g["event_id"].shift(1)
+    return e
+
+
+def test_running_aggregates_cross_bucket(ray_session):
+    """1-hour buckets over multi-day data: nearly every event needs the
+    cross-bucket offset and carry-in lag."""
+    import ray.data
+    from uckg_ray.stages.windows import running_aggregates
+    df = _random_events(n=3000, users=8, seed=3)
+    out = running_aggregates(ray.data.from_pandas(df),
+                             bucket_hours=1).take_all()
+    ref = _ref_running(df).set_index("event_id")
+    assert len(out) == len(df)
+    for r in out:
+        want = ref.loc[r["event_id"]]
+        assert r["rn"] == want["rn"]
+        assert r["run_sum_c100"] == want["run_sum_c100"]
+        prev = want["prev_event_id"]
+        assert r["prev_event_id"] == (None if pd.isna(prev) else int(prev))
+
+
+def test_running_aggregates_hot_key(ray_session):
+    import ray.data
+    from uckg_ray.stages.windows import running_aggregates
+    df = _random_events(n=3000, seed=19, hot=True)
+    out = running_aggregates(ray.data.from_pandas(df),
+                             bucket_hours=2).take_all()
+    ref = _ref_running(df)
+    got_last = {}
+    for r in out:
+        got_last[(r["user_id"], r["rn"])] = r["run_sum_c100"]
+    tail = ref.groupby("user_id").tail(1)
+    for _, w in tail.iterrows():
+        assert got_last[(w["user_id"], w["rn"])] == w["run_sum_c100"]
+    assert len(out) == len(df)
+
+
+def test_grouped_quantiles_duckdb_parity(ray_session):
+    """Histogram selection == DuckDB quantile_disc on data with heavy
+    ties (integer cents from a narrow range)."""
+    import duckdb
+    import ray.data
+    from uckg_ray.stages.relational import grouped_quantiles
+    df = _random_events(n=5000, seed=23)
+    df["value"] = (df["value"] % 3).round(2)  # few distinct cents → ties
+    out = grouped_quantiles(ray.data.from_pandas(df)).take_all()
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute("""
+        WITH e AS (SELECT event_type,
+                   CAST(floor(value*100+0.5) AS BIGINT) AS c FROM events)
+        SELECT event_type, count(*) AS n,
+               quantile_disc(c, 0.5) AS p50, quantile_disc(c, 0.9) AS p90,
+               quantile_disc(c, 0.99) AS p99
+        FROM e GROUP BY event_type""").fetchall()
+    want = {r[0]: r[1:] for r in ref}
+    assert len(out) == len(want)
+    for r in out:
+        n, p50, p90, p99 = want[r["event_type"]]
+        assert (r["n"], r["p50_c100"], r["p90_c100"], r["p99_c100"]) == \
+            (n, p50, p90, p99)
+
+
+def test_quantile_index_rule():
+    """The engine's selection index mirrors quantile_disc exactly:
+    max(0, ceil(q*n) - 1)."""
+    import duckdb
+    con = duckdb.connect()
+    for n in (1, 2, 3, 7, 13, 15, 101, 150):
+        vals = list(range(1, n + 1))
+        for q in (0.0, 0.5, 0.9, 0.99, 1.0):
+            duck = con.execute(
+                f"SELECT quantile_disc(x, {q}) FROM "
+                f"(SELECT unnest({vals}) AS x)").fetchone()[0]
+            assert duck == vals[max(0, math.ceil(q * n) - 1)]
+
+
+def test_distinct_count_and_pivot(ray_session):
+    import ray.data
+    from uckg_ray.stages.relational import distinct_count_per_key, pivot_counts
+    df = _random_events(n=2500, seed=31)
+    ds = ray.data.from_pandas(df)
+    stats = {r["user_id"]: (r["n_events"], r["n_types"])
+             for r in distinct_count_per_key(ds).take_all()}
+    ref = df.groupby("user_id")["event_type"].agg(["size", "nunique"])
+    assert len(stats) == len(ref)
+    for u, w in ref.iterrows():
+        assert stats[u] == (w["size"], w["nunique"])
+
+    piv = {r["user_id"]: r
+           for r in pivot_counts(ds, categories=("view", "purchase"))
+           .take_all()}
+    ct = df.pivot_table(index="user_id", columns="event_type",
+                        values="event_id", aggfunc="count", fill_value=0)
+    for u, w in ct.iterrows():
+        assert piv[u]["n_view"] == w.get("view", 0)
+        assert piv[u]["n_purchase"] == w.get("purchase", 0)
+        assert piv[u]["n_other"] == w.get("click", 0)

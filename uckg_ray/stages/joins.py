@@ -3,10 +3,14 @@
 - ``asof_join_events`` — per-key as-of join over an ordered log (each
   left event matched to the most recent right event at or before its
   timestamp). Ray Data has no native as-of join; semantics allow the
-  groupby(key).map_groups + pd.merge_asof composition (SURVEY.md custom
-  operator path (a)). Partitioning assumption: all events of one key fit
-  one group — at 100 TB, pre-bucket by (key, time-range) and handle the
-  range boundary by overlapping one right row per bucket.
+  (key, time-bucket) co-partition + pd.merge_asof composition (SURVEY.md
+  custom operator path (a)), with per-bucket carry rows stitching the
+  range boundaries so a hot key never serializes into one task.
+
+- ``range_join_events`` — interval join (left.ts < right.ts ≤ left.ts+W)
+  via the same (key, time-bucket) co-partition; the right side is
+  replicated into its two reachable buckets so every pair meets in
+  exactly one partition.
 
 - ``hash_join_sum`` — both-sides-large shuffle hash join via
   ``Dataset.join`` (hash-partitioned on the key), demonstrated as
@@ -218,6 +222,89 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
     return (tagged.union(carry_ds)
             .groupby("p")
             .map_groups(lambda g: merge_partition(g.drop(columns=["p"])),
+                        batch_format="pandas"))
+
+
+def range_join_events(events: Dataset, *, left_type: str, right_type: str,
+                      key: str = "user_id",
+                      window_minutes: int = 30) -> Dataset:
+    """Range (interval) join over the event log: every (left, right) pair
+    of the same key with ``left.ts < right.ts <= left.ts + window``.
+    Output: (left_id, right_id, key). Ray Data has no range join; this is
+    the bucketed co-partition composition (SURVEY.md custom-operator
+    path (a)).
+
+    Scale shape: both sides hash-partition by (key, time-bucket) with
+    bucket width = the window, and each RIGHT event is replicated into
+    its own bucket and the previous one — the only two buckets whose
+    left events can reach it. Every qualifying pair therefore meets in
+    exactly ONE partition (the left event's bucket), so no dedup pass is
+    needed. Per-partition matching is one vectorized pandas merge on
+    (key, bucket) + a window filter; candidate volume inside a partition
+    is bounded by events-per-key-per-2·window, the same order as the
+    output itself. A hot key spreads across its time range instead of
+    serializing into one task (same skew posture as ``asof_join_events``)."""
+    import pandas as pd
+
+    from uckg_ray.config import default_num_partitions
+
+    window_us = window_minutes * 60 * 1_000_000
+    n_parts = default_num_partitions()
+    _K = np.uint64(2654435761)
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        et = b.column("event_type")
+        t = b.filter(pc.or_(pc.equal(et, left_type), pc.equal(et, right_type)))
+        ts_us = (t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        u = t.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_left = pa.compute.equal(t.column("event_type"), left_type) \
+            .to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bk = np.floor_divide(ts_us, window_us)
+        # left rows once in their own bucket; right rows replicated into
+        # (bucket, bucket-1)
+        lu, lb, lid, lts = u[is_left], bk[is_left], ids[is_left], ts_us[is_left]
+        ru, rb = u[~is_left], bk[~is_left]
+        rid, rts = ids[~is_left], ts_us[~is_left]
+        ou = np.concatenate([lu, ru, ru])
+        ob = np.concatenate([lb, rb, rb - 1])
+        h = (ou.astype(np.uint64) * _K) ^ (ob.astype(np.uint64) * _GOLD)
+        return pa.table({
+            key: pa.array(ou, pa.int64()),
+            "bucket": pa.array(ob, pa.int64()),
+            "is_left": pa.array(np.concatenate(
+                [np.ones(len(lu), bool), np.zeros(2 * len(ru), bool)])),
+            "event_id": pa.array(np.concatenate([lid, rid, rid]), pa.int64()),
+            "ts_us": pa.array(np.concatenate([lts, rts, rts]), pa.int64()),
+            "p": pa.array((h % np.uint64(n_parts)).astype(np.int32),
+                          pa.int32()),
+        })
+
+    def match_partition(g: pd.DataFrame) -> pa.Table:
+        left = g[g["is_left"]]
+        right = g[~g["is_left"]]
+        if len(left) == 0 or len(right) == 0:
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             key: pa.array([], pa.int64())})
+        m = left[[key, "bucket", "event_id", "ts_us"]].rename(
+            columns={"event_id": "left_id", "ts_us": "l_ts"}).merge(
+            right[[key, "bucket", "event_id", "ts_us"]].rename(
+                columns={"event_id": "right_id", "ts_us": "r_ts"}),
+            on=[key, "bucket"])
+        m = m[(m["r_ts"] > m["l_ts"]) & (m["r_ts"] <= m["l_ts"] + window_us)]
+        return pa.table({
+            "left_id": pa.array(m["left_id"].to_numpy(np.int64), pa.int64()),
+            "right_id": pa.array(m["right_id"].to_numpy(np.int64), pa.int64()),
+            key: pa.array(m[key].to_numpy(np.int64), pa.int64())})
+
+    return (events.map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby("p")
+            .map_groups(lambda g: match_partition(g.drop(columns=["p"])),
                         batch_format="pandas"))
 
 

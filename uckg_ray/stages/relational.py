@@ -1,9 +1,29 @@
 """Relational building blocks over the TPC-H-ish tables — demonstrates
 the engine's aggregate/join surface (the reference's count-audit ops A1/J7
 generalized). Money sums are integer cents so oracles match exactly.
+
+Also the distributed order/statistics operators a training-data curation
+pass needs over an event log:
+
+- ``grouped_quantiles`` — EXACT discrete quantiles per group without a
+  global sort: values are integer cents (bounded cardinality), so a
+  per-block (group, value)→count histogram is the combiner, the shuffle
+  moves only distinct (group, value) rows, and the final per-group
+  selection walks a tiny cumulative histogram. Matches DuckDB
+  ``quantile_disc`` bit-for-bit (index = max(0, ceil(q·n) − 1) into the
+  sorted multiset — verified against DuckDB 1.x empirically).
+- ``distinct_count_per_key`` — exact COUNT(DISTINCT) via two-phase
+  aggregation: block-local (key, value) dedup+count is the combiner, so
+  the shuffle moves distinct pairs, never raw events.
+- ``pivot_counts`` — pivot the event log to one wide row per key
+  (per-category counts). The category set is a declared argument so the
+  output schema is static (streaming execution needs a fixed schema);
+  unseen categories land in ``n_other``.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -71,3 +91,133 @@ def orders_by_nation(orders: Dataset, customer_tbl: pa.Table,
             .groupby("n_name")
             .aggregate(Sum("n", alias_name="n_orders"),
                        Sum("total_c100", alias_name="sum_total_c100")))
+
+
+def grouped_quantiles(events: Dataset, *, group_col: str = "event_type",
+                      value_col: str = "value",
+                      qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> Dataset:
+    """Exact discrete quantiles of integer cents per group.
+    Output: (group, n, p<q>_c100 ...) — e.g. p50_c100, p90_c100, p99_c100.
+
+    Scale shape: no global sort. The per-block combiner collapses events
+    to a (group, cent)→count histogram, the groupby sums those partials
+    (shuffle volume = distinct (group, cent) pairs, bounded by value
+    cardinality × #groups, independent of row count), and the final
+    per-group selection scans the sorted cumulative histogram. Exactly
+    DuckDB's ``quantile_disc``: the element at index
+    max(0, ceil(q·n) − 1) of the sorted-with-duplicates multiset."""
+    import pandas as pd
+
+    names = [f"p{int(q * 100)}_c100" for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(value_col))
+        df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(),
+                           "c": c})
+        g = df.groupby([group_col, "c"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pydict({
+            group_col: g[group_col].tolist(),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 **{nm: pd.Series([], dtype="int64")
+                                    for nm in names}})
+        g = g.sort_values("c", ignore_index=True)
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        total = int(cum[-1])
+        out = {group_col: [g[group_col].iloc[0]], "n": [total]}
+        vals = g["c"].to_numpy(np.int64)
+        for q, nm in zip(qs, names):
+            idx = max(0, math.ceil(q * total) - 1)
+            # smallest cent whose cumulative count exceeds idx
+            out[nm] = [int(vals[np.searchsorted(cum, idx, side="right")])]
+        return pd.DataFrame(out)
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby([group_col, "c"]).aggregate(Sum("n", alias_name="n"))
+            .groupby(group_col).map_groups(pick, batch_format="pandas"))
+
+
+def distinct_count_per_key(events: Dataset, *, key_col: str = "user_id",
+                           value_col: str = "event_type") -> Dataset:
+    """(key, n_events, n_distinct) — exact COUNT(*) + COUNT(DISTINCT v)
+    per key. Two-phase: the block-local (key, value) dedup+count is the
+    combiner (shuffle 1 moves distinct pairs with partial counts); after
+    the global (key, value) sum each pair is one row, so a second
+    two-phase aggregate per key (rows → n_distinct, summed counts →
+    n_events) runs over the tiny deduped table."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
+                           "v": batch.column(value_col).to_pandas()})
+        g = df.groupby([key_col, "v"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pydict({
+            key_col: pa.array(g[key_col].to_numpy(np.int64), pa.int64()),
+            "v": g["v"].tolist(),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def per_key_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key_col not in batch.schema.names:
+            # groupby().aggregate() can emit schema-less empty blocks
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_types": pa.array([], pa.int64())})
+        df = pd.DataFrame({key_col: batch.column(key_col).to_pandas(),
+                           "n": batch.column("n").to_pandas()})
+        g = (df.groupby(key_col, sort=False)["n"]
+             .agg(n_events="sum", n_types="size").reset_index())
+        return pa.Table.from_pydict({
+            key_col: pa.array(g[key_col].to_numpy(np.int64), pa.int64()),
+            "n_events": pa.array(g["n_events"].to_numpy(np.int64), pa.int64()),
+            "n_types": pa.array(g["n_types"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby([key_col, "v"]).aggregate(Sum("n", alias_name="n"))
+            .map_batches(per_key_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby(key_col)
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_types", alias_name="n_types")))
+
+
+def pivot_counts(events: Dataset, *, key_col: str = "user_id",
+                 cat_col: str = "event_type",
+                 categories: tuple[str, ...]) -> Dataset:
+    """Pivot: one row per key with a count column per declared category
+    (n_<cat> ..., n_other for unseen values). The block-local crosstab is
+    the combiner — the shuffle moves one wide row per key per block, and
+    the static schema (declared category set) keeps the pipeline
+    streaming-friendly."""
+    import pandas as pd
+
+    cols = [f"n_{c}" for c in categories] + ["n_other"]
+    cat_idx = {c: i for i, c in enumerate(categories)}
+    other = len(categories)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        cats = batch.column(cat_col).to_pandas()
+        ci = cats.map(cat_idx).fillna(other).to_numpy(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        mat = np.zeros((len(uk), other + 1), dtype=np.int64)
+        np.add.at(mat, (inv, ci), 1)
+        return pa.Table.from_pydict({
+            key_col: pa.array(uk.astype(np.int64), pa.int64()),
+            **{nm: pa.array(mat[:, i], pa.int64())
+               for i, nm in enumerate(cols)},
+        })
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby(key_col)
+            .aggregate(*[Sum(nm, alias_name=nm) for nm in cols]))

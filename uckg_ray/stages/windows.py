@@ -162,6 +162,258 @@ def sessionize(events: Dataset, *, gap_minutes: int = 30,
                         batch_format="pandas"))
 
 
+def running_aggregates(events: Dataset, *, key: str = "user_id",
+                       bucket_hours: int = 6) -> Dataset:
+    """Per-key ordered window functions over the event log — the
+    distributed prefix scan. For every event, ordered by (ts, event_id)
+    within its key: ``rn`` (row_number), ``run_sum_c100`` (running sum
+    of integer cents, inclusive), ``prev_event_id`` (lag(event_id),
+    null for the key's first event).
+    ≡ SQL ``row_number()/sum() ROWS UNBOUNDED PRECEDING/lag() OVER
+    (PARTITION BY key ORDER BY ts, event_id)``.
+
+    Scale shape (textbook two-pass scan, no per-key single group):
+    1. events hash-partition by (key, time-bucket); ONE vectorized pass
+       per partition computes in-bucket rn/cumsum/lag for all its
+       (key, bucket) groups (sort + segmented cumsum) and a one-row
+       summary (n, sum, last_id) per (key, bucket).
+    2. summaries (one row per key×bucket, tiny) hash-partition by key;
+       an exclusive shift+cumsum per key yields each bucket's offsets
+       and carry-in lag.
+    3. offsets union back with the in-bucket rows, co-partitioned on the
+       same (key, bucket) hash, and one vectorized merge adds them.
+    A hot key spreads its events across its time range; only its
+    per-bucket summary rows (#buckets, not #events) ever co-locate."""
+    import pandas as pd
+
+    from uckg_ray.config import default_num_partitions
+
+    bucket_us = bucket_hours * 3600 * 1_000_000
+    n_parts = default_num_partitions()
+    _K = np.uint64(2654435761)
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def part_ids(u: np.ndarray, bk: np.ndarray) -> np.ndarray:
+        h = (u.astype(np.uint64) * _K) ^ (bk.astype(np.uint64) * _GOLD)
+        return (h % np.uint64(n_parts)).astype(np.int32)
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts_us = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        u = b.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = b.column("value").to_numpy(zero_copy_only=False)
+        bk = np.floor_divide(ts_us, bucket_us)
+        return pa.table({
+            key: pa.array(u, pa.int64()),
+            "bucket": pa.array(bk, pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "c": pa.array(np.floor(vals * 100 + 0.5).astype(np.int64),
+                          pa.int64()),
+            "p": pa.array(part_ids(u, bk), pa.int32()),
+        })
+
+    def scan_partition(g: pd.DataFrame) -> pa.Table:
+        """In-bucket scan for every (key, bucket) group of one hash
+        partition, one vectorized pass: sort, segment-break at group
+        changes, segmented cumsum/rank/shift. Emits event rows and
+        summary rows (is_summary=True: rn0→n, csum0→sum, prev0→last_id)
+        in one table; `p` re-tags both for the stage-3 merge shuffle and
+        `q` routes summaries to their per-key stitch partition."""
+        g = g.sort_values([key, "bucket", "ts_us", "event_id"],
+                          ignore_index=True)
+        u = g[key].to_numpy(np.int64)
+        bk = g["bucket"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = len(g)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (bk[1:] != bk[:-1])
+        seg = np.cumsum(brk) - 1
+        # segmented rank + inclusive cumsum (subtract each segment's
+        # running total at its start)
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = idx[brk]
+        rn0 = idx - seg_start[seg] + 1
+        cs = np.cumsum(c)
+        base = np.concatenate([[0], cs[seg_start[1:] - 1]]) if n else cs
+        csum0 = cs - base[seg]
+        prev0 = np.empty(n, dtype=np.int64)
+        prev0[1:] = ids[:-1]
+        prev0_valid = ~brk  # first row of each segment has no in-bucket lag
+        seg_end = np.append(seg_start[1:] - 1, n - 1) if n else idx
+        su, sb = u[seg_start], bk[seg_start]
+        ev = pa.table({
+            key: pa.array(u, pa.int64()),
+            "bucket": pa.array(bk, pa.int64()),
+            "event_id": pa.array(ids, pa.int64()),
+            "rn0": pa.array(rn0, pa.int64()),
+            "csum0": pa.array(csum0, pa.int64()),
+            "prev0": pa.array(np.where(prev0_valid, prev0, 0), pa.int64(),
+                              mask=~prev0_valid),
+            "is_summary": pa.array(np.zeros(n, dtype=bool)),
+            "p": pa.array(part_ids(u, bk), pa.int32()),
+            "q": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+        })
+        sm = pa.table({
+            key: pa.array(su, pa.int64()),
+            "bucket": pa.array(sb, pa.int64()),
+            "event_id": pa.array(np.zeros(len(su), np.int64), pa.int64()),
+            "rn0": pa.array(rn0[seg_end], pa.int64()),          # n in bucket
+            "csum0": pa.array(csum0[seg_end], pa.int64()),      # bucket sum
+            "prev0": pa.array(ids[seg_end], pa.int64()),        # last id
+            "is_summary": pa.array(np.ones(len(su), dtype=bool)),
+            "p": pa.array(np.zeros(len(su), np.int32), pa.int32()),
+            "q": pa.array(((su.astype(np.uint64) * _K)
+                           % np.uint64(n_parts)).astype(np.int32), pa.int32()),
+        })
+        return pa.concat_tables([ev, sm])
+
+    def empty_scan() -> pa.Table:
+        return pa.table({
+            key: pa.array([], pa.int64()), "bucket": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "rn0": pa.array([], pa.int64()), "csum0": pa.array([], pa.int64()),
+            "prev0": pa.array([], pa.int64()),
+            "is_summary": pa.array([], pa.bool_()),
+            "p": pa.array([], pa.int32()), "q": pa.array([], pa.int32())})
+
+    scanned = (events.map_batches(tag, batch_format="pyarrow",
+                                  batch_size=None)
+               .groupby("p")
+               .map_groups(lambda g: scan_partition(g.drop(columns=["p"]))
+                           if len(g) else empty_scan(),
+                           batch_format="pandas")
+               .materialize())
+
+    def _take(want_summary: bool):
+        def f(b: pa.Table) -> pa.Table:
+            mask = b.column("is_summary")
+            if not want_summary:
+                mask = pa.compute.invert(mask)
+            return b.filter(mask)
+        return f
+
+    events_scanned = scanned.map_batches(_take(False), batch_format="pyarrow",
+                                         batch_size=None)
+    summaries = scanned.map_batches(_take(True), batch_format="pyarrow",
+                                    batch_size=None)
+
+    def offsets_partition(g: pd.DataFrame) -> pa.Table:
+        """Exclusive per-key prefix over the (time-ordered) bucket
+        summaries of one key-hash partition: offsets into rn / running
+        sum, plus the carry-in lag (last id of the previous nonempty
+        bucket)."""
+        g = g.sort_values([key, "bucket"], ignore_index=True)
+        u = g[key].to_numpy(np.int64)
+        bk = g["bucket"].to_numpy(np.int64)
+        n = g["rn0"].to_numpy(np.int64)
+        s = g["csum0"].to_numpy(np.int64)
+        last = g["prev0"].to_numpy(np.int64)
+        m = len(g)
+        first = np.ones(m, dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        # exclusive cumsum within key
+        cn, cs_ = np.cumsum(n), np.cumsum(s)
+        idx = np.arange(m)
+        start = idx[first]
+        kseg = np.cumsum(first) - 1
+        base_n = np.concatenate([[0], cn[start[1:] - 1]]) if m else cn
+        base_s = np.concatenate([[0], cs_[start[1:] - 1]]) if m else cs_
+        off_n = np.concatenate([[0], cn[:-1]]) - base_n[kseg] if m else cn
+        off_s = np.concatenate([[0], cs_[:-1]]) - base_s[kseg] if m else cs_
+        off_n[first] = 0
+        off_s[first] = 0
+        carry = np.empty(m, dtype=np.int64)
+        carry[1:] = last[:-1]
+        carry_valid = ~first
+        return pa.table({
+            key: pa.array(u, pa.int64()),
+            "bucket": pa.array(bk, pa.int64()),
+            "off_n": pa.array(off_n, pa.int64()),
+            "off_s": pa.array(off_s, pa.int64()),
+            "carry_prev": pa.array(np.where(carry_valid, carry, 0),
+                                   pa.int64(), mask=~carry_valid),
+            "p": pa.array(part_ids(u, bk), pa.int32()),
+        })
+
+    def empty_offsets() -> pa.Table:
+        return pa.table({
+            key: pa.array([], pa.int64()), "bucket": pa.array([], pa.int64()),
+            "off_n": pa.array([], pa.int64()), "off_s": pa.array([], pa.int64()),
+            "carry_prev": pa.array([], pa.int64()),
+            "p": pa.array([], pa.int32())})
+
+    offsets = (summaries
+               .groupby("q")
+               .map_groups(lambda g: offsets_partition(
+                   g.drop(columns=["q", "p", "event_id", "is_summary"]))
+                   if len(g) else empty_offsets(),
+                   batch_format="pandas"))
+
+    def widen_events(b: pa.Table) -> pa.Table:
+        z = pa.nulls(b.num_rows, pa.int64())
+        return pa.table({
+            key: b.column(key), "bucket": b.column("bucket"),
+            "event_id": b.column("event_id"), "rn0": b.column("rn0"),
+            "csum0": b.column("csum0"), "prev0": b.column("prev0"),
+            "off_n": z, "off_s": z, "carry_prev": z,
+            "is_ev": pa.array(np.ones(b.num_rows, dtype=bool)),
+            "p": b.column("p")})
+
+    def widen_offsets(b: pa.Table) -> pa.Table:
+        z = pa.nulls(b.num_rows, pa.int64())
+        return pa.table({
+            key: b.column(key), "bucket": b.column("bucket"),
+            "event_id": z, "rn0": z, "csum0": z, "prev0": z,
+            "off_n": b.column("off_n"), "off_s": b.column("off_s"),
+            "carry_prev": b.column("carry_prev"),
+            "is_ev": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            "p": b.column("p")})
+
+    unioned = (events_scanned
+               .drop_columns(["is_summary", "q"])
+               .map_batches(widen_events, batch_format="pyarrow",
+                            batch_size=None)
+               .union(offsets.map_batches(widen_offsets,
+                                          batch_format="pyarrow",
+                                          batch_size=None)))
+
+    def merge_partition(g: pd.DataFrame) -> pa.Table:
+        ev = g[g["is_ev"]]
+        off = g[~g["is_ev"]]
+        if len(ev) == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             key: pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64()),
+                             "run_sum_c100": pa.array([], pa.int64()),
+                             "prev_event_id": pa.array([], pa.int64())})
+        m = ev[[key, "bucket", "event_id", "rn0", "csum0", "prev0"]].merge(
+            off[[key, "bucket", "off_n", "off_s", "carry_prev"]],
+            on=[key, "bucket"], how="left")
+        off_n = m["off_n"].fillna(0).to_numpy(np.int64)
+        off_s = m["off_s"].fillna(0).to_numpy(np.int64)
+        prev0 = m["prev0"]
+        carry = m["carry_prev"]
+        # in-bucket lag wins; the bucket's first event takes the carry-in
+        prev = prev0.where(prev0.notna(), carry)
+        pv = prev.to_numpy(dtype=object)
+        mask = prev.isna().to_numpy()
+        return pa.table({
+            "event_id": pa.array(m["event_id"].to_numpy(np.int64), pa.int64()),
+            key: pa.array(m[key].to_numpy(np.int64), pa.int64()),
+            "rn": pa.array(m["rn0"].to_numpy(np.int64) + off_n, pa.int64()),
+            "run_sum_c100": pa.array(
+                m["csum0"].to_numpy(np.int64) + off_s, pa.int64()),
+            "prev_event_id": pa.array(
+                np.where(mask, 0, pv).astype(np.int64),
+                pa.int64(), mask=mask)})
+
+    return (unioned.groupby("p")
+            .map_groups(lambda g: merge_partition(g.drop(columns=["p"])),
+                        batch_format="pandas"))
+
+
 def hopping_window_agg(events: Dataset, *, size_minutes: int = 60,
                        hop_minutes: int = 15) -> Dataset:
     """Hopping (sliding) windows: each event lands in size/hop
