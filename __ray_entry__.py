@@ -211,6 +211,22 @@ def _q_kg_types_domain_range(sf_dir: str):
     return infer_types_domain_range(distinct)
 
 
+def _q_kg_subprop_entailed(sf_dir: str):
+    """T5 (RDFS rule rdfs7) property-hierarchy entailment: the distinct
+    super-property triples the rdfs:subPropertyOf closure adds over the
+    canonical edge set (e.g. every CVSS literal also asserted under the
+    snapshot's uco#hasSeverityScore umbrella)."""
+    f = _fixdir(sf_dir)
+    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
+    from uckg_ray.stages.materialize import (distinct_edges,
+                                             entail_subproperties,
+                                             union_edge_sources)
+    edges = extract_edges(_rd_turns(sf_dir), f)
+    distinct = distinct_edges(
+        union_edge_sources(edges, side_table_edges(f)), sort=False)
+    return entail_subproperties(distinct)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Triangle enumeration (a<b<c) over the undirected relationship
     graph (non-literal, non-rdf:type edges)."""
@@ -661,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "kg_types_inferred": _q_kg_types_inferred,
         "kg_types_domain_range": _q_kg_types_domain_range,
+        "kg_subprop_entailed": _q_kg_subprop_entailed,
         "kg_triangles": _q_kg_triangles,
         "kg_cpe_link": _q_kg_cpe_link,
         "kg_linker": _q_kg_linker,
@@ -1163,6 +1180,23 @@ SELECT DISTINCT node, type_iri FROM (
   SELECT t.node, c.s AS type_iri FROM types0 t JOIN clos c ON c.c = t.type_iri)"""
 
 
+def _sql_kg_subprop_entailed(p) -> str:
+    """rdfs7 oracle: recursive rdfs:subPropertyOf closure over the
+    property-axiom VALUES table, joined to the distinct edges — the
+    entailed super-property triples only."""
+    from uckg_ray.tbox import TBOX_SUBPROP
+    vals = ", ".join(f"('{c}', '{s}')" for c, s in TBOX_SUBPROP)
+    return f"""WITH RECURSIVE {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
+sp(c, s) AS (VALUES {vals}),
+clos(c, s) AS (SELECT c, s FROM sp
+               UNION
+               SELECT t.c, b.s FROM clos t JOIN sp b ON b.c = t.s
+               WHERE b.s <> t.c)
+SELECT DISTINCT e.subj, c.s AS pred, e.obj
+FROM edges e JOIN clos c ON c.c = e.pred"""
+
+
 def _sql_kg_edges_canonical(p) -> str:
     """Full canonicalized edge table: the template UNION plus the
     union-find canonical map (recursive CTE) applied as an IRI rewrite
@@ -1251,6 +1285,7 @@ FROM edges e1 JOIN edges e2 ON e2.subj = e1.obj
 WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_types_inferred": _sql_kg_types_inferred(p),
         "kg_types_domain_range": _sql_kg_types_domain_range(p),
+        "kg_subprop_entailed": _sql_kg_subprop_entailed(p),
         "kg_triangles": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

@@ -91,3 +91,33 @@ def test_infer_types_domain_range(ray_session):
         ("e1", U + "MeansOrConsequence"),
         ("e1", U + "Product"), ("e1", UCO_THING),
         ("v9", U + "Vulnerability"), ("v9", UCO_THING)}
+
+
+def test_subprop_closure_and_entailment(ray_session):
+    """rdfs7: edges under child properties entail super-property
+    triples; non-child predicates entail nothing; output is the
+    entailed delta only, distinct."""
+    import ray.data
+
+    from uckg_ray.stages.materialize import entail_subproperties
+    from uckg_ray.tbox import subprop_closure
+    U = ns.UCO
+    c = subprop_closure()
+    # snapshot axioms + graft CVSS umbrella
+    assert c[U + "hasIPv4Address"] == [U + "hasIPAddress"]
+    assert c[U + "baseSeverity"] == [U + "hasSeverityScore"]
+    assert (U + "hasMeans") in c[U + "hasAttacker"]
+    edges = pa.table({
+        "subj": ["v1", "v1", "v1", "v2"],
+        "pred": [U + "baseSeverity", U + "vectorString", U + "name",
+                 U + "baseSeverity"],
+        "obj": ["HIGH", "CVSS:3.1/AV:N", "x", "LOW"],
+        "obj_is_literal": [True, True, True, True],
+        "obj_datatype": ["xsd:string"] * 4})
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in entail_subproperties(
+               ray.data.from_arrow(edges)).take_all()}
+    assert got == {
+        ("v1", U + "hasSeverityScore", "HIGH"),
+        ("v1", U + "hasSeverityScore", "CVSS:3.1/AV:N"),
+        ("v2", U + "hasSeverityScore", "LOW")}

@@ -465,6 +465,67 @@ def infer_types_domain_range(distinct: Dataset,
         lambda t: uniq(t.drop_columns(["p", "k"])), batch_format="pyarrow")
 
 
+_SUBPROP_SCHEMA = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                             ("obj", pa.string())])
+
+
+def entail_subproperties(distinct: Dataset,
+                         closure: dict[str, list[str]] | None = None,
+                         num_partitions: int = 16) -> Dataset:
+    """RDFS property-hierarchy entailment (rule rdfs7, SURVEY §2.5 T5):
+    every edge ``(s, p, o)`` whose predicate has super-properties in the
+    rdfs:subPropertyOf closure entails ``(s, q, o)`` for each strict
+    super-property ``q``. Output: the distinct ENTAILED triples
+    (subj, pred, obj) — the delta a reasoner would add, not the input
+    re-emitted. The property closure is the bounded ontology side
+    (rides the task closure); the edge stream is the data-scale side —
+    same block-partial + hash-partition distinct shape as
+    ``infer_types``.
+
+    Reference scope note: with subclass (T3), domain/range (rdfs2/3)
+    and this rule (rdfs7), the engine covers the RDFS entailment
+    fragment of the reference's optional ``sync_reasoner()`` pass
+    (``reference/process/ontology_updater.py:69-74``); OWL-DL
+    constructs remain documented out of scope."""
+    import pandas as pd
+
+    from uckg_ray.tbox import subprop_closure
+    closure = subprop_closure() if closure is None else closure
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "subj": batch.column("subj").to_pylist(),
+            "pred": batch.column("pred").to_pylist(),
+            "obj": batch.column("obj").to_pylist(),
+        })
+        m = df[df["pred"].isin(closure)]
+        m = (m.assign(pred=m["pred"].map(closure)).explode("pred")
+             .drop_duplicates())
+        return pa.Table.from_pydict(
+            {"subj": m["subj"].tolist(), "pred": m["pred"].tolist(),
+             "obj": m["obj"].tolist()}, schema=_SUBPROP_SCHEMA)
+
+    def uniq(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates()
+        return pa.Table.from_pydict(
+            {"subj": df["subj"].tolist(), "pred": df["pred"].tolist(),
+             "obj": df["obj"].tolist()}, schema=_SUBPROP_SCHEMA)
+
+    def key(b: pa.Table) -> pa.Table:
+        cols = [b.column(c).combine_chunks()
+                if isinstance(b.column(c), pa.ChunkedArray) else b.column(c)
+                for c in ("subj", "pred", "obj")]
+        k = pa.compute.binary_join_element_wise(*cols, "\x1f")
+        return _add_hash_partition(b.append_column("k", k), num_partitions,
+                                   col="k")
+
+    parted = (distinct.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None)
+              .map_batches(key, batch_format="pyarrow", batch_size=None))
+    return parted.groupby("p").map_groups(
+        lambda t: uniq(t.drop_columns(["p", "k"])), batch_format="pyarrow")
+
+
 def union_edge_sources(*sources: Dataset | pa.Table) -> Dataset:
     """A5 graph union: per-source edge datasets/tables → one edge stream."""
     ds_list = []

@@ -332,6 +332,36 @@ TBOX_RANGE: list[tuple[str, str]] = [
 ]
 
 
+# rdfs:subPropertyOf axiom table (property hierarchy, RDFS rule rdfs7:
+# (s p o) ∧ p ⊑ q ⟹ (s q o)). The 12 non-trivial snapshot axioms
+# (uco2.ttl; `owl:topObjectProperty` parents are omitted as vacuous),
+# plus graft-added axioms that put the engine's modern CVSS literal
+# properties under the snapshot's own severity umbrella — the exact
+# pattern uco2.ttl:411-428 uses for the CVSS-v1 generation
+# (ucohasAccessComplexity/ucohasAccessVector/… ⊑ ucohasSeverityScore).
+TBOX_SUBPROP: list[tuple[str, str]] = [
+    # uco2.ttl snapshot axioms
+    (_U + "generated-on-datetime", _U + "hasSeverityScore"),
+    (_U + "hasAccessComplexity", _U + "hasSeverityScore"),
+    (_U + "hasAccessVector", _U + "hasSeverityScore"),
+    (_U + "hasAttacker", _U + "hasMeans"),
+    (_U + "hasAuthentication", _U + "hasSeverityScore"),
+    (_U + "hasAvailabilityImpact", _U + "hasSeverityScore"),
+    (_U + "hasConfidentialityImpact", _U + "hasSeverityScore"),
+    (_U + "hasIPv4Address", _U + "hasIPAddress"),
+    (_U + "hasIPv6Address", _U + "hasIPAddress"),
+    (_U + "hasIntegrityImpact", _U + "hasSeverityScore"),
+    (_U + "hasSource", _U + "hasSeverityScore"),
+    (_U + "score", _U + "hasSeverityScore"),
+    # graft-added: the modern CVSS properties the engine emits inherit
+    # the same severity umbrella as the snapshot's v1 properties
+    (_U + "baseSeverity", _U + "hasSeverityScore"),
+    (_U + "vectorString", _U + "hasSeverityScore"),
+    (_U + "exploitabilityScore", _U + "hasSeverityScore"),
+    (_U + "impactScore", _U + "hasSeverityScore"),
+]
+
+
 def tbox_closure(edges: list[tuple[str, str]] | None = None
                  ) -> dict[str, list[str]]:
     """class → sorted list of ALL strict superclasses (transitive
@@ -362,3 +392,10 @@ def closure_pairs(edges: list[tuple[str, str]] | None = None
     """Flat (class, superclass) closure rows, sorted — the shape the
     DuckDB oracle's recursive CTE produces."""
     return sorted((c, s) for c, ss in tbox_closure(edges).items() for s in ss)
+
+
+def subprop_closure() -> dict[str, list[str]]:
+    """property → ALL strict super-properties (transitive
+    rdfs:subPropertyOf closure) — same fixpoint as ``tbox_closure``
+    over the property axiom table."""
+    return tbox_closure(TBOX_SUBPROP)
