@@ -627,6 +627,37 @@ def _q_events_pivot(sf_dir: str):
     return pivot_counts(_table(sf_dir, "events"), categories=_EVENT_TYPES)
 
 
+def _q_customers_no_big_order(sf_dir: str):
+    """Hash ANTI join (NOT EXISTS): customers with no order above
+    $300k. The right side is predicate-filtered before its distinct-key
+    combiner, so the shuffle moves only qualifying keys."""
+    import pyarrow.compute as pc
+
+    from uckg_ray.stages.joins import anti_join_keys
+    big = _table(sf_dir, "orders").map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 300000.0)),
+        batch_format="pyarrow", batch_size=None)
+    return anti_join_keys(_table(sf_dir, "customer"), big,
+                          left_key="c_custkey", right_key="o_custkey",
+                          value_col="c_acctbal", out_key="c_custkey",
+                          out_value="acctbal_c100")
+
+
+def _q_reservoir_sample(sf_dir: str):
+    """Deterministic reservoir-style sample: 20 docs per source by
+    md5 priority."""
+    from uckg_ray.stages.joins import priority_sample
+    return priority_sample(_table(sf_dir, "documents"), group_col="source",
+                           id_col="doc_id", k=20)
+
+
+def _q_kmv_distinct(sf_dir: str):
+    """KMV distinct-text sketch per source (k=32), deterministic and
+    SQL-reproduced."""
+    from uckg_ray.stages.dedup import kmv_distinct_estimate
+    return kmv_distinct_estimate(_table(sf_dir, "documents"), k=32)
+
+
 def _q_order_join(sf_dir: str):
     from uckg_ray.stages.joins import hash_join_sum
     return hash_join_sum(_table(sf_dir, "orders"), _table(sf_dir, "lineitem"))
@@ -718,6 +749,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_stats": _q_user_event_stats,
         "events_pivot": _q_events_pivot,
         "order_join": _q_order_join,
+        "customers_no_big_order": _q_customers_no_big_order,
+        "reservoir_sample": _q_reservoir_sample,
+        "kmv_distinct": _q_kmv_distinct,
         "top_events_per_user": _q_top_events_per_user,
         "train_test_split": _q_train_test_split,
         "q1_pricing": _q_q1_pricing,
@@ -1614,6 +1648,31 @@ SELECT o.o_orderstatus, count(*) AS n_items,
          AS sum_price_c100
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderstatus""",
+        "customers_no_big_order": """
+SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c100
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)""",
+        "reservoir_sample": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) WHERE rk <= 20""",
+        # est = floor((k-1) * 2^64 / h_k) over the k smallest distinct
+        # md5 hashes — one IEEE-double expression, identical both sides
+        "kmv_distinct": """
+WITH h AS (SELECT DISTINCT source, md5_number_upper(text) AS h
+           FROM documents),
+r AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk,
+             count(*) OVER (PARTITION BY source) AS cnt FROM h)
+SELECT source,
+       CAST(CASE WHEN cnt >= 32
+            THEN floor(31 * 18446744073709551616.0 / CAST(h AS DOUBLE))
+            ELSE cnt END AS BIGINT) AS est_distinct
+FROM r WHERE rk = CASE WHEN cnt >= 32 THEN 32 ELSE cnt END""",
         "top_events_per_user": """
 SELECT user_id, event_id, rank FROM (
   SELECT user_id, event_id,

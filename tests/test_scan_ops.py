@@ -164,3 +164,65 @@ def test_distinct_count_and_pivot(ray_session):
         assert piv[u]["n_view"] == w.get("view", 0)
         assert piv[u]["n_purchase"] == w.get("purchase", 0)
         assert piv[u]["n_other"] == w.get("click", 0)
+
+
+def test_anti_join_keys(ray_session):
+    import ray.data
+    from uckg_ray.stages.joins import anti_join_keys
+    rng = np.random.default_rng(41)
+    left = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                         "val": rng.random(200).round(2) * 100})
+    right = pd.DataFrame({"rk": rng.choice(200, 120, replace=False)
+                          .astype(np.int64)})
+    out = anti_join_keys(ray.data.from_pandas(left),
+                         ray.data.from_pandas(right),
+                         left_key="k", right_key="rk", value_col="val",
+                         out_key="k", out_value="v_c100").take_all()
+    want = set(left["k"]) - set(right["rk"])
+    assert {r["k"] for r in out} == want
+    cents = dict(zip(left["k"], np.floor(left["val"].to_numpy() * 100 + 0.5)
+                     .astype(np.int64)))
+    assert all(r["v_c100"] == cents[r["k"]] for r in out)
+
+
+def test_priority_sample_deterministic(ray_session):
+    import hashlib
+
+    import ray.data
+    from uckg_ray.stages.joins import priority_sample
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64),
+                       "source": [f"s{i % 3}" for i in range(500)]})
+    out = priority_sample(ray.data.from_pandas(df), group_col="source",
+                          id_col="doc_id", k=5).take_all()
+    pri = {i: int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                             "little") for i in df["doc_id"]}
+    for g in ("s0", "s1", "s2"):
+        got = sorted(r["doc_id"] for r in out if r["source"] == g)
+        want = sorted(sorted((i for i in df[df.source == g]["doc_id"]),
+                             key=lambda i: (pri[i], i))[:5])
+        assert got == want
+    # reproducible
+    again = priority_sample(ray.data.from_pandas(df), group_col="source",
+                            id_col="doc_id", k=5).take_all()
+    assert {(r["doc_id"], r["source"]) for r in again} == \
+        {(r["doc_id"], r["source"]) for r in out}
+
+
+def test_kmv_distinct_estimate(ray_session):
+    """Sketch vs truth on a corpus with heavy duplication — and the
+    below-k exact path."""
+    import ray.data
+    from uckg_ray.stages.dedup import kmv_distinct_estimate
+    rng = np.random.default_rng(13)
+    # group A: 400 distinct texts replicated 5x; group B: 10 distinct
+    texts_a = [f"doc text number {i} {'x' * int(rng.integers(1, 9))}"
+               for i in range(400)] * 5
+    texts_b = [f"small {i % 10}" for i in range(100)]
+    df = pd.DataFrame({
+        "source": ["A"] * len(texts_a) + ["B"] * len(texts_b),
+        "text": texts_a + texts_b})
+    out = {r["source"]: r["est_distinct"]
+           for r in kmv_distinct_estimate(
+               ray.data.from_pandas(df), k=32).take_all()}
+    assert out["B"] == 10                     # < k → exact
+    assert 200 <= out["A"] <= 800             # KMV ±relative error at k=32

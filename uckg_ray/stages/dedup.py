@@ -646,3 +646,47 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3,
     # the contract — no cosmetic global sort
     return _bucketed_pairs(banded, ["band", "band_val"], num_partitions,
                            sig_col="simhash", sig_verify=ham_ok)
+
+
+def kmv_distinct_estimate(docs: Dataset, *, group_col: str = "source",
+                          text_col: str = "text", k: int = 32) -> Dataset:
+    """KMV (k-minimum-values) distinct-count sketch per group: the
+    number of distinct `text_col` values estimated from the k smallest
+    distinct 64-bit hashes — est = floor((k-1) · 2⁶⁴ / h_k). O(k) state
+    per group regardless of corpus size, the streaming alternative to
+    an exact COUNT(DISTINCT) shuffle.
+
+    Deterministic end-to-end: hashes are ``_stable64`` (== DuckDB
+    ``md5_number_upper``) and the estimate is one IEEE-double multiply/
+    divide/floor mirrored exactly by the SQL oracle — so unlike a
+    seeded-random sketch this one is value-hash checkable. Block-local
+    distinct + partial k-smallest per group is the combiner (any global
+    top-k hash is necessarily inside its own block's top-k); the
+    per-group merge sees ≤ k rows per group per block. Groups with
+    fewer than k distinct values report their exact count."""
+    import pandas as pd
+
+    _2_64 = 18446744073709551616.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h = np.fromiter((_stable64(t) for t in texts), dtype=np.uint64,
+                        count=len(texts))
+        df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(),
+                           "h": h}).drop_duplicates()
+        df = df.sort_values("h")
+        return pa.Table.from_pandas(df.groupby(group_col, sort=False).head(k),
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(g["h"].to_numpy(np.uint64))[:k]
+        if len(hv) >= k:
+            est = int(np.floor((k - 1) * _2_64 / float(hv[k - 1])))
+        else:
+            est = len(hv)
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "est_distinct": np.array([est], np.int64)})
+
+    return (docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))

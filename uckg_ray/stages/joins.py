@@ -349,6 +349,97 @@ def hash_join_sum(orders: Dataset, lineitem: Dataset,
                        Sum("price_c100", alias_name="sum_price_c100")))
 
 
+def anti_join_keys(left: Dataset, right: Dataset, *, left_key: str,
+                   right_key: str, value_col: str | None = None,
+                   out_key: str = "k", out_value: str = "v_c100") -> Dataset:
+    """Hash ANTI join: rows of `left` whose key has NO match in `right`
+    (``WHERE NOT EXISTS``). Ray's ``Dataset.join`` has no anti type;
+    this is the robust explicit-partition shape: both sides
+    hash-partition on the key and each partition filters vectorized
+    (``np.isin``). The right side's block-local distinct-keys pass is
+    the combiner — the shuffle moves distinct keys, not raw rows.
+    Output: (out_key, out_value) with out_value = integer cents of
+    `value_col` (0 when value_col is None)."""
+    import pandas as pd
+
+    from uckg_ray.config import default_num_partitions
+
+    n_parts = default_num_partitions()
+
+    def pid(k: np.ndarray) -> np.ndarray:
+        return ((k.astype(np.uint64) * np.uint64(_KNUTH))
+                % np.uint64(n_parts)).astype(np.int32)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        k = b.column(left_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if value_col is None:
+            v = np.zeros(len(k), dtype=np.int64)
+        else:
+            vals = b.column(value_col).to_numpy(zero_copy_only=False)
+            v = np.floor(vals * 100 + 0.5).astype(np.int64)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "is_left": pa.array(np.ones(len(k), dtype=bool)),
+                         "p": pa.array(pid(k), pa.int32())})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        k = np.unique(b.column(right_key).cast(pa.int64())
+                      .to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "v": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                         "is_left": pa.array(np.zeros(len(k), dtype=bool)),
+                         "p": pa.array(pid(k), pa.int32())})
+
+    def filter_partition(g: pd.DataFrame) -> pa.Table:
+        lk = g[g["is_left"]]
+        seen = g.loc[~g["is_left"], "k"].to_numpy(np.int64)
+        keep = lk[~np.isin(lk["k"].to_numpy(np.int64), seen)]
+        return pa.table({
+            out_key: pa.array(keep["k"].to_numpy(np.int64), pa.int64()),
+            out_value: pa.array(keep["v"].to_numpy(np.int64), pa.int64())})
+
+    tagged = (left.map_batches(tag_left, batch_format="pyarrow",
+                               batch_size=None)
+              .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                       batch_size=None)))
+    return (tagged.groupby("p")
+            .map_groups(lambda g: filter_partition(g.drop(columns=["p"])),
+                        batch_format="pandas"))
+
+
+def priority_sample(ds: Dataset, *, group_col: str, id_col: str,
+                    k: int = 20) -> Dataset:
+    """Deterministic reservoir-style sample: the k rows per group with
+    the smallest md5 priority of their id — a uniform pseudo-random
+    sample that is reproducible across engines and runs (the
+    distributed replacement for random reservoir sampling). Block-local
+    partial k-smallest is the combiner; the per-group merge sees ≤ k
+    rows per group per block. Priority = DuckDB
+    ``md5_number_upper(CAST(id AS VARCHAR))``."""
+    import pandas as pd
+
+    from uckg_ray.stages.dedup import _stable64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        pri = np.fromiter((_stable64(str(i)) for i in ids),
+                          dtype=np.uint64, count=len(ids))
+        df = pd.DataFrame({id_col: batch.column(id_col)
+                           .cast(pa.int64()).to_numpy(zero_copy_only=False),
+                           group_col: batch.column(group_col).to_pandas(),
+                           "pri": pri})
+        df = df.sort_values(["pri", id_col])
+        return pa.Table.from_pandas(df.groupby(group_col, sort=False).head(k),
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pri", id_col]).head(k)
+        return g[[id_col, group_col]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))
+
+
 def topk_per_group(ds: Dataset, *, group_col: str, value_col: str,
                    id_col: str, k: int = 3) -> Dataset:
     """Top-k rows per group by value desc (ties → min id). Block-local
