@@ -643,6 +643,28 @@ def _q_customers_no_big_order(sf_dir: str):
                           out_value="acctbal_c100")
 
 
+def _q_customers_with_big_order(sf_dir: str):
+    """Hash SEMI join (EXISTS): customers with at least one order above
+    $300k — the same explicit co-partition machinery as the anti join."""
+    import pyarrow.compute as pc
+
+    from uckg_ray.stages.joins import anti_join_keys
+    big = _table(sf_dir, "orders").map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 300000.0)),
+        batch_format="pyarrow", batch_size=None)
+    return anti_join_keys(_table(sf_dir, "customer"), big,
+                          left_key="c_custkey", right_key="o_custkey",
+                          value_col="c_acctbal", out_key="c_custkey",
+                          out_value="acctbal_c100", semi=True)
+
+
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, user_id): hierarchy aggregates in
+    one scan (coarser levels re-aggregated from the finest table)."""
+    from uckg_ray.stages.relational import rollup_counts
+    return rollup_counts(_table(sf_dir, "events"))
+
+
 def _q_reservoir_sample(sf_dir: str):
     """Deterministic reservoir-style sample: 20 docs per source by
     md5 priority."""
@@ -750,6 +772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "order_join": _q_order_join,
         "customers_no_big_order": _q_customers_no_big_order,
+        "customers_with_big_order": _q_customers_with_big_order,
+        "events_rollup": _q_events_rollup,
         "reservoir_sample": _q_reservoir_sample,
         "kmv_distinct": _q_kmv_distinct,
         "top_events_per_user": _q_top_events_per_user,
@@ -1654,6 +1678,17 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_totalprice > 300000)""",
+        "customers_with_big_order": """
+SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c100
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)""",
+        "events_rollup": """
+SELECT event_type, user_id, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_c100
+FROM events GROUP BY ROLLUP(event_type, user_id)""",
         "reservoir_sample": """
 SELECT doc_id, source FROM (
   SELECT doc_id, source, row_number() OVER (

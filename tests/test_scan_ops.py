@@ -226,3 +226,43 @@ def test_kmv_distinct_estimate(ray_session):
                ray.data.from_pandas(df), k=32).take_all()}
     assert out["B"] == 10                     # < k → exact
     assert 200 <= out["A"] <= 800             # KMV ±relative error at k=32
+
+
+def test_semi_join_complements_anti(ray_session):
+    import ray.data
+    from uckg_ray.stages.joins import anti_join_keys
+    rng = np.random.default_rng(47)
+    left = pd.DataFrame({"k": np.arange(150, dtype=np.int64),
+                         "val": np.ones(150)})
+    right = pd.DataFrame({"rk": rng.choice(150, 60, replace=False)
+                          .astype(np.int64)})
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    anti = {r["k"] for r in anti_join_keys(
+        lds, rds, left_key="k", right_key="rk").take_all()}
+    semi = {r["k"] for r in anti_join_keys(
+        lds, rds, left_key="k", right_key="rk", semi=True).take_all()}
+    assert semi == set(right["rk"])
+    assert anti | semi == set(left["k"]) and not (anti & semi)
+
+
+def test_rollup_counts(ray_session):
+    import ray.data
+    from uckg_ray.stages.relational import rollup_counts
+    df = _random_events(n=2000, users=6, seed=53)
+    out = rollup_counts(ray.data.from_pandas(df)).take_all()
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = df.assign(c=cents)
+    fine = df.groupby(["event_type", "user_id"])["c"].agg(["size", "sum"])
+    lvl1 = df.groupby("event_type")["c"].agg(["size", "sum"])
+    got_fine = {(r["event_type"], r["user_id"]): (r["n"], r["sum_c100"])
+                for r in out if r["event_type"] is not None
+                and r["user_id"] is not None}
+    got_lvl1 = {r["event_type"]: (r["n"], r["sum_c100"])
+                for r in out if r["event_type"] is not None
+                and r["user_id"] is None}
+    got_grand = [(r["n"], r["sum_c100"]) for r in out
+                 if r["event_type"] is None and r["user_id"] is None]
+    assert got_fine == {k: (v["size"], v["sum"]) for k, v in fine.iterrows()}
+    assert got_lvl1 == {k: (v["size"], v["sum"]) for k, v in lvl1.iterrows()}
+    assert got_grand == [(len(df), int(cents.sum()))]
+    assert len(out) == len(fine) + len(lvl1) + 1

@@ -351,10 +351,12 @@ def hash_join_sum(orders: Dataset, lineitem: Dataset,
 
 def anti_join_keys(left: Dataset, right: Dataset, *, left_key: str,
                    right_key: str, value_col: str | None = None,
-                   out_key: str = "k", out_value: str = "v_c100") -> Dataset:
-    """Hash ANTI join: rows of `left` whose key has NO match in `right`
-    (``WHERE NOT EXISTS``). Ray's ``Dataset.join`` has no anti type;
-    this is the robust explicit-partition shape: both sides
+                   out_key: str = "k", out_value: str = "v_c100",
+                   semi: bool = False) -> Dataset:
+    """Hash ANTI join (default) or SEMI join (``semi=True``): rows of
+    `left` whose key has NO match / A match in `right` (``WHERE NOT
+    EXISTS`` / ``WHERE EXISTS``). Ray's ``Dataset.join`` has neither
+    type; this is the robust explicit-partition shape: both sides
     hash-partition on the key and each partition filters vectorized
     (``np.isin``). The right side's block-local distinct-keys pass is
     the combiner — the shuffle moves distinct keys, not raw rows.
@@ -393,7 +395,8 @@ def anti_join_keys(left: Dataset, right: Dataset, *, left_key: str,
     def filter_partition(g: pd.DataFrame) -> pa.Table:
         lk = g[g["is_left"]]
         seen = g.loc[~g["is_left"], "k"].to_numpy(np.int64)
-        keep = lk[~np.isin(lk["k"].to_numpy(np.int64), seen)]
+        mask = np.isin(lk["k"].to_numpy(np.int64), seen)
+        keep = lk[mask if semi else ~mask]
         return pa.table({
             out_key: pa.array(keep["k"].to_numpy(np.int64), pa.int64()),
             out_value: pa.array(keep["v"].to_numpy(np.int64), pa.int64())})

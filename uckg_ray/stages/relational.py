@@ -190,6 +190,99 @@ def distinct_count_per_key(events: Dataset, *, key_col: str = "user_id",
                        Sum("n_types", alias_name="n_types")))
 
 
+def rollup_counts(events: Dataset, *, l1: str = "event_type",
+                  l2: str = "user_id", value_col: str = "value") -> Dataset:
+    """``GROUP BY ROLLUP(l1, l2)``: counts + integer-cent sums at three
+    hierarchy levels — (l1, l2), (l1, NULL), (NULL, NULL) — with NULLs
+    marking rolled-up columns, exactly like the SQL ROLLUP rows.
+
+    Scale shape: the raw data is scanned ONCE (block-local partial at
+    the finest level, one (l1, l2) shuffle); the coarser levels are
+    re-aggregated from the materialized finest-level table, whose size
+    is bounded by the key-combination cardinality, not the row count."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(value_col))
+        df = pd.DataFrame({l1: batch.column(l1).to_pandas(),
+                           l2: batch.column(l2).to_numpy(
+                               zero_copy_only=False).astype(np.int64),
+                           "c": c})
+        g = (df.groupby([l1, l2], sort=False)["c"]
+             .agg(n="size", sum_c100="sum").reset_index())
+        return pa.Table.from_pydict({
+            l1: g[l1].tolist(),
+            l2: pa.array(g[l2].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "sum_c100": pa.array(g["sum_c100"].to_numpy(np.int64),
+                                 pa.int64()),
+        })
+
+    def pin(b: pa.Table) -> pa.Table:
+        # groupby().aggregate() can emit schema-less empty blocks
+        if b.num_rows == 0 or l1 not in b.schema.names:
+            return pa.table({l1: pa.array([], pa.string()),
+                             l2: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_c100": pa.array([], pa.int64())})
+        return pa.table({l1: b.column(l1).cast(pa.string()),
+                         l2: b.column(l2).cast(pa.int64()),
+                         "n": b.column("n").cast(pa.int64()),
+                         "sum_c100": b.column("sum_c100").cast(pa.int64())})
+
+    fine = (events.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby([l1, l2])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_c100", alias_name="sum_c100"))
+            .map_batches(pin, batch_format="pyarrow", batch_size=None)
+            .materialize())
+
+    def null_l2(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or l1 not in b.schema.names:
+            return pin(b)
+        return pa.table({l1: b.column(l1).cast(pa.string()),
+                         l2: pa.nulls(b.num_rows, pa.int64()),
+                         "n": b.column("n").cast(pa.int64()),
+                         "sum_c100": b.column("sum_c100").cast(pa.int64())})
+
+    lvl1 = (fine.groupby(l1)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_c100", alias_name="sum_c100"))
+            .map_batches(null_l2, batch_format="pyarrow", batch_size=None))
+
+    def grand_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n" not in b.schema.names:
+            return pa.table({"g": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_c100": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+        return pa.table({"g": pa.array([0], pa.int32()),
+                         "n": pa.array([pc.sum(b.column("n")).as_py() or 0],
+                                       pa.int64()),
+                         "sum_c100": pa.array(
+                             [pc.sum(b.column("sum_c100")).as_py() or 0],
+                             pa.int64())})
+
+    def grand_total(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n" not in b.schema.names:
+            return pin(pa.table({}))
+        return pa.table({l1: pa.nulls(b.num_rows, pa.string()),
+                         l2: pa.nulls(b.num_rows, pa.int64()),
+                         "n": b.column("n").cast(pa.int64()),
+                         "sum_c100": b.column("sum_c100").cast(pa.int64())})
+
+    lvl0 = (fine.map_batches(grand_partial, batch_format="pyarrow",
+                             batch_size=None)
+            .groupby("g")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_c100", alias_name="sum_c100"))
+            .map_batches(grand_total, batch_format="pyarrow",
+                         batch_size=None))
+
+    return fine.union(lvl1, lvl0)
+
+
 def pivot_counts(events: Dataset, *, key_col: str = "user_id",
                  cat_col: str = "event_type",
                  categories: tuple[str, ...]) -> Dataset:
