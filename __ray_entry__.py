@@ -673,6 +673,46 @@ def _q_reservoir_sample(sf_dir: str):
                            id_col="doc_id", k=20)
 
 
+def _q_events_json_sum(sf_dir: str):
+    """Semi-structured column handling: extract the integer `$.k` field
+    from the JSON `props` column (vectorized Rust JSON path) and
+    aggregate per event type."""
+    from uckg_ray.stages.relational import json_field_agg
+    return json_field_agg(_table(sf_dir, "events"))
+
+
+def _q_docs_snapshot_diff(sf_dir: str):
+    """Incremental-update diff (A6 analogue): two deterministic snapshot
+    views of the documents table — old = doc_id % 7 != 0; new =
+    doc_id % 5 != 0 with every 11th doc's text upper-cased (an edit) —
+    classified add / del / chg by content hash."""
+    import pyarrow.compute as pc
+
+    from uckg_ray.stages.joins import snapshot_diff
+    docs = _table(sf_dir, "documents")
+
+    import numpy as np
+
+    def old_view(b):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 7 != 0))
+
+    def new_view(b):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 5 != 0))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        edited = pa.array(ids % 11 == 0)
+        text = pc.if_else(edited, pc.utf8_upper(b.column("text")),
+                          b.column("text"))
+        return b.set_column(b.schema.get_field_index("text"), "text", text)
+
+    old = docs.map_batches(old_view, batch_format="pyarrow",
+                           batch_size=None)
+    new = docs.map_batches(new_view, batch_format="pyarrow",
+                           batch_size=None)
+    return snapshot_diff(old, new)
+
+
 def _q_kmv_distinct(sf_dir: str):
     """KMV distinct-text sketch per source (k=32), deterministic and
     SQL-reproduced."""
@@ -776,6 +816,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "reservoir_sample": _q_reservoir_sample,
         "kmv_distinct": _q_kmv_distinct,
+        "events_json_sum": _q_events_json_sum,
+        "docs_snapshot_diff": _q_docs_snapshot_diff,
         "top_events_per_user": _q_top_events_per_user,
         "train_test_split": _q_train_test_split,
         "q1_pricing": _q_q1_pricing,
@@ -1695,6 +1737,24 @@ SELECT doc_id, source FROM (
     PARTITION BY source
     ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents) WHERE rk <= 20""",
+        "events_json_sum": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_field
+FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type""",
+        "docs_snapshot_diff": """
+WITH o AS (SELECT doc_id, md5_number_upper(text) AS h FROM documents
+           WHERE doc_id % 7 != 0),
+n AS (SELECT doc_id, md5_number_upper(
+        CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS h
+      FROM documents WHERE doc_id % 5 != 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'add'
+            WHEN n.doc_id IS NULL THEN 'del'
+            ELSE 'chg' END AS op
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h""",
         # est = floor((k-1) * 2^64 / h_k) over the k smallest distinct
         # md5 hashes — one IEEE-double expression, identical both sides
         "kmv_distinct": """

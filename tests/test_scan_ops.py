@@ -266,3 +266,28 @@ def test_rollup_counts(ray_session):
     assert got_lvl1 == {k: (v["size"], v["sum"]) for k, v in lvl1.iterrows()}
     assert got_grand == [(len(df), int(cents.sum()))]
     assert len(out) == len(fine) + len(lvl1) + 1
+
+
+def test_json_field_agg(ray_session):
+    import ray.data
+    from uckg_ray.stages.relational import json_field_agg
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "b", "b", "b"],
+        "props": ['{"k": 5}', '{"k": 7}', '{"k": 1}', '{"x": 9}', '{"k": 2}']})
+    out = {r["event_type"]: (r["n"], r["sum_field"])
+           for r in json_field_agg(ray.data.from_pandas(df)).take_all()}
+    # rows without $.k drop (json_extract null semantics)
+    assert out == {"a": (2, 12), "b": (2, 3)}
+
+
+def test_snapshot_diff(ray_session):
+    import ray.data
+    from uckg_ray.stages.joins import snapshot_diff
+    old = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                        "text": ["one", "two", "three", "four"]})
+    new = pd.DataFrame({"doc_id": [2, 3, 4, 5],
+                        "text": ["two", "THREE", "four", "five"]})
+    out = {r["doc_id"]: r["op"]
+           for r in snapshot_diff(ray.data.from_pandas(old),
+                                  ray.data.from_pandas(new)).take_all()}
+    assert out == {1: "del", 3: "chg", 5: "add"}   # 2 and 4 unchanged

@@ -410,6 +410,69 @@ def anti_join_keys(left: Dataset, right: Dataset, *, left_key: str,
                         batch_format="pandas"))
 
 
+def snapshot_diff(old: Dataset, new: Dataset, *, key_col: str = "doc_id",
+                  text_col: str = "text") -> Dataset:
+    """Incremental-update diff between two corpus snapshots — the
+    distributed analogue of the reference's daily re-sync change
+    detection (A6): rows are keyed by `key_col` and compared by a
+    64-bit content hash of `text_col`.
+    Output: (key, op) with op ∈ ('add', 'del', 'chg') — key only in the
+    new snapshot / only in the old / in both with different content.
+
+    Scale shape: each side reduces to (key, hash) inside its own block
+    scan (the wide text never shuffles), both hash-partition on the key
+    and each partition classifies with one vectorized outer merge."""
+    import pandas as pd
+
+    from uckg_ray.config import default_num_partitions
+    from uckg_ray.stages.dedup import _stable64
+
+    n_parts = default_num_partitions()
+
+    def tag(is_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column(key_col).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            texts = b.column(text_col).to_pylist()
+            h = np.fromiter((_stable64(t) for t in texts), dtype=np.uint64,
+                            count=len(texts))
+            return pa.table({
+                "k": pa.array(k, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "is_new": pa.array(np.full(len(k), is_new)),
+                "p": pa.array(((k.astype(np.uint64) * np.uint64(_KNUTH))
+                               % np.uint64(n_parts)).astype(np.int32),
+                              pa.int32())})
+        return f
+
+    def classify(g: pd.DataFrame) -> pa.Table:
+        # nullable UInt64 keeps hash equality exact through the outer
+        # merge (numpy uint64 would decay to lossy float64 with NaNs)
+        o = g[~g["is_new"]][["k", "h"]].assign(
+            h=lambda d: d["h"].astype("UInt64"))
+        n = g[g["is_new"]][["k", "h"]].assign(
+            h=lambda d: d["h"].astype("UInt64"))
+        m = o.merge(n, on="k", how="outer", suffixes=("_o", "_n"))
+        add = m["h_o"].isna()
+        del_ = m["h_n"].isna()
+        chg = (~add & ~del_
+               & (m["h_o"] != m["h_n"]).fillna(False).astype(bool))
+        keep = m[add | del_ | chg]
+        op = np.where(keep["h_o"].isna(), "add",
+                      np.where(keep["h_n"].isna(), "del", "chg"))
+        return pa.table({key_col: pa.array(keep["k"].to_numpy(np.int64),
+                                           pa.int64()),
+                         "op": pa.array(op.tolist(), pa.string())})
+
+    tagged = (old.map_batches(tag(False), batch_format="pyarrow",
+                              batch_size=None)
+              .union(new.map_batches(tag(True), batch_format="pyarrow",
+                                     batch_size=None)))
+    return (tagged.groupby("p")
+            .map_groups(lambda g: classify(g.drop(columns=["p"])),
+                        batch_format="pandas"))
+
+
 def priority_sample(ds: Dataset, *, group_col: str, id_col: str,
                     k: int = 20) -> Dataset:
     """Deterministic reservoir-style sample: the k rows per group with

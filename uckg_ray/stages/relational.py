@@ -283,6 +283,39 @@ def rollup_counts(events: Dataset, *, l1: str = "event_type",
     return fine.union(lvl1, lvl0)
 
 
+def json_field_agg(events: Dataset, *, group_col: str = "event_type",
+                   json_col: str = "props", path: str = "$.k") -> Dataset:
+    """Semi-structured column handling: extract an integer field from a
+    JSON string column (vectorized Rust JSON path via polars — no
+    per-row json.loads) and aggregate it per group.
+    Output: (group, n, sum_field) — rows where the path is missing are
+    dropped, matching SQL ``json_extract`` null semantics."""
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(json_col)
+        v = (pl.from_arrow(col.combine_chunks()
+                           if isinstance(col, pa.ChunkedArray) else col)
+             .str.json_path_match(path).cast(pl.Int64, strict=False))
+        df = pl.DataFrame({
+            group_col: pl.from_arrow(
+                batch.column(group_col).combine_chunks()
+                if isinstance(batch.column(group_col), pa.ChunkedArray)
+                else batch.column(group_col)),
+            "v": v}).drop_nulls("v")
+        g = df.group_by(group_col).agg(
+            pl.len().cast(pl.Int64).alias("n"), pl.col("v").sum().alias("s"))
+        return pa.table({group_col: g[group_col].to_arrow().cast(pa.string()),
+                         "n": g["n"].to_arrow().cast(pa.int64()),
+                         "s": g["s"].to_arrow().cast(pa.int64())})
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby(group_col)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="sum_field")))
+
+
 def pivot_counts(events: Dataset, *, key_col: str = "user_id",
                  cat_col: str = "event_type",
                  categories: tuple[str, ...]) -> Dataset:
