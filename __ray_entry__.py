@@ -691,8 +691,6 @@ def _q_docs_snapshot_diff(sf_dir: str):
     from uckg_ray.stages.joins import snapshot_diff
     docs = _table(sf_dir, "documents")
 
-    import numpy as np
-
     def old_view(b):
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids % 7 != 0))
@@ -1737,11 +1735,15 @@ SELECT doc_id, source FROM (
     PARTITION BY source
     ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents) WHERE rk <= 20""",
-        "events_json_sum": """
+        # integer-literal gate on both sides: polars cast(strict=False)
+        # nulls '2.5' while DuckDB CAST rounds it — the regex makes the
+        # contract explicit and identical
+        "events_json_sum": r"""
+WITH x AS (SELECT event_type,
+           json_extract_string(props, '$.k') AS ks FROM events)
 SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS sum_field
-FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+       CAST(sum(CAST(ks AS BIGINT)) AS BIGINT) AS sum_field
+FROM x WHERE ks IS NOT NULL AND regexp_matches(ks, '^-?\d+$')
 GROUP BY event_type""",
         "docs_snapshot_diff": """
 WITH o AS (SELECT doc_id, md5_number_upper(text) AS h FROM documents

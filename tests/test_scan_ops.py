@@ -291,3 +291,57 @@ def test_snapshot_diff(ray_session):
            for r in snapshot_diff(ray.data.from_pandas(old),
                                   ray.data.from_pandas(new)).take_all()}
     assert out == {1: "del", 3: "chg", 5: "add"}   # 2 and 4 unchanged
+
+
+def test_json_field_agg_non_integer_values(ray_session):
+    """Non-integer $.k values drop on BOTH sides (the integer-literal
+    gate): engine == the oracle SQL shape, verified via DuckDB."""
+    import duckdb
+    import ray.data
+    from uckg_ray.stages.relational import json_field_agg
+    df = pd.DataFrame({
+        "event_type": ["a"] * 5,
+        "props": ['{"k": 5}', '{"k": 2.5}', '{"k": true}', '{"k": "s"}',
+                  '{"k": -3}']})
+    out = json_field_agg(ray.data.from_pandas(df)).take_all()
+    assert out == [{"event_type": "a", "n": 2, "sum_field": 2}]
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute(r"""
+        WITH x AS (SELECT event_type,
+                   json_extract_string(props, '$.k') AS ks FROM events)
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(ks AS BIGINT)) AS BIGINT) AS sum_field
+        FROM x WHERE ks IS NOT NULL AND regexp_matches(ks, '^-?\d+$')
+        GROUP BY event_type""").fetchall()
+    assert ref == [("a", 2, 2)]
+
+
+def test_rollup_empty_input_grand_total(ray_session):
+    """SQL GROUP BY ROLLUP emits one (NULL, NULL, 0, NULL) row on an
+    empty table — so does the engine."""
+    import ray.data
+    from uckg_ray.stages.relational import rollup_counts
+    df = _random_events(n=5).iloc[0:0]
+    out = rollup_counts(ray.data.from_pandas(df)).take_all()
+    assert out == [{"event_type": None, "user_id": None, "n": 0,
+                    "sum_c100": None}]
+
+
+def test_pivot_null_category_counts_nowhere(ray_session):
+    import ray.data
+    from uckg_ray.stages.relational import pivot_counts
+    df = pd.DataFrame({"user_id": np.array([1, 1, 2], dtype=np.int64),
+                       "event_type": ["view", None, None]})
+    out = {r["user_id"]: r for r in pivot_counts(
+        ray.data.from_pandas(df), categories=("view",)).take_all()}
+    assert out[1]["n_view"] == 1 and out[1]["n_other"] == 0
+    assert out[2]["n_view"] == 0 and out[2]["n_other"] == 0  # key kept
+
+
+def test_quantile_names_round_not_truncate():
+    import pytest
+    from uckg_ray.stages.relational import grouped_quantiles
+    assert [f"p{round(q * 100)}_c100" for q in (0.29,)] == ["p29_c100"]
+    with pytest.raises(ValueError):
+        grouped_quantiles(None, qs=(0.99, 0.994))

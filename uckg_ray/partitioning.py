@@ -1,0 +1,27 @@
+"""Shared hash-partitioning kernels for the explicit co-partition
+operators. Every stage that co-partitions on (key, time-bucket) — as-of
+join, range join, sessionize, running aggregates — MUST use the same
+arithmetic or their exchanges silently stop co-locating; keeping the
+single definition here makes a future hash change (e.g. a skew fix)
+atomic across all of them."""
+
+from __future__ import annotations
+
+import numpy as np
+
+KNUTH = 2654435761            # Knuth multiplicative hash constant
+GOLDEN64 = 0x9E3779B97F4A7C15  # 64-bit golden-ratio constant
+
+
+def key_bucket_partition_ids(u: np.ndarray, bk: np.ndarray,
+                             n_parts: int) -> np.ndarray:
+    """(key, time-bucket) → int32 partition id."""
+    h = ((u.astype(np.uint64) * np.uint64(KNUTH))
+         ^ (bk.astype(np.uint64) * np.uint64(GOLDEN64)))
+    return (h % np.uint64(n_parts)).astype(np.int32)
+
+
+def key_partition_ids(k: np.ndarray, n_parts: int) -> np.ndarray:
+    """key → int32 partition id (single-key co-partition / stitch)."""
+    return ((k.astype(np.uint64) * np.uint64(KNUTH))
+            % np.uint64(n_parts)).astype(np.int32)

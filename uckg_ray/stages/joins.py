@@ -57,18 +57,18 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
     single-group merge_asof."""
     from uckg_ray.config import default_num_partitions
 
+    from uckg_ray.partitioning import (key_bucket_partition_ids,
+                                       key_partition_ids)
+
     bucket_us = bucket_minutes * 60 * 1_000_000
     n_parts = default_num_partitions()
-    _K = np.uint64(2654435761)          # Knuth multiplicative hash
-    _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def merge_part_ids(u: np.ndarray, bk: np.ndarray) -> np.ndarray:
         """(key, bucket)-hash partition id for the final merge shuffle —
         computed inline wherever rows are built (tag, carries) so no
         extra map pass runs just to append it (each pass over the block
         set costs ~1 s of task overhead at 32 CPUs)."""
-        h = (u.astype(np.uint64) * _K) ^ (bk.astype(np.uint64) * _GOLD)
-        return (h % np.uint64(n_parts)).astype(np.int32)
+        return key_bucket_partition_ids(u, bk, n_parts)
 
     def tag(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -112,7 +112,7 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
                       has_left=True))
         out = pd.concat([r, le], ignore_index=True)
         u = out[key].to_numpy(np.int64)
-        q = ((u.astype(np.uint64) * _K) % np.uint64(n_parts)).astype(np.int32)
+        q = key_partition_ids(u, n_parts)
         return pa.Table.from_pydict({
             key: pa.array(u, pa.int64()),
             "bucket": pa.array(out["bucket"].to_numpy(np.int64), pa.int64()),
@@ -247,11 +247,10 @@ def range_join_events(events: Dataset, *, left_type: str, right_type: str,
     import pandas as pd
 
     from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import key_bucket_partition_ids
 
     window_us = window_minutes * 60 * 1_000_000
     n_parts = default_num_partitions()
-    _K = np.uint64(2654435761)
-    _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def tag(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -272,7 +271,6 @@ def range_join_events(events: Dataset, *, left_type: str, right_type: str,
         rid, rts = ids[~is_left], ts_us[~is_left]
         ou = np.concatenate([lu, ru, ru])
         ob = np.concatenate([lb, rb, rb - 1])
-        h = (ou.astype(np.uint64) * _K) ^ (ob.astype(np.uint64) * _GOLD)
         return pa.table({
             key: pa.array(ou, pa.int64()),
             "bucket": pa.array(ob, pa.int64()),
@@ -280,7 +278,7 @@ def range_join_events(events: Dataset, *, left_type: str, right_type: str,
                 [np.ones(len(lu), bool), np.zeros(2 * len(ru), bool)])),
             "event_id": pa.array(np.concatenate([lid, rid, rid]), pa.int64()),
             "ts_us": pa.array(np.concatenate([lts, rts, rts]), pa.int64()),
-            "p": pa.array((h % np.uint64(n_parts)).astype(np.int32),
+            "p": pa.array(key_bucket_partition_ids(ou, ob, n_parts),
                           pa.int32()),
         })
 
@@ -365,20 +363,20 @@ def anti_join_keys(left: Dataset, right: Dataset, *, left_key: str,
     import pandas as pd
 
     from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import key_partition_ids
+    from uckg_ray.stages.relational import _cents
 
     n_parts = default_num_partitions()
 
     def pid(k: np.ndarray) -> np.ndarray:
-        return ((k.astype(np.uint64) * np.uint64(_KNUTH))
-                % np.uint64(n_parts)).astype(np.int32)
+        return key_partition_ids(k, n_parts)
 
     def tag_left(b: pa.Table) -> pa.Table:
         k = b.column(left_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
         if value_col is None:
             v = np.zeros(len(k), dtype=np.int64)
         else:
-            vals = b.column(value_col).to_numpy(zero_copy_only=False)
-            v = np.floor(vals * 100 + 0.5).astype(np.int64)
+            v = _cents(b.column(value_col))
         return pa.table({"k": pa.array(k, pa.int64()),
                          "v": pa.array(v, pa.int64()),
                          "is_left": pa.array(np.ones(len(k), dtype=bool)),
@@ -425,6 +423,7 @@ def snapshot_diff(old: Dataset, new: Dataset, *, key_col: str = "doc_id",
     import pandas as pd
 
     from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import key_partition_ids
     from uckg_ray.stages.dedup import _stable64
 
     n_parts = default_num_partitions()
@@ -440,9 +439,7 @@ def snapshot_diff(old: Dataset, new: Dataset, *, key_col: str = "doc_id",
                 "k": pa.array(k, pa.int64()),
                 "h": pa.array(h, pa.uint64()),
                 "is_new": pa.array(np.full(len(k), is_new)),
-                "p": pa.array(((k.astype(np.uint64) * np.uint64(_KNUTH))
-                               % np.uint64(n_parts)).astype(np.int32),
-                              pa.int32())})
+                "p": pa.array(key_partition_ids(k, n_parts), pa.int32())})
         return f
 
     def classify(g: pd.DataFrame) -> pa.Table:

@@ -492,14 +492,19 @@ def entail_subproperties(distinct: Dataset,
     from uckg_ray.tbox import subprop_closure
     closure = subprop_closure() if closure is None else closure
 
+    child_set = pa.array(sorted(closure))
+
     def partial(batch: pa.Table) -> pa.Table:
+        # Arrow pre-filter: only child-predicate rows (typically a tiny
+        # fraction of the edge stream) ever pay the Python conversion
+        batch = batch.filter(
+            pa.compute.is_in(batch.column("pred"), value_set=child_set))
         df = pd.DataFrame({
             "subj": batch.column("subj").to_pylist(),
             "pred": batch.column("pred").to_pylist(),
             "obj": batch.column("obj").to_pylist(),
         })
-        m = df[df["pred"].isin(closure)]
-        m = (m.assign(pred=m["pred"].map(closure)).explode("pred")
+        m = (df.assign(pred=df["pred"].map(closure)).explode("pred")
              .drop_duplicates())
         return pa.Table.from_pydict(
             {"subj": m["subj"].tolist(), "pred": m["pred"].tolist(),

@@ -108,7 +108,11 @@ def grouped_quantiles(events: Dataset, *, group_col: str = "event_type",
     max(0, ceil(q·n) − 1) of the sorted-with-duplicates multiset."""
     import pandas as pd
 
-    names = [f"p{int(q * 100)}_c100" for q in qs]
+    # round, not truncate: int(0.29*100) == 28. Names must be unique or
+    # the pick dict would silently drop a quantile.
+    names = [f"p{round(q * 100)}_c100" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile column names collide: {names}")
 
     def partial(batch: pa.Table) -> pa.Table:
         c = _cents(batch.column(value_col))
@@ -267,13 +271,27 @@ def rollup_counts(events: Dataset, *, l1: str = "event_type",
     def grand_total(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "n" not in b.schema.names:
             return pin(pa.table({}))
+        n = b.column("n").cast(pa.int64())
+        s = b.column("sum_c100").cast(pa.int64())
+        # SQL sum() over zero rows is NULL, count(*) is 0 — mirror the
+        # ROLLUP grand-total row exactly even on empty input
+        import pyarrow.compute as pc
+        s = pc.if_else(pc.equal(n, 0), pa.nulls(b.num_rows, pa.int64()), s)
         return pa.table({l1: pa.nulls(b.num_rows, pa.string()),
                          l2: pa.nulls(b.num_rows, pa.int64()),
-                         "n": b.column("n").cast(pa.int64()),
-                         "sum_c100": b.column("sum_c100").cast(pa.int64())})
+                         "n": n, "sum_c100": s})
 
+    # seed row: GROUP BY ROLLUP always emits a grand-total row, even
+    # over an empty table
+    import ray
+
+    seed = ray.data.from_arrow(pa.table({
+        "g": pa.array([0], pa.int32()),
+        "n": pa.array([0], pa.int64()),
+        "sum_c100": pa.array([0], pa.int64())}))
     lvl0 = (fine.map_batches(grand_partial, batch_format="pyarrow",
                              batch_size=None)
+            .union(seed)
             .groupby("g")
             .aggregate(Sum("n", alias_name="n"),
                        Sum("sum_c100", alias_name="sum_c100"))
@@ -288,21 +306,26 @@ def json_field_agg(events: Dataset, *, group_col: str = "event_type",
     """Semi-structured column handling: extract an integer field from a
     JSON string column (vectorized Rust JSON path via polars — no
     per-row json.loads) and aggregate it per group.
-    Output: (group, n, sum_field) — rows where the path is missing are
-    dropped, matching SQL ``json_extract`` null semantics."""
+    Output: (group, n, sum_field) — rows where the path is missing OR
+    whose value is not an integer literal are dropped. The explicit
+    integer-literal gate keeps the engine and the SQL oracle identical:
+    without it, polars cast(strict=False) nulls '2.5' while DuckDB
+    CAST rounds it to 3."""
     import polars as pl
 
     def partial(batch: pa.Table) -> pa.Table:
         col = batch.column(json_col)
-        v = (pl.from_arrow(col.combine_chunks()
-                           if isinstance(col, pa.ChunkedArray) else col)
-             .str.json_path_match(path).cast(pl.Int64, strict=False))
-        df = pl.DataFrame({
+        vs = (pl.from_arrow(col.combine_chunks()
+                            if isinstance(col, pa.ChunkedArray) else col)
+              .str.json_path_match(path))
+        df = (pl.DataFrame({
             group_col: pl.from_arrow(
                 batch.column(group_col).combine_chunks()
                 if isinstance(batch.column(group_col), pa.ChunkedArray)
                 else batch.column(group_col)),
-            "v": v}).drop_nulls("v")
+            "vs": vs})
+            .filter(pl.col("vs").str.contains(r"^-?\d+$"))
+            .with_columns(pl.col("vs").cast(pl.Int64).alias("v")))
         g = df.group_by(group_col).agg(
             pl.len().cast(pl.Int64).alias("n"), pl.col("v").sum().alias("s"))
         return pa.table({group_col: g[group_col].to_arrow().cast(pa.string()),
@@ -331,12 +354,17 @@ def pivot_counts(events: Dataset, *, key_col: str = "user_id",
     other = len(categories)
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.column(key_col).null_count:
+            raise ValueError(f"pivot_counts: null {key_col} values")
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         cats = batch.column(cat_col).to_pandas()
+        # a NULL category counts NOWHERE (SQL CASE ... NOT IN over NULL
+        # yields NULL → 0 in every column), but its key still appears
+        valid = cats.notna().to_numpy()
         ci = cats.map(cat_idx).fillna(other).to_numpy(np.int64)
         uk, inv = np.unique(keys, return_inverse=True)
         mat = np.zeros((len(uk), other + 1), dtype=np.int64)
-        np.add.at(mat, (inv, ci), 1)
+        np.add.at(mat, (inv[valid], ci[valid]), 1)
         return pa.Table.from_pydict({
             key_col: pa.array(uk.astype(np.int64), pa.int64()),
             **{nm: pa.array(mat[:, i], pa.int64())

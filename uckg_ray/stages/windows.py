@@ -24,12 +24,13 @@ def tumbling_window_agg(events: Dataset, *, every: str = "hour") -> Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
+
+        from uckg_ray.stages.relational import _cents
         win = pc.floor_temporal(batch.column("ts"), unit=every)
-        vals = batch.column("value").to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
             "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
             "window_start": win.to_numpy(zero_copy_only=False),
-            "c": np.floor(vals * 100 + 0.5).astype(np.int64),
+            "c": _cents(batch.column("value")),
         })
         g = (df.groupby(["user_id", "window_start"], sort=False)["c"]
              .agg(n_events="size", sum_value_c100="sum").reset_index())
@@ -72,11 +73,12 @@ def sessionize(events: Dataset, *, gap_minutes: int = 30,
     import pandas as pd
 
     from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import (key_bucket_partition_ids,
+                                       key_partition_ids)
 
     gap_us = gap_minutes * 60 * 1_000_000
     bucket_us = bucket_minutes * 60 * 1_000_000
     n_parts = default_num_partitions()
-    _K = np.uint64(2654435761)  # Knuth multiplicative hash
 
     def tag(b: pa.Table) -> pa.Table:
         # partition id computed here (hash of (user, bucket)) — one map
@@ -86,13 +88,11 @@ def sessionize(events: Dataset, *, gap_minutes: int = 30,
         u = (b.column("user_id").cast(pa.int64())
              .to_numpy(zero_copy_only=False))
         bk = np.floor_divide(ts_us, bucket_us)
-        h = (u.astype(np.uint64) * _K) ^ (bk.astype(np.uint64) * np.uint64(
-            0x9E3779B97F4A7C15))
         return pa.table({
             "user_id": pa.array(u, pa.int64()),
             "bucket": pa.array(bk, pa.int64()),
             "ts_us": pa.array(ts_us, pa.int64()),
-            "p": pa.array((h % np.uint64(n_parts)).astype(np.int32),
+            "p": pa.array(key_bucket_partition_ids(u, bk, n_parts),
                           pa.int32()),
         })
 
@@ -118,8 +118,7 @@ def sessionize(events: Dataset, *, gap_minutes: int = 30,
         users = u[brk]
         # stitch partition id (hash of user alone) rides along so the
         # second shuffle needs no extra map pass
-        q = ((users.astype(np.uint64) * _K) % np.uint64(n_parts)) \
-            .astype(np.int32)
+        q = key_partition_ids(users, n_parts)
         return pd.DataFrame({
             "user_id": users,
             "start_us": ts[brk],
@@ -187,29 +186,27 @@ def running_aggregates(events: Dataset, *, key: str = "user_id",
     import pandas as pd
 
     from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import (key_bucket_partition_ids,
+                                       key_partition_ids)
+    from uckg_ray.stages.relational import _cents
 
     bucket_us = bucket_hours * 3600 * 1_000_000
     n_parts = default_num_partitions()
-    _K = np.uint64(2654435761)
-    _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def part_ids(u: np.ndarray, bk: np.ndarray) -> np.ndarray:
-        h = (u.astype(np.uint64) * _K) ^ (bk.astype(np.uint64) * _GOLD)
-        return (h % np.uint64(n_parts)).astype(np.int32)
+        return key_bucket_partition_ids(u, bk, n_parts)
 
     def tag(b: pa.Table) -> pa.Table:
         ts_us = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
                  .to_numpy(zero_copy_only=False))
         u = b.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        vals = b.column("value").to_numpy(zero_copy_only=False)
         bk = np.floor_divide(ts_us, bucket_us)
         return pa.table({
             key: pa.array(u, pa.int64()),
             "bucket": pa.array(bk, pa.int64()),
             "ts_us": pa.array(ts_us, pa.int64()),
             "event_id": b.column("event_id").cast(pa.int64()),
-            "c": pa.array(np.floor(vals * 100 + 0.5).astype(np.int64),
-                          pa.int64()),
+            "c": pa.array(_cents(b.column("value")), pa.int64()),
             "p": pa.array(part_ids(u, bk), pa.int32()),
         })
 
@@ -264,8 +261,7 @@ def running_aggregates(events: Dataset, *, key: str = "user_id",
             "prev0": pa.array(ids[seg_end], pa.int64()),        # last id
             "is_summary": pa.array(np.ones(len(su), dtype=bool)),
             "p": pa.array(np.zeros(len(su), np.int32), pa.int32()),
-            "q": pa.array(((su.astype(np.uint64) * _K)
-                           % np.uint64(n_parts)).astype(np.int32), pa.int32()),
+            "q": pa.array(key_partition_ids(su, n_parts), pa.int32()),
         })
         return pa.concat_tables([ev, sm])
 
@@ -434,10 +430,10 @@ def hopping_window_agg(events: Dataset, *, size_minutes: int = 60,
     n_hops = size_minutes // hop_minutes
 
     def partial(batch: pa.Table) -> pa.Table:
+        from uckg_ray.stages.relational import _cents
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         users = batch.column("user_id").to_numpy(zero_copy_only=False)
-        vals = batch.column("value").to_numpy(zero_copy_only=False)
-        cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+        cents = _cents(batch.column("value"))
         base = (ts // hop_us) * hop_us
         k = np.tile(np.arange(n_hops, dtype=np.int64), len(ts))
         starts = np.repeat(base, n_hops) - k * hop_us
