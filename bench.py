@@ -148,7 +148,9 @@ def run_bench() -> dict:
                  "ann_cosine_topk", "events_window",
                  "events_asof", "order_join", "q1_pricing", "text_quality",
                  "token_count", "kg_custom_spec", "doc_winnow",
-                 "embed_neardup_lsh"):
+                 "embed_neardup_lsh", "events_range_join", "events_running",
+                 "events_quantiles", "events_rollup", "docs_snapshot_diff",
+                 "kmv_distinct", "events_json_sum", "kg_subprop_entailed"):
         timed(name, q[name])
     ray.shutdown()
 
