@@ -345,3 +345,24 @@ def test_quantile_names_round_not_truncate():
     assert [f"p{round(q * 100)}_c100" for q in (0.29,)] == ["p29_c100"]
     with pytest.raises(ValueError):
         grouped_quantiles(None, qs=(0.99, 0.994))
+
+
+def test_running_aggregates_duplicate_timestamps(ray_session):
+    """Ties on ts within a user break by event_id — same rule as the
+    SQL window ORDER BY ts, event_id."""
+    import ray.data
+    from uckg_ray.stages.windows import running_aggregates
+    ts = pd.to_datetime(["2024-01-01 00:00"] * 3 + ["2024-01-01 09:00"] * 2)
+    df = pd.DataFrame({"event_id": np.array([7, 3, 5, 2, 9], np.int64),
+                       "user_id": np.ones(5, dtype=np.int64),
+                       "ts": ts, "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = {r["event_id"]: r for r in running_aggregates(
+        ray.data.from_pandas(df), bucket_hours=6).take_all()}
+    # order: (00:00, 3), (00:00, 5), (00:00, 7), (09:00, 2), (09:00, 9)
+    assert [out[i]["rn"] for i in (3, 5, 7, 2, 9)] == [1, 2, 3, 4, 5]
+    assert out[3]["prev_event_id"] is None
+    assert out[5]["prev_event_id"] == 3
+    assert out[7]["prev_event_id"] == 5
+    assert out[2]["prev_event_id"] == 7   # carry across the bucket gap
+    assert out[9]["prev_event_id"] == 2
+    assert out[9]["run_sum_c100"] == 1500
