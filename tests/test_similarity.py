@@ -53,3 +53,43 @@ def test_lsh_bucket_deterministic(ray_session):
     g1 = {r["vec_id"]: r["bucket"] for r in b1.take_all()}
     g2 = {r["vec_id"]: r["bucket"] for r in b2.take_all()}
     assert g1 == g2  # seeded planes → same buckets at any parallelism
+
+
+def test_integer_ivf_exact_and_bounded(ray_session):
+    """IntegerIVF: integer-exact quantize/assign/update (the SQL-
+    replayable k-means), recall sanity vs brute force, sample bound."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from uckg_ray.stages.similarity import IntegerIVF, ivf_topk
+
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((300, 16)).astype(np.float32).astype(np.float64)
+    ids = np.arange(300, dtype=np.int64)
+    ivf = IntegerIVF(M, ids, n_centroids=8, n_iters=8)
+    # centroids are exact integers from floor-division means
+    assert ivf.centroids.dtype == np.int64
+    # deterministic: retrain -> identical
+    again = IntegerIVF(M, ids, n_centroids=8, n_iters=8)
+    assert np.array_equal(ivf.centroids, again.centroids)
+    # every vector assigns to its true nearest centroid (ties -> lowest)
+    Q = IntegerIVF.quantize(M)
+    d2 = ((Q[:, None, :] - ivf.centroids[None, :, :]) ** 2).sum(axis=2)
+    assert np.array_equal(ivf._nearest(Q), d2.argmin(axis=1))
+    # recall of the probed exact rescore vs full brute force
+    import pandas as pd
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": ids, "embedding": [list(map(float, r)) for r in M]}))
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_topk(ds, M[:5], ids[:5], ivf, k=3,
+                             n_probe=4).take_all()}
+    sims = (M[:5] / np.linalg.norm(M[:5], axis=1, keepdims=True)) @ \
+        (M / np.linalg.norm(M, axis=1, keepdims=True)).T
+    hits = 0
+    for qi in range(5):
+        order = [i for i in np.argsort(-sims[qi]) if i != qi][:3]
+        hits += sum((ids[qi], n) in got for n in order)
+    assert hits >= 10  # >= 2/3 recall with 4 of 8 buckets probed
+    with pytest.raises(ValueError):
+        IntegerIVF(np.zeros((65537, 4)), np.arange(65537), n_centroids=4)

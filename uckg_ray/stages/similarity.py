@@ -278,6 +278,68 @@ class IVFIndex:
         return out
 
 
+class IntegerIVF:
+    """IVF coarse quantizer with EXACT integer arithmetic end-to-end,
+    so the whole index — Lloyd iterations included — is bit-for-bit
+    reproducible in SQL (the only value-hash-checkable k-means):
+
+    - vectors quantize to int64 (``floor(x · 10⁶ + 0.5)``; float32
+      inputs widen to double identically in numpy and DuckDB);
+    - distances are integer squared-L2 (max ≈ 4·10¹³ ≪ 2⁶³), ties break
+      to the lowest centroid id — ``np.argmin`` ≡ ``row_number() OVER
+      (ORDER BY d2, cid)``;
+    - centroid updates are exact floor-division means (sign-safe mod in
+      SQL mirrors ``np.floor_divide``); empty clusters keep their old
+      centroid;
+    - init = the k training vectors with the smallest vec_ids.
+
+    Training state is the bounded sample side (stride-sampled, asserted
+    ≤ 65536 rows); assignment and probing run vectorized per batch."""
+
+    SCALE = 1_000_000.0
+
+    @staticmethod
+    def quantize(M: np.ndarray) -> np.ndarray:
+        return np.floor(M.astype(np.float64) * IntegerIVF.SCALE + 0.5) \
+            .astype(np.int64)
+
+    def __init__(self, train: np.ndarray, train_ids: np.ndarray,
+                 n_centroids: int = 16, n_iters: int = 8):
+        if len(train) > 65536:
+            raise ValueError("IntegerIVF training sample too large — "
+                             "raise the sampling stride")
+        order = np.argsort(train_ids, kind="stable")
+        Q = self.quantize(train[order])
+        C = Q[:n_centroids].copy()
+        for _ in range(n_iters):
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)          # first min = lowest cid
+            for c in range(len(C)):
+                sel = Q[assign == c]
+                if len(sel):
+                    C[c] = np.floor_divide(sel.sum(axis=0), len(sel))
+        self.centroids = C
+
+    def _nearest(self, Qi: np.ndarray) -> np.ndarray:
+        d2 = ((Qi[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1).astype(np.int64)
+
+    def assign_batch(self, batch: pa.Table,
+                     vec_col: str = "embedding") -> pa.Table:
+        M = _emb_matrix(batch, vec_col)
+        bucket = self._nearest(self.quantize(M))
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    def probe_buckets(self, queries: np.ndarray, n_probe: int = 4) -> set[int]:
+        Qi = self.quantize(queries)
+        d2 = ((Qi[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        out: set[int] = set()
+        for row in d2:
+            # stable sort ⇒ ties to the lowest cid, like ORDER BY d2, cid
+            out.update(int(i) for i in np.argsort(row, kind="stable")[:n_probe])
+        return out
+
+
 def ivf_topk(emb: Dataset, queries: np.ndarray, query_ids: np.ndarray,
              ivf: IVFIndex, *, k: int = 10, n_probe: int = 4) -> Dataset:
     """IVF ANN: restrict the exact rescoring to the probed buckets."""
