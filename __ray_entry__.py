@@ -427,21 +427,36 @@ def _q_ann_ivf_topk(sf_dir: str):
     """IVF ANN, value-hash oracle-checked: the coarse quantizer is an
     integer-exact k-means (``IntegerIVF`` — quantized vectors, integer
     squared-L2, floor-division centroid means) over a deterministic
-    strided sample (vec_id % 2 == 0, spread across the whole id range,
-    asserted bounded), so DuckDB replays training, assignment, 4-probe
-    selection and the exact cosine rescore bit-for-bit. At 100 TB the
-    stride rises so the sample stays ≤ 65536 rows and the % filter is
-    pushed into the parquet read."""
+    strided sample (vec_id % 2 == 0, spread across the whole id range),
+    so DuckDB replays training, assignment, 4-probe selection and the
+    exact cosine rescore bit-for-bit. The sample is read STREAMED (the
+    % filter applies per record batch, never a full-table driver
+    materialization) and is hard-bounded: past 65536 sampled rows the
+    query aborts with instructions to raise the stride — the oracle
+    contract pins stride=2, and ``_sql_ann_ivf_topk(stride=...)`` is
+    parameterized so a larger deployment regenerates matching SQL."""
     from uckg_ray.stages.similarity import IntegerIVF, ivf_topk
     Q, qids = _load_queries(sf_dir)
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-    t = t.filter(pa.array(ids % 2 == 0))
-    col = t.column("embedding").combine_chunks()
-    train = col.values.to_numpy(zero_copy_only=False).astype(
-        np.float64).reshape(len(col), -1)
-    train_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    chunks, id_chunks, n_sample = [], [], 0
+    for rb in pf.iter_batches(columns=["vec_id", "embedding"]):
+        ids = rb.column(0).to_numpy(zero_copy_only=False)
+        keep = ids % 2 == 0
+        t = pa.Table.from_batches([rb]).filter(pa.array(keep))
+        if t.num_rows:
+            col = t.column("embedding").combine_chunks()
+            chunks.append(col.values.to_numpy(zero_copy_only=False)
+                          .astype(np.float64).reshape(t.num_rows, -1))
+            id_chunks.append(t.column("vec_id")
+                             .to_numpy(zero_copy_only=False))
+            n_sample += t.num_rows
+        if n_sample > 65536:
+            raise ValueError("ann_ivf_topk: stride-2 training sample "
+                             "exceeds 65536 rows — raise the stride and "
+                             "regenerate the oracle via "
+                             "_sql_ann_ivf_topk(stride=...)")
+    train = np.concatenate(chunks)
+    train_ids = np.concatenate(id_chunks)
     ivf = IntegerIVF(train, train_ids, n_centroids=16, n_iters=8)
     return ivf_topk(_table(sf_dir, "embeddings"), Q, qids, ivf,
                     k=10, n_probe=4)
@@ -1808,15 +1823,15 @@ SELECT doc_id, source FROM (
     PARTITION BY source
     ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents) WHERE rk <= 20""",
-        # integer-literal gate on both sides: polars cast(strict=False)
-        # nulls '2.5' while DuckDB CAST rounds it — the regex makes the
-        # contract explicit and identical
+        # integer-literal gate on both sides (ASCII digits, <= 18 so the
+        # cast can't overflow): polars cast nulls '2.5' while DuckDB
+        # CAST rounds it — the shared regex makes the contract identical
         "events_json_sum": r"""
 WITH x AS (SELECT event_type,
            json_extract_string(props, '$.k') AS ks FROM events)
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(ks AS BIGINT)) AS BIGINT) AS sum_field
-FROM x WHERE ks IS NOT NULL AND regexp_matches(ks, '^-?\d+$')
+FROM x WHERE ks IS NOT NULL AND regexp_matches(ks, '^-?[0-9]{1,18}$')
 GROUP BY event_type""",
         "docs_snapshot_diff": """
 WITH o AS (SELECT doc_id, md5_number_upper(text) AS h FROM documents

@@ -63,12 +63,9 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
     bucket_us = bucket_minutes * 60 * 1_000_000
     n_parts = default_num_partitions()
 
-    def merge_part_ids(u: np.ndarray, bk: np.ndarray) -> np.ndarray:
-        """(key, bucket)-hash partition id for the final merge shuffle —
-        computed inline wherever rows are built (tag, carries) so no
-        extra map pass runs just to append it (each pass over the block
-        set costs ~1 s of task overhead at 32 CPUs)."""
-        return key_bucket_partition_ids(u, bk, n_parts)
+    # the merge partition id is computed inline wherever rows are built
+    # (tag, carries) so no extra map pass runs just to append it — each
+    # pass over the block set costs ~1 s of task overhead at 32 CPUs
 
     def tag(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -85,7 +82,8 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
             "is_left": pc.equal(t.column("event_type"), left_type),
             "event_id": t.column("event_id").cast(pa.int64()),
             "ts_us": pa.array(ts_us, pa.int64()),
-            "p": pa.array(merge_part_ids(u, bk), pa.int32()),
+            "p": pa.array(key_bucket_partition_ids(u, bk, n_parts),
+                          pa.int32()),
         })
 
     tagged = events.map_batches(tag, batch_format="pyarrow",
@@ -159,7 +157,7 @@ def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
             "is_left": np.zeros(len(out), dtype=bool),
             "event_id": out["carry_id"].to_numpy(np.int64),
             "ts_us": out["carry_ts"].to_numpy(np.int64),
-            "p": merge_part_ids(u, bk),
+            "p": key_bucket_partition_ids(u, bk, n_parts),
         })
 
     def to_arrow(b: pa.Table) -> pa.Table:
@@ -368,8 +366,6 @@ def anti_join_keys(left: Dataset, right: Dataset, *, left_key: str,
 
     n_parts = default_num_partitions()
 
-    def pid(k: np.ndarray) -> np.ndarray:
-        return key_partition_ids(k, n_parts)
 
     def tag_left(b: pa.Table) -> pa.Table:
         k = b.column(left_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -380,7 +376,7 @@ def anti_join_keys(left: Dataset, right: Dataset, *, left_key: str,
         return pa.table({"k": pa.array(k, pa.int64()),
                          "v": pa.array(v, pa.int64()),
                          "is_left": pa.array(np.ones(len(k), dtype=bool)),
-                         "p": pa.array(pid(k), pa.int32())})
+                         "p": pa.array(key_partition_ids(k, n_parts), pa.int32())})
 
     def tag_right(b: pa.Table) -> pa.Table:
         k = np.unique(b.column(right_key).cast(pa.int64())
@@ -388,7 +384,7 @@ def anti_join_keys(left: Dataset, right: Dataset, *, left_key: str,
         return pa.table({"k": pa.array(k, pa.int64()),
                          "v": pa.array(np.zeros(len(k), np.int64), pa.int64()),
                          "is_left": pa.array(np.zeros(len(k), dtype=bool)),
-                         "p": pa.array(pid(k), pa.int32())})
+                         "p": pa.array(key_partition_ids(k, n_parts), pa.int32())})
 
     def filter_partition(g: pd.DataFrame) -> pa.Table:
         lk = g[g["is_left"]]

@@ -307,10 +307,13 @@ def json_field_agg(events: Dataset, *, group_col: str = "event_type",
     JSON string column (vectorized Rust JSON path via polars — no
     per-row json.loads) and aggregate it per group.
     Output: (group, n, sum_field) — rows where the path is missing OR
-    whose value is not an integer literal are dropped. The explicit
-    integer-literal gate keeps the engine and the SQL oracle identical:
-    without it, polars cast(strict=False) nulls '2.5' while DuckDB
-    CAST rounds it to 3."""
+    whose value is not an int64-safe integer literal are dropped. The
+    explicit gate (ASCII digits only, ≤ 18 of them so the cast can
+    never overflow) keeps the engine and the SQL oracle identical:
+    without it, polars cast(strict=False) nulls '2.5' while DuckDB CAST
+    rounds it to 3, Rust-regex ``\\d`` admits Unicode digits RE2
+    rejects, and a 20-digit literal crashes a strict cast on one side
+    while erroring the whole query on the other."""
     import polars as pl
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -324,7 +327,7 @@ def json_field_agg(events: Dataset, *, group_col: str = "event_type",
                 if isinstance(batch.column(group_col), pa.ChunkedArray)
                 else batch.column(group_col)),
             "vs": vs})
-            .filter(pl.col("vs").str.contains(r"^-?\d+$"))
+            .filter(pl.col("vs").str.contains(r"^-?[0-9]{1,18}$"))
             .with_columns(pl.col("vs").cast(pl.Int64).alias("v")))
         g = df.group_by(group_col).agg(
             pl.len().cast(pl.Int64).alias("n"), pl.col("v").sum().alias("s"))

@@ -193,8 +193,6 @@ def running_aggregates(events: Dataset, *, key: str = "user_id",
     bucket_us = bucket_hours * 3600 * 1_000_000
     n_parts = default_num_partitions()
 
-    def part_ids(u: np.ndarray, bk: np.ndarray) -> np.ndarray:
-        return key_bucket_partition_ids(u, bk, n_parts)
 
     def tag(b: pa.Table) -> pa.Table:
         ts_us = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
@@ -207,7 +205,8 @@ def running_aggregates(events: Dataset, *, key: str = "user_id",
             "ts_us": pa.array(ts_us, pa.int64()),
             "event_id": b.column("event_id").cast(pa.int64()),
             "c": pa.array(_cents(b.column("value")), pa.int64()),
-            "p": pa.array(part_ids(u, bk), pa.int32()),
+            "p": pa.array(key_bucket_partition_ids(u, bk, n_parts),
+                          pa.int32()),
         })
 
     def scan_partition(g: pd.DataFrame) -> pa.Table:
@@ -249,7 +248,8 @@ def running_aggregates(events: Dataset, *, key: str = "user_id",
             "prev0": pa.array(np.where(prev0_valid, prev0, 0), pa.int64(),
                               mask=~prev0_valid),
             "is_summary": pa.array(np.zeros(n, dtype=bool)),
-            "p": pa.array(part_ids(u, bk), pa.int32()),
+            "p": pa.array(key_bucket_partition_ids(u, bk, n_parts),
+                          pa.int32()),
             "q": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
         })
         sm = pa.table({
@@ -330,7 +330,8 @@ def running_aggregates(events: Dataset, *, key: str = "user_id",
             "off_s": pa.array(off_s, pa.int64()),
             "carry_prev": pa.array(np.where(carry_valid, carry, 0),
                                    pa.int64(), mask=~carry_valid),
-            "p": pa.array(part_ids(u, bk), pa.int32()),
+            "p": pa.array(key_bucket_partition_ids(u, bk, n_parts),
+                          pa.int32()),
         })
 
     def empty_offsets() -> pa.Table:
