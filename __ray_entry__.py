@@ -728,6 +728,21 @@ def _q_docs_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new)
 
 
+def _q_fuzzy_brand_pairs(sf_dir: str):
+    """Approximate string self-join (edit distance ≤ 1) over the
+    distinct part brands — deletion-neighborhood blocking, never
+    all-pairs."""
+    from uckg_ray.stages.dedup import fuzzy_pairs
+    return fuzzy_pairs(_table(sf_dir, "part"), col="p_brand")
+
+
+def _q_events_moments(sf_dir: str):
+    """Exact integer moment aggregates (n, Σc, Σc²) per event type —
+    the value-hash-checkable route to variance/stddev."""
+    from uckg_ray.stages.relational import moment_aggregates
+    return moment_aggregates(_table(sf_dir, "events"))
+
+
 def _q_kmv_distinct(sf_dir: str):
     """KMV distinct-text sketch per source (k=32), deterministic and
     SQL-reproduced."""
@@ -833,6 +848,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": _q_kmv_distinct,
         "events_json_sum": _q_events_json_sum,
         "docs_snapshot_diff": _q_docs_snapshot_diff,
+        "fuzzy_brand_pairs": _q_fuzzy_brand_pairs,
+        "events_moments": _q_events_moments,
         "top_events_per_user": _q_top_events_per_user,
         "train_test_split": _q_train_test_split,
         "q1_pricing": _q_q1_pricing,
@@ -1806,6 +1823,17 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_totalprice > 300000)""",
+        "fuzzy_brand_pairs": """
+WITH b AS (SELECT DISTINCT p_brand AS v FROM part)
+SELECT a.v AS left_val, b2.v AS right_val
+FROM b a, b b2 WHERE a.v < b2.v AND levenshtein(a.v, b2.v) <= 1""",
+        "events_moments": """
+WITH e AS (SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_c100,
+       CAST(sum(c * c) AS BIGINT) AS sumsq_c100
+FROM e GROUP BY event_type""",
         "customers_with_big_order": """
 SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c100
 FROM customer c

@@ -366,3 +366,46 @@ def test_running_aggregates_duplicate_timestamps(ray_session):
     assert out[2]["prev_event_id"] == 7   # carry across the bucket gap
     assert out[9]["prev_event_id"] == 2
     assert out[9]["run_sum_c100"] == 1500
+
+
+def test_fuzzy_pairs_vs_duckdb(ray_session):
+    """Deletion-neighborhood blocking + two-pointer verify == DuckDB
+    levenshtein <= 1 on a vocabulary with substitutions, indels and
+    far-apart strings."""
+    import duckdb
+    import ray.data
+    from uckg_ray.stages.dedup import _lev_le1, fuzzy_pairs
+    vocab = ["scan", "scat", "scant", "can", "sort", "sorta", "merge",
+             "marge", "mergee", "hash", "dash", "cash", "table", "cable",
+             "xyzzy", "scan"]
+    df = pd.DataFrame({"w": vocab})
+    got = {(r["left_val"], r["right_val"])
+           for r in fuzzy_pairs(ray.data.from_pandas(df), col="w")
+           .take_all()}
+    con = duckdb.connect()
+    con.register("t", df)
+    want = set(con.execute("""
+        WITH b AS (SELECT DISTINCT w AS v FROM t)
+        SELECT a.v, b2.v FROM b a, b b2
+        WHERE a.v < b2.v AND levenshtein(a.v, b2.v) <= 1""").fetchall())
+    assert got == want and len(got) >= 8
+    # the scalar check agrees with DuckDB on tricky shapes
+    for a, b in [("ab", "ba"), ("abc", "abcd"), ("", "x"), ("x", "x"),
+                 ("ab", "cd"), ("abcd", "abdc")]:
+        duck = con.execute(
+            f"SELECT levenshtein('{a}', '{b}') <= 1").fetchone()[0]
+        assert _lev_le1(a, b) == duck, (a, b)
+
+
+def test_moment_aggregates(ray_session):
+    import ray.data
+    from uckg_ray.stages.relational import moment_aggregates
+    df = _random_events(n=2000, seed=61)
+    out = {r["event_type"]: (r["n"], r["sum_c100"], r["sumsq_c100"])
+           for r in moment_aggregates(ray.data.from_pandas(df)).take_all()}
+    c = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    ref = df.assign(c=c, c2=c * c).groupby("event_type")[["c", "c2"]] \
+        .agg(["count", "sum"])
+    for t, w in ref.iterrows():
+        assert out[t] == (w[("c", "count")], w[("c", "sum")],
+                          w[("c2", "sum")])

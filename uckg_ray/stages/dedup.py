@@ -690,3 +690,108 @@ def kmv_distinct_estimate(docs: Dataset, *, group_col: str = "source",
     return (docs.map_batches(partial, batch_format="pyarrow",
                              batch_size=None)
             .groupby(group_col).map_groups(merge, batch_format="pandas"))
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) <= 1 (two-pointer; never the full DP).
+    Threshold-1 semantics: equal, one substitution, or one indel —
+    identical to DuckDB ``levenshtein(a, b) <= 1``."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_pairs(ds: Dataset, *, col: str,
+                num_partitions: int = 16) -> Dataset:
+    """Approximate string self-join: all DISTINCT value pairs within
+    edit distance 1 — fuzzy matching for entity linking / dictionary
+    cleanup. Output: (left_val, right_val) with left < right.
+
+    Scale shape (never all-pairs): values dedup first (block-local
+    np.unique is the combiner), then each distinct value emits its
+    deletion-neighborhood block keys — itself plus every one-character
+    deletion. Two strings within distance 1 ALWAYS share a block key
+    (substitution: same position deleted; indel: the shorter string is
+    itself a deletion of the longer), so candidates meet inside
+    block-key hash partitions, are verified with the exact two-pointer
+    check, and pair-level distinct removes multi-block duplicates.
+    Candidate volume is bounded by block-key collisions (≈ value length
+    × dictionary density), not by the corpus."""
+    import pandas as pd
+
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    def distinct_block(b: pa.Table) -> pa.Table:
+        vals = np.unique(np.asarray(b.column(col).to_pylist(), dtype=object))
+        return pa.table({col: pa.array(vals.tolist(), pa.string())})
+
+    from ray.data.aggregate import Count
+    distinct = (ds.select_columns([col])
+                .map_batches(distinct_block, batch_format="pyarrow",
+                             batch_size=None)
+                .groupby(col).aggregate(Count(alias_name="_n")))
+
+    def variants(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or col not in b.schema.names:
+            return pa.table({"bk": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string())})
+        out_bk, out_v = [], []
+        for v in b.column(col).to_pylist():
+            out_bk.append(v)
+            out_v.append(v)
+            for i in range(len(v)):
+                out_bk.append(v[:i] + v[i + 1:])
+                out_v.append(v)
+        return pa.table({"bk": pa.array(out_bk, pa.string()),
+                         "v": pa.array(out_v, pa.string())})
+
+    blocked = (distinct.map_batches(variants, batch_format="pyarrow",
+                                    batch_size=None)
+               .map_batches(lambda b: _add_hash_partition(
+                   b, num_partitions, col="bk"),
+                   batch_format="pyarrow", batch_size=None))
+
+    def pairs_partition(g: pd.DataFrame) -> pa.Table:
+        left, right = [], []
+        for _, grp in g.groupby("bk", sort=False):
+            vs = sorted(set(grp["v"]))
+            for i in range(len(vs)):
+                for j in range(i + 1, len(vs)):
+                    if _lev_le1(vs[i], vs[j]):
+                        left.append(vs[i])
+                        right.append(vs[j])
+        return pa.table({"left_val": pa.array(left, pa.string()),
+                         "right_val": pa.array(right, pa.string())})
+
+    cand = (blocked.groupby("p")
+            .map_groups(lambda g: pairs_partition(g.drop(columns=["p"])),
+                        batch_format="pandas"))
+
+    def key(b: pa.Table) -> pa.Table:
+        l = b.column("left_val")
+        r = b.column("right_val")
+        k = pa.compute.binary_join_element_wise(
+            l.combine_chunks() if isinstance(l, pa.ChunkedArray) else l,
+            r.combine_chunks() if isinstance(r, pa.ChunkedArray) else r,
+            "\x1f")
+        return _add_hash_partition(b.append_column("k", k),
+                                   num_partitions, col="k")
+
+    def uniq(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates()
+        return pa.table({
+            "left_val": pa.array(df["left_val"].tolist(), pa.string()),
+            "right_val": pa.array(df["right_val"].tolist(), pa.string())})
+
+    return (cand.map_batches(key, batch_format="pyarrow", batch_size=None)
+            .groupby("p")
+            .map_groups(lambda t: uniq(t.drop_columns(["p", "k"])),
+                        batch_format="pyarrow"))

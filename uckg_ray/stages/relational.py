@@ -378,3 +378,34 @@ def pivot_counts(events: Dataset, *, key_col: str = "user_id",
                                batch_size=None)
             .groupby(key_col)
             .aggregate(*[Sum(nm, alias_name=nm) for nm in cols]))
+
+
+def moment_aggregates(events: Dataset, *, group_col: str = "event_type",
+                      value_col: str = "value") -> Dataset:
+    """Exact integer moment aggregates per group: (group, n, sum_c100,
+    sumsq_c100). Variance/stddev derive client-side as
+    (n·Σx² − (Σx)²) / n² — no float ever crosses the oracle boundary,
+    so unlike a native float stddev this is value-hash checkable.
+    Block-local partials are the combiner (one row per group per
+    block)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(value_col))
+        df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(),
+                           "c": c, "c2": c * c})
+        g = (df.groupby(group_col, sort=False)
+             .agg(n=("c", "size"), s=("c", "sum"), s2=("c2", "sum"))
+             .reset_index())
+        return pa.table({
+            group_col: pa.array(g[group_col].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(g["s"].to_numpy(np.int64), pa.int64()),
+            "s2": pa.array(g["s2"].to_numpy(np.int64), pa.int64())})
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby(group_col)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="sum_c100"),
+                       Sum("s2", alias_name="sumsq_c100")))
