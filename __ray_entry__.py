@@ -728,6 +728,13 @@ def _q_docs_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new)
 
 
+def _q_multimodal_frames(sf_dir: str):
+    """Frame-sampling over the binary payload column: every 4th
+    16-char frame as its own row (actor-pool 1→N expansion)."""
+    from uckg_ray.stages.multimodal import attach_binary_payload, sample_frames
+    return sample_frames(attach_binary_payload(_table(sf_dir, "documents")))
+
+
 def _q_fuzzy_brand_pairs(sf_dir: str):
     """Approximate string self-join (edit distance ≤ 1) over the
     distinct part brands — deletion-neighborhood blocking, never
@@ -850,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snapshot_diff": _q_docs_snapshot_diff,
         "fuzzy_brand_pairs": _q_fuzzy_brand_pairs,
         "events_moments": _q_events_moments,
+        "multimodal_frames": _q_multimodal_frames,
         "top_events_per_user": _q_top_events_per_user,
         "train_test_split": _q_train_test_split,
         "q1_pricing": _q_q1_pricing,
@@ -1823,6 +1831,13 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_totalprice > 300000)""",
+        "multimodal_frames": """
+WITH d AS (SELECT doc_id, text,
+           CAST(floor(length(text) / 16) AS BIGINT) AS nf FROM documents),
+x AS (SELECT doc_id, text, unnest(range(nf)) AS i FROM d)
+SELECT doc_id, i AS frame_idx,
+       md5_number_upper(substr(text, CAST(i * 16 + 1 AS INT), 16)) AS frame_h
+FROM x WHERE i % 4 = 0""",
         "fuzzy_brand_pairs": """
 WITH b AS (SELECT DISTINCT p_brand AS v FROM part)
 SELECT a.v AS left_val, b2.v AS right_val

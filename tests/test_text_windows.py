@@ -165,3 +165,22 @@ def test_ngram_counts(ray_session):
     ])
     got = {r["ngram"]: r["count"] for r in ngram_counts(ds, n=2).take_all()}
     assert got == {"a b": 3, "b a": 1}
+
+
+def test_frame_sampler_expansion(ray_session):
+    """1→N frame expansion: every stride-th fixed-width frame becomes a
+    row; short payloads yield no frames; hashes are md5_number_upper."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+    from uckg_ray.stages.multimodal import attach_binary_payload, sample_frames
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a" * 40, "xy"]})
+    out = sample_frames(attach_binary_payload(ray.data.from_pandas(df)),
+                        stride=1, frame_chars=16).take_all()
+    # doc 1: 40 // 16 = 2 frames; doc 2: none
+    assert sorted((r["doc_id"], r["frame_idx"]) for r in out) == \
+        [(1, 0), (1, 1)]
+    want = int.from_bytes(hashlib.md5(("a" * 16).encode()).digest()[:8],
+                          "little")
+    assert all(r["frame_h"] == want for r in out)

@@ -58,6 +58,50 @@ class ImageDecodeStub:
             pa.array(feats, pa.list_(pa.float32())))
 
 
+class FrameSampler:
+    """Actor-pool frame-sampling stage: the 1→N expansion a video/audio
+    pipeline needs (decode container → emit every ``stride``-th frame as
+    its own row). Codecs are absent here, so the frame layout is the
+    declared fake contract — the payload is utf-8 text and a "frame" is
+    a ``frame_chars``-character window — but the Ray plumbing is the
+    real thing: callable-class actor pool (codec init once per worker),
+    small input batches (binary rows are wide), flat row expansion with
+    a deterministic (doc_id, frame_idx, frame_h) layout the SQL oracle
+    reproduces with substr + md5."""
+
+    def __init__(self, stride: int = 4, frame_chars: int = 16):
+        self.stride = stride
+        self.frame_chars = frame_chars
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_idx, out_h = [], [], []
+        w = self.frame_chars
+        for did, p in zip(ids, payloads):
+            text = (p or b"").decode()
+            for i in range(0, len(text) // w, self.stride):
+                frame = text[i * w:(i + 1) * w]
+                h = int.from_bytes(
+                    hashlib.md5(frame.encode()).digest()[:8], "little")
+                out_id.append(did)
+                out_idx.append(i)
+                out_h.append(h)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "frame_idx": pa.array(out_idx, pa.int64()),
+                         "frame_h": pa.array(out_h, pa.uint64())})
+
+
+def sample_frames(docs_with_payload: Dataset, *, stride: int = 4,
+                  frame_chars: int = 16, concurrency: int = 2) -> Dataset:
+    """Frame-sample the binary column with a ``FrameSampler`` actor
+    pool; one output row per sampled frame."""
+    return docs_with_payload.map_batches(
+        FrameSampler, fn_constructor_kwargs={
+            "stride": stride, "frame_chars": frame_chars},
+        batch_format="pyarrow", batch_size=256, concurrency=concurrency)
+
+
 def binary_feature_stats(docs_with_payload: Dataset) -> Dataset:
     """(doc_id, n_bytes, payload_md5) — deterministic, SQL-checkable
     feature extraction over the binary column."""
