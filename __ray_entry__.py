@@ -743,6 +743,13 @@ def _q_fuzzy_brand_pairs(sf_dir: str):
     return fuzzy_pairs(_table(sf_dir, "part"), col="p_brand")
 
 
+def _q_events_mode(sf_dir: str):
+    """Deterministic modal cent value per event type (max count, ties
+    to smallest value) via the distributed histogram."""
+    from uckg_ray.stages.relational import grouped_mode
+    return grouped_mode(_table(sf_dir, "events"))
+
+
 def _q_events_moments(sf_dir: str):
     """Exact integer moment aggregates (n, Σc, Σc²) per event type —
     the value-hash-checkable route to variance/stddev."""
@@ -857,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snapshot_diff": _q_docs_snapshot_diff,
         "fuzzy_brand_pairs": _q_fuzzy_brand_pairs,
         "events_moments": _q_events_moments,
+        "events_mode": _q_events_mode,
         "multimodal_frames": _q_multimodal_frames,
         "top_events_per_user": _q_top_events_per_user,
         "train_test_split": _q_train_test_split,
@@ -1842,6 +1850,16 @@ FROM x WHERE i % 4 = 0""",
 WITH b AS (SELECT DISTINCT p_brand AS v FROM part)
 SELECT a.v AS left_val, b2.v AS right_val
 FROM b a, b b2 WHERE a.v < b2.v AND levenshtein(a.v, b2.v) <= 1""",
+        # DuckDB's native mode() is first-seen on ties (plan-dependent);
+        # the explicit (count DESC, value ASC) rule is deterministic
+        "events_mode": """
+WITH e AS (SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+h AS (SELECT event_type, c, count(*) AS n FROM e GROUP BY 1, 2),
+r AS (SELECT event_type, c, n, row_number() OVER (
+        PARTITION BY event_type ORDER BY n DESC, c) AS rk FROM h)
+SELECT event_type, c AS mode_c100, CAST(n AS BIGINT) AS mode_n
+FROM r WHERE rk = 1""",
         "events_moments": """
 WITH e AS (SELECT event_type,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)

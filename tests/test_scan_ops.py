@@ -409,3 +409,15 @@ def test_moment_aggregates(ray_session):
     for t, w in ref.iterrows():
         assert out[t] == (w[("c", "count")], w[("c", "sum")],
                           w[("c2", "sum")])
+
+
+def test_grouped_mode_tie_rule(ray_session):
+    """Ties go to the smallest value — deterministic, unlike native
+    mode()."""
+    import ray.data
+    from uckg_ray.stages.relational import grouped_mode
+    df = pd.DataFrame({"event_type": ["a"] * 4 + ["b"] * 3,
+                       "value": [0.02, 0.02, 0.01, 0.01, 0.05, 0.05, 0.03]})
+    out = {r["event_type"]: (r["mode_c100"], r["mode_n"])
+           for r in grouped_mode(ray.data.from_pandas(df)).take_all()}
+    assert out == {"a": (1, 2), "b": (5, 2)}   # a ties 1 vs 2 -> 1 wins

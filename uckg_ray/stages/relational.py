@@ -409,3 +409,42 @@ def moment_aggregates(events: Dataset, *, group_col: str = "event_type",
             .aggregate(Sum("n", alias_name="n"),
                        Sum("s", alias_name="sum_c100"),
                        Sum("s2", alias_name="sumsq_c100")))
+
+
+def grouped_mode(events: Dataset, *, group_col: str = "event_type",
+                 value_col: str = "value") -> Dataset:
+    """Deterministic modal value per group: the cent value with the
+    highest count, ties to the SMALLEST value (DuckDB's native mode()
+    is first-seen on ties, i.e. plan-dependent — the explicit tie rule
+    makes the result engine-independent and oracle-checkable).
+    Output: (group, mode_c100, mode_n). Same distributed-histogram
+    combiner as ``grouped_quantiles`` — the shuffle moves distinct
+    (group, cent) rows only."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(value_col))
+        df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(),
+                           "c": c})
+        g = df.groupby([group_col, "c"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pydict({
+            group_col: g[group_col].tolist(),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "mode_c100": pd.Series([], dtype="int64"),
+                                 "mode_n": pd.Series([], dtype="int64")})
+        g = g.sort_values(["n", "c"], ascending=[False, True],
+                          ignore_index=True)
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "mode_c100": [int(g["c"].iloc[0])],
+                             "mode_n": [int(g["n"].iloc[0])]})
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby([group_col, "c"]).aggregate(Sum("n", alias_name="n"))
+            .groupby(group_col).map_groups(pick, batch_format="pandas"))
