@@ -90,3 +90,18 @@ def test_union_find_oracle_properties(pairs):
         by_alias.setdefault(a, set()).add(e)
     for group in by_alias.values():
         assert len({canon[e] for e in group}) == 1
+
+
+@given(st.lists(st.text(alphabet="abcx", min_size=0, max_size=6),
+                min_size=2, max_size=2))
+@settings(max_examples=200, deadline=None)
+def test_lev_le1_matches_duckdb(pair):
+    """_lev_le1 == DuckDB levenshtein(a,b) <= 1 on arbitrary short
+    strings (the fuzzy-join verify kernel)."""
+    import duckdb
+
+    from uckg_ray.stages.dedup import _lev_le1
+    a, b = pair
+    duck = duckdb.connect().execute(
+        "SELECT levenshtein(?, ?) <= 1", [a, b]).fetchone()[0]
+    assert _lev_le1(a, b) == duck
