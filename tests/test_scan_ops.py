@@ -421,3 +421,36 @@ def test_grouped_mode_tie_rule(ray_session):
     out = {r["event_type"]: (r["mode_c100"], r["mode_n"])
            for r in grouped_mode(ray.data.from_pandas(df)).take_all()}
     assert out == {"a": (1, 2), "b": (5, 2)}   # a ties 1 vs 2 -> 1 wins
+
+
+def test_fuzzy_pairs_non_ascii_and_nulls(ray_session):
+    """Byte-based distance (DuckDB semantics: 'é' vs 'a' is 2) and
+    graceful null drop."""
+    import duckdb
+    import ray.data
+    from uckg_ray.stages.dedup import _lev_le1, fuzzy_pairs
+    assert _lev_le1("é", "a") is False       # 2 bytes vs 1, dist 2
+    assert _lev_le1("café", "cafe") is False  # sub 2 bytes
+    assert _lev_le1("café", "caf") is False   # é = 2-byte indel
+    con = duckdb.connect()
+    for a, b in [("é", "a"), ("café", "cafe"),
+                 ("café", "caf"), ("café", "cafè")]:
+        duck = con.execute("SELECT levenshtein(?, ?) <= 1",
+                           [a, b]).fetchone()[0]
+        assert _lev_le1(a, b) == duck, (a, b)
+    df = pd.DataFrame({"w": ["café", "cafè", None, "zzz"]})
+    got = {(r["left_val"], r["right_val"])
+           for r in fuzzy_pairs(ray.data.from_pandas(df), col="w")
+           .take_all()}
+    assert got == {("cafè", "café")}   # last-byte substitution
+
+
+def test_histogram_ops_raise_on_null_group(ray_session):
+    import pytest
+    import ray.data
+    from uckg_ray.stages.relational import grouped_mode, moment_aggregates
+    df = pd.DataFrame({"event_type": ["a", None], "value": [1.0, 2.0]})
+    with pytest.raises(Exception):
+        grouped_mode(ray.data.from_pandas(df)).take_all()
+    with pytest.raises(Exception):
+        moment_aggregates(ray.data.from_pandas(df)).take_all()

@@ -693,20 +693,23 @@ def kmv_distinct_estimate(docs: Dataset, *, group_col: str = "source",
 
 
 def _lev_le1(a: str, b: str) -> bool:
-    """Exact levenshtein(a, b) <= 1 (two-pointer; never the full DP).
-    Threshold-1 semantics: equal, one substitution, or one indel —
-    identical to DuckDB ``levenshtein(a, b) <= 1``."""
-    la, lb = len(a), len(b)
-    if abs(la - lb) > 1:
+    """Exact levenshtein(a, b) <= 1 (two-pointer; never the full DP),
+    computed over the UTF-8 BYTES — DuckDB's levenshtein is byte-based
+    ('é' vs 'a' is distance 2 there), so a code-point comparison would
+    diverge from the SQL oracle on non-ASCII strings. Threshold-1
+    semantics: equal, one substitution, or one indel."""
+    x, y = a.encode(), b.encode()
+    lx, ly = len(x), len(y)
+    if abs(lx - ly) > 1:
         return False
-    if la == lb:
-        return sum(x != y for x, y in zip(a, b)) <= 1
-    if la > lb:
-        a, b, la = b, a, lb
+    if lx == ly:
+        return sum(p != q for p, q in zip(x, y)) <= 1
+    if lx > ly:
+        x, y, lx = y, x, ly
     i = 0
-    while i < la and a[i] == b[i]:
+    while i < lx and x[i] == y[i]:
         i += 1
-    return a[i:] == b[i + 1:]
+    return x[i:] == y[i + 1:]
 
 
 def fuzzy_pairs(ds: Dataset, *, col: str,
@@ -730,6 +733,9 @@ def fuzzy_pairs(ds: Dataset, *, col: str,
     from uckg_ray.stages.materialize import _add_hash_partition
 
     def distinct_block(b: pa.Table) -> pa.Table:
+        # nulls drop, matching the oracle: levenshtein(NULL, x) <= 1 is
+        # NULL, so SQL never emits a pair involving a NULL value
+        b = b.filter(pa.compute.is_valid(b.column(col)))
         vals = np.unique(np.asarray(b.column(col).to_pylist(), dtype=object))
         return pa.table({col: pa.array(vals.tolist(), pa.string())})
 
@@ -745,10 +751,14 @@ def fuzzy_pairs(ds: Dataset, *, col: str,
                              "v": pa.array([], pa.string())})
         out_bk, out_v = [], []
         for v in b.column(col).to_pylist():
-            out_bk.append(v)
+            # byte-level deletions (latin-1 round-trips any byte string
+            # into the arrow string column) so the blocking matches the
+            # byte-based distance the verify step uses
+            bv = v.encode()
+            out_bk.append(bv.decode("latin-1"))
             out_v.append(v)
-            for i in range(len(v)):
-                out_bk.append(v[:i] + v[i + 1:])
+            for i in range(len(bv)):
+                out_bk.append((bv[:i] + bv[i + 1:]).decode("latin-1"))
                 out_v.append(v)
         return pa.table({"bk": pa.array(out_bk, pa.string()),
                          "v": pa.array(out_v, pa.string())})
@@ -760,6 +770,10 @@ def fuzzy_pairs(ds: Dataset, *, col: str,
                    batch_format="pyarrow", batch_size=None))
 
     def pairs_partition(g: pd.DataFrame) -> pa.Table:
+        # cull singleton blocks before the Python loop — most deletion
+        # variants are unshared, so this removes ~all iterations (the
+        # same cull _bucketed_pairs applies)
+        g = g[g.groupby("bk", sort=False)["v"].transform("size").ge(2)]
         left, right = [], []
         for _, grp in g.groupby("bk", sort=False):
             vs = sorted(set(grp["v"]))

@@ -74,6 +74,7 @@ class FrameSampler:
         self.frame_chars = frame_chars
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from uckg_ray.stages.dedup import _stable64
         ids = batch.column("doc_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         out_id, out_idx, out_h = [], [], []
@@ -81,9 +82,7 @@ class FrameSampler:
         for did, p in zip(ids, payloads):
             text = (p or b"").decode()
             for i in range(0, len(text) // w, self.stride):
-                frame = text[i * w:(i + 1) * w]
-                h = int.from_bytes(
-                    hashlib.md5(frame.encode()).digest()[:8], "little")
+                h = _stable64(text[i * w:(i + 1) * w])
                 out_id.append(did)
                 out_idx.append(i)
                 out_h.append(h)

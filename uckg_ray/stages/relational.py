@@ -37,6 +37,39 @@ def _cents(col) -> np.ndarray:
     return np.floor(vals * 100 + 0.5).astype(np.int64)
 
 
+def _no_nulls(batch: pa.Table, col: str, op: str) -> None:
+    """Loud null-key guard (repo convention): pandas groupby silently
+    DROPS null keys while SQL GROUP BY emits a NULL group row — a
+    silent divergence; raising makes the non-null contract explicit."""
+    if batch.column(col).null_count:
+        raise ValueError(f"{op}: null values in group column {col!r}")
+
+
+def _cent_histogram(events: Dataset, group_col: str, value_col: str
+                    ) -> Dataset:
+    """Shared distributed (group, cent) → count histogram: block-local
+    combiner, then one global Sum groupby — the combiner both
+    ``grouped_quantiles`` and ``grouped_mode`` consume (single
+    definition so fixes stay atomic)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _no_nulls(batch, group_col, "cent_histogram")
+        c = _cents(batch.column(value_col))
+        df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(),
+                           "c": c})
+        g = df.groupby([group_col, "c"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pydict({
+            group_col: g[group_col].tolist(),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby([group_col, "c"]).aggregate(Sum("n", alias_name="n")))
+
+
 def q1_pricing(lineitem: Dataset, cutoff: str = "1998-09-01") -> Dataset:
     """TPC-H Q1-shaped pricing summary: filter by shipdate, group by
     (returnflag, linestatus), integer-cent sums + counts. The filter and
@@ -114,17 +147,6 @@ def grouped_quantiles(events: Dataset, *, group_col: str = "event_type",
     if len(set(names)) != len(names):
         raise ValueError(f"quantile column names collide: {names}")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        c = _cents(batch.column(value_col))
-        df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(),
-                           "c": c})
-        g = df.groupby([group_col, "c"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pydict({
-            group_col: g[group_col].tolist(),
-            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
-            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
-        })
-
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return pd.DataFrame({group_col: pd.Series([], dtype=object),
@@ -142,9 +164,7 @@ def grouped_quantiles(events: Dataset, *, group_col: str = "event_type",
             out[nm] = [int(vals[np.searchsorted(cum, idx, side="right")])]
         return pd.DataFrame(out)
 
-    return (events.map_batches(partial, batch_format="pyarrow",
-                               batch_size=None)
-            .groupby([group_col, "c"]).aggregate(Sum("n", alias_name="n"))
+    return (_cent_histogram(events, group_col, value_col)
             .groupby(group_col).map_groups(pick, batch_format="pandas"))
 
 
@@ -391,6 +411,7 @@ def moment_aggregates(events: Dataset, *, group_col: str = "event_type",
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
+        _no_nulls(batch, group_col, "moment_aggregates")
         c = _cents(batch.column(value_col))
         df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(),
                            "c": c, "c2": c * c})
@@ -417,21 +438,10 @@ def grouped_mode(events: Dataset, *, group_col: str = "event_type",
     highest count, ties to the SMALLEST value (DuckDB's native mode()
     is first-seen on ties, i.e. plan-dependent — the explicit tie rule
     makes the result engine-independent and oracle-checkable).
-    Output: (group, mode_c100, mode_n). Same distributed-histogram
-    combiner as ``grouped_quantiles`` — the shuffle moves distinct
-    (group, cent) rows only."""
+    Output: (group, mode_c100, mode_n). Shares the
+    ``_cent_histogram`` combiner with ``grouped_quantiles`` — the
+    shuffle moves distinct (group, cent) rows only."""
     import pandas as pd
-
-    def partial(batch: pa.Table) -> pa.Table:
-        c = _cents(batch.column(value_col))
-        df = pd.DataFrame({group_col: batch.column(group_col).to_pandas(),
-                           "c": c})
-        g = df.groupby([group_col, "c"], sort=False).size() \
-            .reset_index(name="n")
-        return pa.Table.from_pydict({
-            group_col: g[group_col].tolist(),
-            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
-            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -444,7 +454,5 @@ def grouped_mode(events: Dataset, *, group_col: str = "event_type",
                              "mode_c100": [int(g["c"].iloc[0])],
                              "mode_n": [int(g["n"].iloc[0])]})
 
-    return (events.map_batches(partial, batch_format="pyarrow",
-                               batch_size=None)
-            .groupby([group_col, "c"]).aggregate(Sum("n", alias_name="n"))
+    return (_cent_histogram(events, group_col, value_col)
             .groupby(group_col).map_groups(pick, batch_format="pandas"))
