@@ -728,6 +728,13 @@ def _q_docs_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new)
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """Composed end-to-end curation: fingerprint dedup → token-count
+    quality gate → deterministic split, as one chained pipeline."""
+    from uckg_ray.pipelines.curate import curate_documents
+    return curate_documents(_table(sf_dir, "documents"), min_tokens=40)
+
+
 def _q_multimodal_frames(sf_dir: str):
     """Frame-sampling over the binary payload column: every 4th
     16-char frame as its own row (actor-pool 1→N expansion)."""
@@ -866,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moments": _q_events_moments,
         "events_mode": _q_events_mode,
         "multimodal_frames": _q_multimodal_frames,
+        "curation_pipeline": _q_curation_pipeline,
         "top_events_per_user": _q_top_events_per_user,
         "train_test_split": _q_train_test_split,
         "q1_pricing": _q_q1_pricing,
@@ -1839,6 +1847,17 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_totalprice > 300000)""",
+        "curation_pipeline": """
+WITH f AS (SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+           len(string_split(text, ' ')) AS n_tokens FROM documents),
+k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+kept AS (SELECT f.doc_id, f.n_tokens FROM f JOIN k USING (doc_id))
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM kept WHERE n_tokens >= 40""",
         "multimodal_frames": """
 WITH d AS (SELECT doc_id, text,
            CAST(floor(length(text) / 16) AS BIGINT) AS nf FROM documents),

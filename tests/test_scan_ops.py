@@ -454,3 +454,65 @@ def test_histogram_ops_raise_on_null_group(ray_session):
         grouped_mode(ray.data.from_pandas(df)).take_all()
     with pytest.raises(Exception):
         moment_aggregates(ray.data.from_pandas(df)).take_all()
+
+
+def test_curation_pipeline_composition(ray_session):
+    """Dedup keeps the min doc_id per normalized fingerprint, the gate
+    drops short docs, the split is the deterministic hash."""
+    import ray.data
+    from uckg_ray.pipelines.curate import curate_documents
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the quick brown fox jumps",   # 5 tokens, kept
+                 "The  quick   brown fox JUMPS",  # dup of 0 normalized
+                 "short doc",                     # gated out (2 tokens)
+                 "another unique document here ok",
+                 "another unique document here ok",  # exact dup of 3
+                 "one two three four five six"]})
+    out = {r["doc_id"]: (r["n_tokens"], r["split"]) for r in
+           curate_documents(ray.data.from_pandas(df), min_tokens=5)
+           .take_all()}
+    assert set(out) == {0, 3, 5}          # 1, 4 deduped; 2 gated
+    assert out[0][0] == 5
+    for i in set(out):
+        want = "train" if (i * 2654435761) % (1 << 32) % 100 < 80 \
+            else "test"
+        assert out[i][1] == want
+
+
+def test_source_formats_identical(ray_session):
+    """JSONL and CSV transcript sources normalize to the byte-identical
+    canonical schema the Parquet path produces."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from uckg_ray.sources import fixtures as fx
+    from uckg_ray.sources.formats import read_transcripts
+
+    import pyarrow as pa
+    fdir = fx.fixture_dir("/root/testdata/sf0.001")
+    src = sorted(glob.glob(os.path.join(fdir, "transcripts",
+                                        "*.parquet")))[0]
+    ref = pq.read_table(src).to_pandas().head(2000)
+    ref["tool"] = ref["tool"].fillna("")
+    out = ref.copy()
+    out["ts"] = out["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    os.makedirs("/tmp/fmt_test", exist_ok=True)
+    f = "/tmp/fmt_test/t.parquet"
+    pq.write_table(pa.Table.from_pandas(ref, preserve_index=False), f)
+    out.to_json("/tmp/fmt_test/t.jsonl", orient="records", lines=True)
+    out.to_csv("/tmp/fmt_test/t.csv", index=False)
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                        ignore_index=True)
+        df["tool"] = df["tool"].fillna("")
+        return df
+
+    want = canon(read_transcripts(f))
+    assert want["ts"].equals(ref.sort_values(["conv_id", "turn_idx"],
+                                             ignore_index=True)["ts"])
+    for path in ("/tmp/fmt_test/t.jsonl", "/tmp/fmt_test/t.csv"):
+        got = canon(read_transcripts(path))
+        assert got.equals(want), path

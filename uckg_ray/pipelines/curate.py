@@ -1,0 +1,88 @@
+"""Composed training-data curation pipeline — the operator library
+working end-to-end as a user of the engine would chain it:
+
+    documents
+      → normalized-fingerprint dedup (keep the min doc_id per
+        fingerprint — the ``dedup_fingerprint`` + ``dedup_exact``
+        combination)
+      → token-count quality gate (``token_count`` accounting)
+      → deterministic train/test split (``train_test_split`` hash)
+
+One text pass computes fingerprint + token count per row (the wide
+column never shuffles); the dedup moves (fingerprint, doc_id, n_tokens)
+rows through an explicit hash-partition min-per-fingerprint (block-local
+drop_duplicates is the combiner); the gate and split are stateless maps
+over the surviving rows. Output: (doc_id, n_tokens, split).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+_KNUTH = 2654435761
+_2_32 = 1 << 32
+
+
+def curate_documents(docs: Dataset, *, min_tokens: int = 5,
+                     train_pct: int = 80,
+                     num_partitions: int = 16) -> Dataset:
+    """Dedup → quality gate → split. Exactly mirrored by one SQL chain
+    (md5 fingerprint GROUP BY min, whitespace token count, Knuth-hash
+    split), so the whole composition is value-hash checkable."""
+    import pandas as pd
+
+    from uckg_ray.stages.dedup import normalize_text
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "fp": pa.array(
+                [hashlib.md5(normalize_text(t).encode()).hexdigest()
+                 for t in texts], pa.string()),
+            # len(t.split(' ')) == DuckDB len(string_split(text, ' ')):
+            # both keep empty tokens between consecutive spaces
+            "n_tokens": pa.array(
+                [len(t.split(" ")) for t in texts], pa.int64()),
+        })
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        # block-local combiner: one candidate row per fingerprint
+        df = (batch.to_pandas().sort_values(["fp", "doc_id"])
+              .drop_duplicates("fp"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def part_min(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["fp", "doc_id"]).drop_duplicates("fp")
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64),
+                                 pa.int64())})
+
+    def gate_and_split(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(n >= min_tokens))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = [(int(i) * _KNUTH) % _2_32 % 100 for i in ids]
+        return batch.append_column(
+            "split", pa.array(["train" if x < train_pct else "test"
+                               for x in h], pa.string()))
+
+    kept = (docs.map_batches(per_doc, batch_format="pyarrow",
+                             batch_size=None)
+            .map_batches(local_min, batch_format="pyarrow",
+                         batch_size=None)
+            .map_batches(lambda b: _add_hash_partition(
+                b, num_partitions, col="fp"),
+                batch_format="pyarrow", batch_size=None)
+            .groupby("p")
+            .map_groups(lambda g: part_min(g.drop(columns=["p"])),
+                        batch_format="pandas"))
+    return kept.map_batches(gate_and_split, batch_format="pyarrow",
+                            batch_size=None)
