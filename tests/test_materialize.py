@@ -47,3 +47,41 @@ def test_distinct_edges_rejects_null_key_fields(ray_session):
     for sort in (True, False):
         with pytest.raises(Exception, match="null"):
             distinct_edges(ray.data.from_pandas(df), sort=sort).materialize()
+
+
+def test_export_sinks_roundtrip(ray_session, tmp_path):
+    """JSONL/CSV exports round-trip; N-Triples renders IRIs, plain and
+    typed literals with correct escaping."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.sinks import export_dataset, export_edges_ntriples
+
+    edges = pa.table({
+        "subj": ["http://x/s1", "http://x/s2", "http://x/s3"],
+        "pred": ["http://x/p"] * 3,
+        "obj": ["http://x/o1", 'he said "hi"\nok', "2024-01-01T00:00:00"],
+        "obj_is_literal": [False, True, True],
+        "obj_datatype": ["", "xsd:string", "xsd:dateTime"]})
+    ds = ray.data.from_arrow(edges)
+
+    export_dataset(ds, str(tmp_path / "j"), fmt="jsonl")
+    back = ray.data.read_json(str(tmp_path / "j")).to_pandas()
+    assert sorted(back["subj"]) == sorted(edges.column("subj").to_pylist())
+
+    export_dataset(ds.drop_columns(["obj_is_literal"]),
+                   str(tmp_path / "c"), fmt="csv")
+    backc = ray.data.read_csv(str(tmp_path / "c")).to_pandas()
+    assert len(backc) == 3
+
+    export_edges_ntriples(ds, str(tmp_path / "nt"))
+    text = "".join(open(f).read()
+                   for f in glob.glob(str(tmp_path / "nt" / "*.nt")))
+    lines = sorted(l for l in text.splitlines() if l)
+    assert "<http://x/s1> <http://x/p> <http://x/o1> ." in lines
+    assert ('<http://x/s2> <http://x/p> "he said \\"hi\\"\\nok" .'
+            in lines)
+    assert ("<http://x/s3> <http://x/p> \"2024-01-01T00:00:00\""
+            "^^<http://www.w3.org/2001/XMLSchema#dateTime> ." in lines)
