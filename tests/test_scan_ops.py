@@ -480,7 +480,7 @@ def test_curation_pipeline_composition(ray_session):
         assert out[i][1] == want
 
 
-def test_source_formats_identical(ray_session):
+def test_source_formats_identical(ray_session, tmp_path):
     """JSONL and CSV transcript sources normalize to the byte-identical
     canonical schema the Parquet path produces."""
     import glob
@@ -498,11 +498,10 @@ def test_source_formats_identical(ray_session):
     ref["tool"] = ref["tool"].fillna("")
     out = ref.copy()
     out["ts"] = out["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
-    os.makedirs("/tmp/fmt_test", exist_ok=True)
-    f = "/tmp/fmt_test/t.parquet"
+    f = str(tmp_path / "t.parquet")
     pq.write_table(pa.Table.from_pandas(ref, preserve_index=False), f)
-    out.to_json("/tmp/fmt_test/t.jsonl", orient="records", lines=True)
-    out.to_csv("/tmp/fmt_test/t.csv", index=False)
+    out.to_json(str(tmp_path / "t.jsonl"), orient="records", lines=True)
+    out.to_csv(str(tmp_path / "t.csv"), index=False)
 
     def canon(ds):
         df = ds.to_pandas().sort_values(["conv_id", "turn_idx"],
@@ -513,6 +512,6 @@ def test_source_formats_identical(ray_session):
     want = canon(read_transcripts(f))
     assert want["ts"].equals(ref.sort_values(["conv_id", "turn_idx"],
                                              ignore_index=True)["ts"])
-    for path in ("/tmp/fmt_test/t.jsonl", "/tmp/fmt_test/t.csv"):
+    for path in (str(tmp_path / "t.jsonl"), str(tmp_path / "t.csv")):
         got = canon(read_transcripts(path))
         assert got.equals(want), path

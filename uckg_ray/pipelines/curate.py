@@ -40,16 +40,21 @@ def curate_documents(docs: Dataset, *, min_tokens: int = 5,
     from uckg_ray.stages.materialize import _add_hash_partition
 
     def per_doc(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         texts = batch.column("text").to_pylist()
+        col = batch.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # vectorized token count; split_pattern(' ') keeps empty tokens
+        # between consecutive spaces == DuckDB len(string_split(t, ' '))
+        n_tok = pc.list_value_length(pc.split_pattern(col, " ")) \
+            .cast(pa.int64())
         return pa.table({
             "doc_id": batch.column("doc_id").cast(pa.int64()),
+            # md5 of normalized text is the only per-row Python left
             "fp": pa.array(
                 [hashlib.md5(normalize_text(t).encode()).hexdigest()
                  for t in texts], pa.string()),
-            # len(t.split(' ')) == DuckDB len(string_split(text, ' ')):
-            # both keep empty tokens between consecutive spaces
-            "n_tokens": pa.array(
-                [len(t.split(" ")) for t in texts], pa.int64()),
+            "n_tokens": n_tok,
         })
 
     def local_min(batch: pa.Table) -> pa.Table:
@@ -69,10 +74,14 @@ def curate_documents(docs: Dataset, *, min_tokens: int = 5,
         n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array(n >= min_tokens))
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        h = [(int(i) * _KNUTH) % _2_32 % 100 for i in ids]
+        # vectorized Knuth hash: ids are non-negative int64 well below
+        # 2**64/_KNUTH here, but uint64 wraparound == the Python
+        # (i * K) % 2**32 arithmetic for any non-negative id anyway
+        h = ((ids.astype(np.uint64) * np.uint64(_KNUTH))
+             % np.uint64(_2_32)) % np.uint64(100)
         return batch.append_column(
-            "split", pa.array(["train" if x < train_pct else "test"
-                               for x in h], pa.string()))
+            "split", pa.array(np.where(h < train_pct, "train", "test"),
+                              pa.string()))
 
     kept = (docs.map_batches(per_doc, batch_format="pyarrow",
                              batch_size=None)

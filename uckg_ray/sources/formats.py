@@ -36,17 +36,26 @@ def read_transcripts(path: str, *, fmt: str | None = None,
     """File-parallel transcript read for ``parquet`` / ``json`` (JSONL)
     / ``csv``, normalized to the canonical schema. ``fmt=None`` infers
     from the file extension."""
+    import os
+
     import ray.data
 
     if fmt is None:
         low = path.lower()
+        ext_raw = os.path.splitext(low)[1]
         for ext, f in ((".parquet", "parquet"), (".jsonl", "json"),
                        (".json", "json"), (".csv", "csv")):
             if low.endswith(ext):
                 fmt = f
                 break
         else:
-            fmt = "parquet"
+            if ext_raw:
+                # an unknown extension is a user mistake — raise the
+                # clean error here, not a Parquet magic-bytes failure
+                raise ValueError(
+                    f"cannot infer transcript format from {path!r}; "
+                    "pass fmt='parquet' | 'json' | 'csv'")
+            fmt = "parquet"  # extension-less directory of parquet files
     if fmt == "parquet":
         ds = ray.data.read_parquet(path, **read_kwargs)
     elif fmt == "json":
