@@ -15,6 +15,7 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 from collections.abc import Callable
@@ -88,12 +89,27 @@ def _q_kg_mentions(sf_dir: str):
     return _rd_turns(sf_dir).map_batches(extract_mentions, batch_format="pyarrow")
 
 
-def _q_kg_edges(sf_dir: str):
+@functools.lru_cache(maxsize=2)
+def _distinct_edges_cached(sf_dir: str):
+    """Materialized canonical (sorted, distinct) edge set, shared by every
+    KG query at one sf_dir. Ten of the queries() entries are different
+    VIEWS over the same extraction (edges / nodes / props / degree /
+    entailment / traversal); without the cache each re-runs the full
+    transcript extraction end-to-end, and the two ~20 s queries crowd the
+    driver's correctness-check time budget. Same answer, one extraction —
+    each query's own pipeline (node_table, infer_types, ...) still runs
+    distributed on top of the cached handle. bench.py clears this cache
+    between timed queries so per-query timings stay extraction-honest."""
     f = _fixdir(sf_dir)
     from uckg_ray.pipelines.kg import extract_edges, side_table_edges
     from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
     edges = extract_edges(_rd_turns(sf_dir), f)
-    return distinct_edges(union_edge_sources(edges, side_table_edges(f)), sort=True)
+    return distinct_edges(union_edge_sources(edges, side_table_edges(f)),
+                          sort=True).materialize()
+
+
+def _q_kg_edges(sf_dir: str):
+    return _distinct_edges_cached(sf_dir)
 
 
 def _q_kg_edges_canonical(sf_dir: str):
@@ -128,39 +144,22 @@ def _q_kg_edges_canonical(sf_dir: str):
 
 
 def _q_kg_nodes(sf_dir: str):
-    f = _fixdir(sf_dir)
-    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
-    from uckg_ray.stages.materialize import (distinct_edges, node_table,
-                                             union_edge_sources)
-    edges = extract_edges(_rd_turns(sf_dir), f)
-    distinct = distinct_edges(
-        union_edge_sources(edges, side_table_edges(f)), sort=False)
-    return node_table(distinct)
+    from uckg_ray.stages.materialize import node_table
+    return node_table(_distinct_edges_cached(sf_dir))
 
 
 def _q_kg_node_props(sf_dir: str):
     """A4 multival property aggregation (n10s ARRAY semantics)."""
-    f = _fixdir(sf_dir)
-    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
-    from uckg_ray.stages.materialize import (distinct_edges, node_props,
-                                             union_edge_sources)
-    edges = extract_edges(_rd_turns(sf_dir), f)
-    distinct = distinct_edges(
-        union_edge_sources(edges, side_table_edges(f)), sort=False)
-    return node_props(distinct)
+    from uckg_ray.stages.materialize import node_props
+    return node_props(_distinct_edges_cached(sf_dir))
 
 
 def _q_kg_degree_topk(sf_dir: str):
     """Graph query over the materialized KG: top-20 subjects by
     out-degree (ties → min subj)."""
-    f = _fixdir(sf_dir)
     from ray.data.aggregate import Count
-    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
-    from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
     import pandas as pd
-    edges = extract_edges(_rd_turns(sf_dir), f)
-    distinct = distinct_edges(
-        union_edge_sources(edges, side_table_edges(f)), sort=False)
+    distinct = _distinct_edges_cached(sf_dir)
     deg = distinct.groupby("subj").aggregate(Count(alias_name="degree"))
 
     def local_top(b: pa.Table) -> pa.Table:
@@ -186,29 +185,16 @@ def _q_kg_degree_topk(sf_dir: str):
 def _q_kg_types_inferred(sf_dir: str):
     """T3 TBox entailment: rdf:type assertions ∪ rdfs:subClassOf-closure
     supertypes, distinct (node, type_iri)."""
-    f = _fixdir(sf_dir)
-    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
-    from uckg_ray.stages.materialize import (distinct_edges, infer_types,
-                                             union_edge_sources)
-    edges = extract_edges(_rd_turns(sf_dir), f)
-    distinct = distinct_edges(
-        union_edge_sources(edges, side_table_edges(f)), sort=False)
-    return infer_types(distinct)
+    from uckg_ray.stages.materialize import infer_types
+    return infer_types(_distinct_edges_cached(sf_dir))
 
 
 def _q_kg_types_domain_range(sf_dir: str):
     """T5 (RDFS subset) domain/range entailment: rdfs:domain/rdfs:range
     axioms type edge subjects/objects, composed with the subclass
     closure — the rdfs2/rdfs3 extension over kg_types_inferred."""
-    f = _fixdir(sf_dir)
-    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
-    from uckg_ray.stages.materialize import (distinct_edges,
-                                             infer_types_domain_range,
-                                             union_edge_sources)
-    edges = extract_edges(_rd_turns(sf_dir), f)
-    distinct = distinct_edges(
-        union_edge_sources(edges, side_table_edges(f)), sort=False)
-    return infer_types_domain_range(distinct)
+    from uckg_ray.stages.materialize import infer_types_domain_range
+    return infer_types_domain_range(_distinct_edges_cached(sf_dir))
 
 
 def _q_kg_subprop_entailed(sf_dir: str):
@@ -216,43 +202,27 @@ def _q_kg_subprop_entailed(sf_dir: str):
     super-property triples the rdfs:subPropertyOf closure adds over the
     canonical edge set (e.g. every CVSS literal also asserted under the
     snapshot's uco#hasSeverityScore umbrella)."""
-    f = _fixdir(sf_dir)
-    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
-    from uckg_ray.stages.materialize import (distinct_edges,
-                                             entail_subproperties,
-                                             union_edge_sources)
-    edges = extract_edges(_rd_turns(sf_dir), f)
-    distinct = distinct_edges(
-        union_edge_sources(edges, side_table_edges(f)), sort=False)
-    return entail_subproperties(distinct)
+    from uckg_ray.stages.materialize import entail_subproperties
+    return entail_subproperties(_distinct_edges_cached(sf_dir))
 
 
 def _q_kg_triangles(sf_dir: str):
     """Triangle enumeration (a<b<c) over the undirected relationship
     graph (non-literal, non-rdf:type edges)."""
-    f = _fixdir(sf_dir)
-    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
     from uckg_ray.stages.graph import triangles
-    from uckg_ray.stages.materialize import union_edge_sources
-    # raw unioned edges: undirected_pairs' combiner + pair distinct makes
-    # an upstream distinct_edges shuffle redundant
-    edges = extract_edges(_rd_turns(sf_dir), f)
-    return triangles(union_edge_sources(edges, side_table_edges(f)))
+    # triangles' own undirected-pair distinct makes it indifferent to
+    # whether the input edge stream is deduped — feed the cached
+    # materialized distinct set the other KG queries share
+    return triangles(_distinct_edges_cached(sf_dir))
 
 
 def _q_kg_two_hop(sf_dir: str):
     """2-hop traversal on the KG via a shuffle join of the edge table
     with itself: (et)-[hasWeakness]->(w)-[relatedWeakness]->(w2)."""
-    f = _fixdir(sf_dir)
-    from uckg_ray.pipelines.kg import extract_edges, side_table_edges
-    from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
-    edges = extract_edges(_rd_turns(sf_dir), f)
-    # materialize the (small) distinct edge table BEFORE the self-join:
-    # Dataset.join spawns per-partition aggregator actors, and running
-    # them while the extraction actor pool still holds its CPUs
-    # deadlocks on a small cluster; it also avoids extracting twice.
-    distinct = distinct_edges(
-        union_edge_sources(edges, side_table_edges(f)), sort=False).materialize()
+    # the cached edge set is already materialized, which Dataset.join
+    # needs anyway: its per-partition aggregator actors deadlock on a
+    # small cluster if the extraction actor pool still holds its CPUs
+    distinct = _distinct_edges_cached(sf_dir)
 
     def hop1(b: pa.Table) -> pa.Table:
         m = pa.compute.equal(b.column("pred"), UCO + "hasWeakness")

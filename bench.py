@@ -130,6 +130,10 @@ def run_bench() -> dict:
     queries = {"kg_build": med["value"]}
 
     def timed(name, fn):
+        # per-query timings must stay extraction-honest: the shared
+        # KG-extraction cache (one extraction feeding ten KG views) is
+        # a correctness-check optimization, not a bench one
+        entrymod._distinct_edges_cached.cache_clear()
         t = time.perf_counter()
         try:
             res = fn(sf_dir)

@@ -151,6 +151,53 @@ def test_simhash_pairs_property(ray_session):
     assert got == want
 
 
+def test_minhash_join_path_identical_and_driverless(ray_session):
+    """Forcing the pair ⨝ shingles shuffle-join verification
+    (broadcast_max_candidates=0) must produce the exact same pair set as
+    the broadcast path, with NO driver-side pull anywhere in the build —
+    class-wide patch, so the candidate-state gather the broadcast path
+    uses (small.iter_batches) would trip it."""
+    import ray.data
+    from uckg_ray.stages.dedup import minhash_lsh_pairs
+    texts = ["alpha beta gamma delta epsilon zeta eta theta",
+             "alpha beta gamma delta epsilon zeta eta changed",
+             "alpha beta gamma delta epsilon zeta eta theta iota",
+             "totally different words here now ok yes indeed"]
+    ds = _docs_ds(ray_session, texts)
+    want = {(r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(ds, tau=0.5).take_all()}
+    assert want  # the fixture must exercise the verify
+
+    def forbidden(*a, **kw):
+        raise AssertionError("driver-side corpus pull")
+
+    patched = ("iter_batches", "take_all", "iter_rows", "to_pandas", "take")
+    saved = {m: getattr(ray.data.Dataset, m) for m in patched}
+    for m in patched:
+        setattr(ray.data.Dataset, m, forbidden)
+    try:
+        out = minhash_lsh_pairs(ds, tau=0.5, broadcast_max_candidates=0)
+    finally:
+        for m, fn in saved.items():
+            setattr(ray.data.Dataset, m, fn)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.take_all()}
+    assert got == want
+
+
+def test_neardup_canonical_join_path_identical(ray_session):
+    """broadcast_max=0 forces the co-partitioned map application; the
+    output must be row-identical to the broadcast path."""
+    import ray.data
+    from uckg_ray.stages.dedup import neardup_canonical_docs
+    docs = _docs_ds(ray_session, ["a"] * 6)
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "doc_a": [0, 1, 3], "doc_b": [1, 2, 4]}))
+    rows = neardup_canonical_docs(docs, pairs, broadcast_max=0).take_all()
+    got = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in rows}
+    assert got == {0: (0, False), 1: (0, True), 2: (0, True),
+                   3: (3, False), 4: (3, True), 5: (5, False)}
+
+
 def test_fingerprint_normalization(ray_session):
     from uckg_ray.stages.dedup import fingerprints
     ds = _docs_ds(ray_session, ["Hello,  World!", "hello world"])

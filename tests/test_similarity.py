@@ -41,6 +41,38 @@ def test_neardup_pairs(ray_session):
     assert got == {(0, 1)}
 
 
+def test_embed_lsh_join_path_identical_and_driverless(ray_session):
+    """Forcing the pair ⨝ vectors shuffle-join verification
+    (broadcast_max_candidates=0) must produce the exact same pair set as
+    the broadcast path, with NO driver-side pull during the build."""
+    import ray.data
+    from uckg_ray.stages.similarity import embedding_neardup_lsh_pairs
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((60, 8))
+    M[1] = M[0] + 0.01 * rng.standard_normal(8)   # a true near-dup pair
+    M[7] = M[6] + 0.02 * rng.standard_normal(8)
+    ds = _emb_ds(ray_session, M, np.arange(60))
+    want = {(r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_lsh_pairs(ds, tau=0.95).take_all()}
+    assert want
+
+    def forbidden(*a, **kw):
+        raise AssertionError("driver-side corpus pull")
+
+    patched = ("iter_batches", "take_all", "iter_rows", "to_pandas", "take")
+    saved = {m: getattr(ray.data.Dataset, m) for m in patched}
+    for m in patched:
+        setattr(ray.data.Dataset, m, forbidden)
+    try:
+        out = embedding_neardup_lsh_pairs(ds, tau=0.95,
+                                          broadcast_max_candidates=0)
+    finally:
+        for m, fn in saved.items():
+            setattr(ray.data.Dataset, m, fn)
+    got = {(r["vec_a"], r["vec_b"]) for r in out.take_all()}
+    assert got == want
+
+
 def test_lsh_bucket_deterministic(ray_session):
     from uckg_ray.stages.similarity import HyperplaneLSH
     rng = np.random.default_rng(3)

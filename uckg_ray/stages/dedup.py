@@ -240,7 +240,8 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
                     num_partitions: int = 32,
                     sig_col: str | None = None,
                     sig_verify=None,
-                    distinct: bool = True) -> Dataset:
+                    distinct: bool = True,
+                    canonical_band: tuple[int, int] | None = None) -> Dataset:
     """Candidate (doc_a < doc_b) pairs sharing any bucket, as a Dataset:
     hash-partition on the bucket key, emit pairs with one vectorized
     pandas pass per partition, then a distributed pair-keyed distinct
@@ -258,7 +259,17 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
     by several bands still collapse within a partition) — callers whose
     downstream verify culls candidates by orders of magnitude dedupe
     AFTER verification instead, so the all-to-all distinct moves the
-    small verified set, not the candidate flood."""
+    small verified set, not the candidate flood.
+
+    ``canonical_band=(n_bands, width)`` (sig-path only, for signatures
+    whose band values are bit-slices of the carried uint64 — simhash)
+    makes the output distinct BY CONSTRUCTION with no exchange at all:
+    a verified pair is emitted only in the lowest band where the two
+    signatures' band values agree, which is computable locally from the
+    carried signatures and identical in every bucket that sees the pair
+    — so exactly one bucket, globally, emits it. ``bucket_cols`` must be
+    ``[band, band_val]`` with band the leading key; callers combine it
+    with ``distinct=False``."""
     import polars as pl
 
     def add_p(batch: pa.Table) -> pa.Table:
@@ -285,7 +296,7 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
         df = df[df.groupby("bkey", sort=False)["doc_id"]
                 .transform("size").ge(2)]
         A, B = [], []
-        for _, g in df.groupby("bkey", sort=False):
+        for bk, g in df.groupby("bkey", sort=False):
             if sig_col is None:
                 ids = np.sort(g["doc_id"].unique())
                 if len(ids) < 2:
@@ -300,7 +311,24 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
                 vals = g2["_sv"].to_numpy()
                 iu, ju = np.triu_indices(len(ids), k=1)
                 keep = sig_verify(vals[iu], vals[ju])
-                A.append(ids[iu][keep]); B.append(ids[ju][keep])
+                ka, kb = ids[iu][keep], ids[ju][keep]
+                if canonical_band is not None and len(ka):
+                    # emit only in the LOWEST band whose band values
+                    # agree: both signatures are in hand, so "is this
+                    # that band?" is a local bit-slice comparison and
+                    # the output needs no distinct exchange at all
+                    n_b, width = canonical_band
+                    mask = np.uint64((1 << width) - 1)
+                    band_here = int(str(bk).split("\x1f", 1)[0])
+                    shifts = (np.arange(n_b, dtype=np.uint64)
+                              * np.uint64(width))
+                    va = vals[iu][keep].astype(np.uint64)
+                    vb = vals[ju][keep].astype(np.uint64)
+                    agree = (((va[:, None] >> shifts[None, :]) & mask)
+                             == ((vb[:, None] >> shifts[None, :]) & mask))
+                    sel = agree.argmax(axis=1) == band_here
+                    ka, kb = ka[sel], kb[sel]
+                A.append(ka); B.append(kb)
         if not A:
             return _EMPTY_PAIRS
         a = np.concatenate(A)
@@ -318,6 +346,81 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
         batch_format="pyarrow")
     return distinct_pairs(pair_ds, num_partitions) if distinct else pair_ds
 
+def _copartition_attach(pairs: Dataset, state: Dataset, pair_key: str,
+                        out_col: str, val_type: pa.DataType,
+                        pair_schema: pa.Schema,
+                        num_partitions: int = 32) -> Dataset:
+    """Attach per-doc list-valued state to a pair stream WITHOUT any
+    driver gather: pairs (hash-partitioned on ``pair_key``) and state
+    rows (doc_id, val — hash-partitioned on doc_id) meet inside the same
+    partition task, where a sorted-searchsorted lookup gathers each
+    pair's value. Pairs whose key has no state row are dropped (a doc
+    with an empty shingle set never signed, so it can never be a
+    candidate). This is the verification shape for candidate volumes too
+    large to broadcast — two such exchanges (doc_a then doc_b) replace
+    the ``ray.put`` of the candidate state."""
+    import pyarrow.compute as pc
+
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    pair_cols = list(pair_schema.names)
+    out_schema = pa.schema(
+        [pair_schema.field(c) for c in pair_cols]
+        + [pa.field(out_col, val_type)])
+    empty = out_schema.empty_table()
+
+    def prep_pairs(b: pa.Table) -> pa.Table:
+        t = b.append_column(out_col, pa.nulls(b.num_rows, val_type))
+        t = t.append_column(
+            "_side", pa.array(np.zeros(b.num_rows, np.int8), pa.int8()))
+        return _add_hash_partition(t, num_partitions, col=pair_key)
+
+    def prep_state(b: pa.Table) -> pa.Table:
+        cols = {}
+        for c in pair_cols:
+            if c == pair_key:
+                cols[c] = b.column("doc_id").cast(pa.int64())
+            else:
+                cols[c] = pa.nulls(b.num_rows,
+                                   out_schema.field(c).type)
+        cols[out_col] = b.column("val")
+        cols["_side"] = pa.array(np.ones(b.num_rows, np.int8), pa.int8())
+        return _add_hash_partition(pa.table(cols), num_partitions,
+                                   col=pair_key)
+
+    def attach(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "_side" not in part.column_names:
+            return empty
+        st = part.filter(pc.equal(part.column("_side"), 1))
+        pr = part.filter(pc.equal(part.column("_side"), 0))
+        if pr.num_rows == 0:
+            return empty
+        keys = pr.column(pair_key).to_numpy(zero_copy_only=False)
+        if st.num_rows == 0:
+            return empty
+        sid = st.column(pair_key).to_numpy(zero_copy_only=False)
+        order = np.argsort(sid)
+        sid = sid[order]
+        pos = np.searchsorted(sid, keys)
+        pos_c = np.clip(pos, 0, len(sid) - 1)
+        hit = sid[pos_c] == keys
+        taken = pa.compute.take(
+            st.column(out_col).combine_chunks()
+            if isinstance(st.column(out_col), pa.ChunkedArray)
+            else st.column(out_col),
+            pa.array(order[pos_c[hit]]))
+        kept = pr.filter(pa.array(hit))
+        cols = [kept.column(c) for c in pair_cols] + [taken]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    both = (pairs.map_batches(prep_pairs, batch_format="pyarrow",
+                              batch_size=None)
+            .union(state.map_batches(prep_state, batch_format="pyarrow",
+                                     batch_size=None)))
+    return both.groupby("p").map_groups(
+        lambda t: attach(t.drop_columns(["p"])), batch_format="pyarrow")
+
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -326,6 +429,43 @@ def _stable64(s: str) -> int:
     digest bytes, little-endian) — the same identity doc_winnow relies
     on, so simhash/minhash signatures are exactly SQL-reproducible."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def _shingle_hash_arrays(texts: list[str], w: int,
+                         cache: dict[str, int] | None = None
+                         ) -> list[np.ndarray]:
+    """Per text: the sorted uint64 ``_stable64`` hashes of its distinct
+    w-word shingles. The md5 runs once per DISTINCT shingle across the
+    whole batch (shingles repeat heavily across near-dup docs), and
+    ``cache`` — an actor-held dict, capped — carries hashes across
+    batches; the per-shingle md5 loop was the remaining Python inner
+    loop on the minhash hot path. Bit-identical to hashing per doc:
+    the signature min and the Jaccard intersection are both functions
+    of the hash VALUES only."""
+    uniq: dict[str, int] = {}
+    doc_idx: list[np.ndarray] = []
+    for t in texts:
+        toks = t.split(" ")
+        if len(toks) < w:
+            sh = {" ".join(toks)} if toks != [""] else set()
+        else:
+            sh = {" ".join(toks[j:j + w]) for j in range(len(toks) - w + 1)}
+        doc_idx.append(np.fromiter((uniq.setdefault(s, len(uniq))
+                                    for s in sh), np.int64, len(sh)))
+    hv = np.empty(len(uniq), np.uint64)
+    if cache is None:
+        for s, j in uniq.items():
+            hv[j] = _stable64(s)
+    else:
+        for s, j in uniq.items():
+            h = cache.get(s)
+            if h is None:
+                h = _stable64(s)
+                if len(cache) < 4_000_000:   # bound actor heap growth
+                    cache[s] = h
+            hv[j] = h
+    return [np.sort(hv[idx]) if len(idx) else np.array([], np.uint64)
+            for idx in doc_idx]
 
 
 class MinHasher:
@@ -343,6 +483,7 @@ class MinHasher:
         self.n_perm, self.n_bands = n_perm, n_bands
         self.rows_per_band = n_perm // n_bands
         self.shingle_w = shingle_w
+        self._hcache: dict[str, int] = {}   # shingle → md5-64, per actor
 
     def shingles(self, text: str) -> set[str]:
         toks = text.split(" ")
@@ -363,11 +504,17 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        # one md5 per DISTINCT shingle in the batch (+ actor-level cache)
+        # instead of one per (doc, shingle) — the signature min only sees
+        # hash values, so the output is bit-identical
+        sh_arrays = _shingle_hash_arrays(texts, self.shingle_w, self._hcache)
         D, BAND, H = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.signature(self.shingles(t))
-            if sig is None:
+        for i, hv in zip(ids, sh_arrays):
+            if len(hv) == 0:
                 continue
+            with np.errstate(over="ignore"):
+                sig = (self.a[:, None] * hv[None, :]
+                       + self.b[:, None]).min(axis=1)
             for band in range(self.n_bands):
                 chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
                 h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
@@ -379,27 +526,34 @@ class MinHasher:
 
 def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
                       n_bands: int = 16, shingle_w: int = 3,
-                      concurrency=(1, 8), batch_size: int = 2048) -> Dataset:
+                      concurrency=(1, 8), batch_size: int = 2048,
+                      broadcast_max_candidates: int = 1_000_000) -> Dataset:
     """Candidate generation: shingle → minhash → band-bucket groupby;
     verification: exact shingle Jaccard ≥ tau over the candidate pairs.
 
     Fully distributed shape — the corpus text is consumed only inside
     Ray tasks, never streamed through the driver:
 
-    1. candidate pairs = banded-LSH bucket pairs, distributed distinct
-       (``_bucketed_pairs`` returns a Dataset);
-    2. the needed doc ids (bounded by candidate volume, not corpus size)
-       are broadcast via ``ray.put``; a second pass over ``docs`` filters
-       to those ids INSIDE each task and emits each candidate doc's
-       shingle set hashed to sorted uint64 arrays (8 B/shingle; exact
-       Jaccard modulo 2⁻⁶⁴ hash collisions — the same md5-64 space
-       the minhash permutations consume);
-    3. verification runs vectorized inside ``map_batches`` over the pair
-       Dataset against the broadcast shingle-hash arrays.
-
-    The only driver-resident state is O(candidate docs): the id set and
-    their hashed shingle arrays. At extreme candidate volume, step 2/3
-    become a pair ⨝ shingles shuffle join instead of a broadcast."""
+    1. candidate pairs = banded-LSH bucket pairs (``_bucketed_pairs``
+       returns a Dataset);
+    2. verification state is each candidate doc's shingle set hashed to
+       sorted uint64 arrays (8 B/shingle; exact Jaccard modulo 2⁻⁶⁴ hash
+       collisions — the same md5-64 space the minhash permutations
+       consume), delivered one of two ways, switched on the candidate
+       pair count:
+       - ``≤ broadcast_max_candidates``: the candidate doc ids (bounded
+         by candidate volume, not corpus size) broadcast via ``ray.put``;
+         a second pass over ``docs`` filters to those ids INSIDE each
+         task, and the driver assembles + re-broadcasts the O(candidate
+         docs) shingle arrays for a vectorized verify ``map_batches``;
+       - above it (a loose tau at corpus scale makes the candidate set
+         itself huge): NO driver state at all — the shingle table for
+         all docs co-partitions with the pair stream on doc_a then
+         doc_b (``_copartition_attach`` ×2, the pair ⨝ shingles shuffle
+         join), and the verify runs on the attached columns.
+    3. the post-verify distinct collapses duplicate candidates (same
+       pair surfacing from two bands in different partitions), moving
+       only the verified survivors."""
     import ray
     import ray.data
 
@@ -416,15 +570,19 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
     # at the end).
     cand = _bucketed_pairs(sigs, ["band", "band_hash"],
                            distinct=False).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return ray.data.from_arrow(_EMPTY_PAIRS)
+    w = shingle_w
+
+    if n_cand > broadcast_max_candidates:
+        return _minhash_verify_join(docs, cand, tau=tau, w=w)
 
     # candidate-doc id set: per-block raw tasks return block-distinct
     # ids; the driver sees O(candidate docs) per block, never the pair
     # stream
     need = pair_doc_ids(cand)
     need_ref = ray.put(need)
-    w = shingle_w
 
     def cand_shingle_hashes(batch: pa.Table) -> pa.Table:
         # task-side filter to candidate docs; shingle → md5-64 hash,
@@ -432,23 +590,13 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
         need_arr = ray.get(need_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         keep = np.isin(ids, need_arr)
-        out_ids, out_sh = [], []
-        for i, t in zip(ids[keep],
-                        pa.compute.array_filter(
-                            batch.column("text").combine_chunks()
-                            if isinstance(batch.column("text"), pa.ChunkedArray)
-                            else batch.column("text"),
-                            pa.array(keep)).to_pylist()):
-            toks = t.split(" ")
-            if len(toks) < w:
-                sh = {" ".join(toks)} if toks != [""] else set()
-            else:
-                sh = {" ".join(toks[j:j + w]) for j in range(len(toks) - w + 1)}
-            hv = np.unique(np.fromiter((_stable64(s) for s in sh),
-                                       dtype=np.uint64, count=len(sh)))
-            out_ids.append(int(i)); out_sh.append(hv)
+        texts = pa.compute.array_filter(
+            batch.column("text").combine_chunks()
+            if isinstance(batch.column("text"), pa.ChunkedArray)
+            else batch.column("text"), pa.array(keep)).to_pylist()
+        out_sh = _shingle_hash_arrays(texts, w)
         return pa.Table.from_pydict({
-            "doc_id": pa.array(out_ids, pa.int64()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
             "sh": pa.array([x.tolist() for x in out_sh],
                            pa.list_(pa.uint64()))})
 
@@ -510,6 +658,64 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
                                            batch_format="pyarrow"))
 
 
+def _minhash_verify_join(docs: Dataset, cand: Dataset, *, tau: float,
+                         w: int, num_partitions: int = 32) -> Dataset:
+    """Shuffle-join verification for candidate volumes too large to
+    broadcast: the full shingle-hash table co-partitions with the pair
+    stream on doc_a then doc_b (``_copartition_attach`` ×2), and the
+    exact-Jaccard verify reads the two attached list columns — nothing
+    O(candidates) or O(corpus) ever lands on the driver. Output is
+    identical to the broadcast path (same hashes, same float-division
+    threshold, same post-verify distinct)."""
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sh = _shingle_hash_arrays(texts, w)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "val": pa.array([x.tolist() for x in sh],
+                            pa.list_(pa.uint64()))})
+
+    state = docs.map_batches(shingle_rows, batch_format="pyarrow")
+    lt = pa.list_(pa.uint64())
+    schema1 = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    a1 = _copartition_attach(cand, state, "doc_a", "sh_a", lt, schema1,
+                             num_partitions)
+    schema2 = schema1.append(pa.field("sh_a", lt))
+    a2 = _copartition_attach(a1, state, "doc_b", "sh_b", lt, schema2,
+                             num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        la = batch.column("sh_a").combine_chunks() \
+            if isinstance(batch.column("sh_a"), pa.ChunkedArray) \
+            else batch.column("sh_a")
+        lb = batch.column("sh_b").combine_chunks() \
+            if isinstance(batch.column("sh_b"), pa.ChunkedArray) \
+            else batch.column("sh_b")
+        va = la.values.to_numpy(zero_copy_only=False)
+        oa = la.offsets.to_numpy(zero_copy_only=False)
+        vb = lb.values.to_numpy(zero_copy_only=False)
+        ob = lb.offsets.to_numpy(zero_copy_only=False)
+        A, B = [], []
+        for k in range(len(a)):
+            sa = va[oa[k]:oa[k + 1]]
+            sb = vb[ob[k]:ob[k + 1]]
+            if not len(sa) or not len(sb):
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            # same float-division form as the broadcast verify so
+            # threshold rounding is identical
+            if inter and inter / (len(sa) + len(sb) - inter) >= tau:
+                A.append(int(a[k])); B.append(int(b[k]))
+        return pa.Table.from_pydict({
+            "doc_a": pa.array(A, pa.int64()),
+            "doc_b": pa.array(B, pa.int64())})
+
+    return distinct_pairs(a2.map_batches(verify, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -545,7 +751,9 @@ def simhash_signatures(docs: Dataset) -> Dataset:
 
 def neardup_canonical_docs(docs: Dataset, pairs: Dataset, *,
                            id_col: str = "doc_id",
-                           salt: int = 4) -> Dataset:
+                           salt: int = 4,
+                           broadcast_max: int = 5_000_000,
+                           num_partitions: int = 32) -> Dataset:
     """Near-dup CLUSTER canonicalization — what a training-data pipeline
     actually runs pair detection for: every document mapped to the min
     doc_id of its duplicate cluster (``canonical_id``) with an
@@ -556,9 +764,17 @@ def neardup_canonical_docs(docs: Dataset, pairs: Dataset, *,
     minhash/simhash/embedding) feeds the distributed min-label
     connected-components (stages/canonicalize.py, hub-salted), then the
     component map — bounded by the number of DUPLICATE docs, not the
-    corpus — broadcasts into a stateless map over ``docs``. Doc ids ride
-    as zero-padded strings through the generic string CC and convert
-    back, preserving numeric min order."""
+    corpus — applies to ``docs``. Doc ids ride as zero-padded strings
+    through the generic string CC and convert back, preserving numeric
+    min order.
+
+    Map application has two shapes, switched on the map's row count:
+    at or below ``broadcast_max`` the sorted map broadcasts once
+    (``ray.put``) into a stateless searchsorted lookup over ``docs``;
+    above it (a high dup rate × a huge corpus — e.g. 30% of 10⁹ docs —
+    would otherwise put a 3×10⁸-row list on the driver) docs and map
+    co-partition by id hash and the same searchsorted assignment runs
+    inside each partition task, so the driver never holds the map."""
     import ray
 
     from uckg_ray.stages.canonicalize import connected_components
@@ -572,10 +788,17 @@ def neardup_canonical_docs(docs: Dataset, pairs: Dataset, *,
                             "dst": pad(b.column("doc_b"))}),
         batch_format="pyarrow")
     has_pairs = prefixed.materialize()
+    n_pairs = has_pairs.count()
+    cc = None
+    if n_pairs > 0:
+        cc = connected_components(has_pairs, "src", "dst",
+                                  salt=salt).materialize()
+    if cc is not None and cc.count() > broadcast_max:
+        return _assign_canonical_join(docs, cc, id_col, num_partitions)
+
     nodes = np.array([], np.int64)
     labels = np.array([], np.int64)
-    if has_pairs.count() > 0:
-        cc = connected_components(has_pairs, "src", "dst", salt=salt)
+    if cc is not None:
         # component map is O(duplicate docs) — the documented small side
         rows = cc.take_all()
         nodes = np.array([int(r["node"]) for r in rows], np.int64)
@@ -604,6 +827,72 @@ def neardup_canonical_docs(docs: Dataset, pairs: Dataset, *,
 
     return docs.select_columns([id_col]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def _assign_canonical_join(docs: Dataset, cc: Dataset, id_col: str,
+                           num_partitions: int) -> Dataset:
+    """Component-map application WITHOUT a driver gather: doc ids and the
+    (node → label) map co-partition on the same id hash; each partition
+    task runs the identical sorted-searchsorted left-lookup the
+    broadcast path uses. Output is bit-identical to the broadcast path
+    (one row per doc; canonical_id = own id when unmapped)."""
+    import pyarrow.compute as pc
+
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    def prep_docs(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).cast(pa.int64())
+        t = pa.table({
+            "id": ids,
+            "label": pa.nulls(b.num_rows, pa.int64()),
+            "_side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8())})
+        return _add_hash_partition(t, num_partitions, col="id")
+
+    def prep_map(b: pa.Table) -> pa.Table:
+        nd = pa.array([int(v) for v in b.column("node").to_pylist()],
+                      pa.int64())
+        lb = pa.array([int(v) for v in b.column("label").to_pylist()],
+                      pa.int64())
+        t = pa.table({
+            "id": nd, "label": lb,
+            "_side": pa.array(np.ones(len(nd), np.int8), pa.int8())})
+        return _add_hash_partition(t, num_partitions, col="id")
+
+    _EMPTY = pa.Table.from_pydict({
+        id_col: pa.array([], pa.int64()),
+        "canonical_id": pa.array([], pa.int64()),
+        "is_dup": pa.array([], pa.bool_())})
+
+    def assign_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "_side" not in part.column_names:
+            return _EMPTY
+        mp = part.filter(pc.equal(part.column("_side"), 1))
+        dp = part.filter(pc.equal(part.column("_side"), 0))
+        if dp.num_rows == 0:
+            return _EMPTY
+        ids = dp.column("id").to_numpy(zero_copy_only=False)
+        canon = ids.copy()
+        if mp.num_rows:
+            nd = mp.column("id").to_numpy(zero_copy_only=False)
+            lb = mp.column("label").to_numpy(zero_copy_only=False)
+            order = np.argsort(nd)
+            nd, lb = nd[order], lb[order]
+            pos = np.searchsorted(nd, ids)
+            pos_c = np.clip(pos, 0, len(nd) - 1)
+            hit = nd[pos_c] == ids
+            canon[hit] = lb[pos_c[hit]]
+        return pa.Table.from_pydict({
+            id_col: pa.array(ids, pa.int64()),
+            "canonical_id": pa.array(canon, pa.int64()),
+            "is_dup": pa.array(canon != ids, pa.bool_())})
+
+    both = (docs.select_columns([id_col])
+            .map_batches(prep_docs, batch_format="pyarrow", batch_size=None)
+            .union(cc.map_batches(prep_map, batch_format="pyarrow",
+                                  batch_size=None)))
+    return both.groupby("p").map_groups(
+        lambda t: assign_partition(t.drop_columns(["p"])),
+        batch_format="pyarrow")
 
 
 def simhash_pairs(docs: Dataset, *, max_hamming: int = 3,
@@ -642,10 +931,15 @@ def simhash_pairs(docs: Dataset, *, max_hamming: int = 3,
 
     banded = simhash_signatures(docs).map_batches(
         bands, batch_format="pyarrow", batch_size=None)
-    # set-semantics output (globally distinct); row order is not part of
-    # the contract — no cosmetic global sort
+    # set-semantics output, globally distinct BY CONSTRUCTION: the
+    # canonical-band rule (emit only in the lowest band whose values
+    # agree — computable locally from the carried signatures) removes
+    # the post-verify all-to-all distinct entirely. Row order is not
+    # part of the contract — no cosmetic global sort.
     return _bucketed_pairs(banded, ["band", "band_val"], num_partitions,
-                           sig_col="simhash", sig_verify=ham_ok)
+                           sig_col="simhash", sig_verify=ham_ok,
+                           distinct=False,
+                           canonical_band=(n_bands, width))
 
 
 def kmv_distinct_estimate(docs: Dataset, *, group_col: str = "source",

@@ -127,7 +127,9 @@ def embedding_neardup_pairs(emb: Dataset, *, tau: float = 0.45,
 def embedding_neardup_lsh_pairs(emb: Dataset, *, tau: float = 0.45,
                                 n_bands: int = 24, band_planes: int = 5,
                                 seed: int = 42, id_col: str = "vec_id",
-                                vec_col: str = "embedding") -> Dataset:
+                                vec_col: str = "embedding",
+                                broadcast_max_candidates: int = 1_000_000
+                                ) -> Dataset:
     """Near-dup pairs via banded hyperplane LSH — the 100 TB path for
     ``embedding_neardup_pairs``. Each of ``n_bands`` independent
     ``band_planes``-bit signatures buckets the vectors; pairs that share
@@ -140,10 +142,14 @@ def embedding_neardup_lsh_pairs(emb: Dataset, *, tau: float = 0.45,
     to keep buckets bounded as the corpus grows.
 
     Fully distributed (the minhash skeleton): banding and candidate
-    distinct stay inside tasks; only the CANDIDATE docs' unit vectors
+    distinct stay inside tasks. Verification state (unit vectors)
+    delivery switches on the candidate pair count: at or below
+    ``broadcast_max_candidates`` only the CANDIDATE docs' unit vectors
     (bounded by candidate volume, not corpus size) are gathered via a
-    task-side id filter and broadcast with ray.put for the vectorized
-    exact-cosine verification pass."""
+    task-side id filter and broadcast with ray.put; above it the unit
+    vectors co-partition with the pair stream on each side
+    (``_copartition_attach`` ×2 — the pair ⨝ vectors shuffle join), so
+    nothing candidate-sized ever lands on the driver."""
     import ray
     import ray.data
 
@@ -180,8 +186,13 @@ def embedding_neardup_lsh_pairs(emb: Dataset, *, tau: float = 0.45,
     cand = _bucketed_pairs(banded, ["band", "band_val"],
                            distinct=False).materialize()
     empty = _EMPTY_PAIRS.rename_columns(["vec_a", "vec_b"])
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return ray.data.from_arrow(empty)
+
+    if n_cand > broadcast_max_candidates:
+        return _embed_verify_join(emb, cand, tau=tau, id_col=id_col,
+                                  vec_col=vec_col)
 
     # candidate-doc id set: per-block raw tasks return block-distinct
     # ids; the driver sees O(candidate docs) per block, never the pair
@@ -232,6 +243,52 @@ def embedding_neardup_lsh_pairs(emb: Dataset, *, tau: float = 0.45,
     # cosmetic global sort
     return (distinct_pairs(verified.rename_columns(["doc_a", "doc_b"]))
             .map_batches(lambda b: b.rename_columns(["vec_a", "vec_b"]),
+                         batch_format="pyarrow"))
+
+
+def _embed_verify_join(emb: Dataset, cand: Dataset, *, tau: float,
+                       id_col: str, vec_col: str,
+                       num_partitions: int = 32) -> Dataset:
+    """Shuffle-join verification for candidate volumes too large to
+    broadcast: the unit-vector table co-partitions with the pair stream
+    on doc_a then doc_b (``_copartition_attach`` ×2) and the exact
+    cosine reads the two attached list columns — no driver state.
+    Output identical to the broadcast path (same normalization, same
+    float64 dot, same post-verify distinct)."""
+    from uckg_ray.stages.dedup import _copartition_attach, distinct_pairs
+
+    def unit_rows(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch, vec_col)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return pa.table({
+            "doc_id": batch.column(id_col).cast(pa.int64()),
+            "val": pa.array(list(Mn), pa.list_(pa.float64()))})
+
+    state = emb.map_batches(unit_rows, batch_format="pyarrow")
+    lt = pa.list_(pa.float64())
+    schema1 = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    a1 = _copartition_attach(cand, state, "doc_a", "v_a", lt, schema1,
+                             num_partitions)
+    schema2 = schema1.append(pa.field("v_a", lt))
+    a2 = _copartition_attach(a1, state, "doc_b", "v_b", lt, schema2,
+                             num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64())})
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        va = _emb_matrix(batch, "v_a")
+        vb = _emb_matrix(batch, "v_b")
+        keep = np.einsum("ij,ij->i", va, vb) >= tau
+        return pa.Table.from_pydict({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64())})
+
+    return (distinct_pairs(a2.map_batches(verify, batch_format="pyarrow"))
+            .map_batches(lambda t: t.rename_columns(["vec_a", "vec_b"]),
                          batch_format="pyarrow"))
 
 
