@@ -431,17 +431,18 @@ def _stable64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
 
 
-def _shingle_hash_arrays(texts: list[str], w: int,
-                         cache: dict[str, int] | None = None
-                         ) -> list[np.ndarray]:
-    """Per text: the sorted uint64 ``_stable64`` hashes of its distinct
-    w-word shingles. The md5 runs once per DISTINCT shingle across the
+def _shingle_hash_index(texts: list[str], w: int,
+                        cache: dict[str, int] | None = None
+                        ) -> tuple[np.ndarray, list[np.ndarray]]:
+    """(hv, doc_idx): hv = uint64 ``_stable64`` hashes of the batch's
+    DISTINCT w-word shingles, doc_idx[i] = indices into hv of doc i's
+    distinct shingles. The md5 runs once per DISTINCT shingle across the
     whole batch (shingles repeat heavily across near-dup docs), and
     ``cache`` — an actor-held dict, capped — carries hashes across
-    batches; the per-shingle md5 loop was the remaining Python inner
-    loop on the minhash hot path. Bit-identical to hashing per doc:
-    the signature min and the Jaccard intersection are both functions
-    of the hash VALUES only."""
+    batches; the per-(doc, shingle) md5 loop was the remaining Python
+    inner loop on the minhash hot path. Bit-identical to hashing per
+    doc: the signature min and the Jaccard intersection are both
+    functions of the hash VALUES only."""
     uniq: dict[str, int] = {}
     doc_idx: list[np.ndarray] = []
     for t in texts:
@@ -464,6 +465,15 @@ def _shingle_hash_arrays(texts: list[str], w: int,
                 if len(cache) < 4_000_000:   # bound actor heap growth
                     cache[s] = h
             hv[j] = h
+    return hv, doc_idx
+
+
+def _shingle_hash_arrays(texts: list[str], w: int,
+                         cache: dict[str, int] | None = None
+                         ) -> list[np.ndarray]:
+    """Per text: the SORTED uint64 shingle-hash array (the layout the
+    Jaccard verifies consume with assume_unique intersect1d)."""
+    hv, doc_idx = _shingle_hash_index(texts, w, cache)
     return [np.sort(hv[idx]) if len(idx) else np.array([], np.uint64)
             for idx in doc_idx]
 
@@ -507,17 +517,24 @@ class MinHasher:
         # one md5 per DISTINCT shingle in the batch (+ actor-level cache)
         # instead of one per (doc, shingle) — the signature min only sees
         # hash values, so the output is bit-identical
-        sh_arrays = _shingle_hash_arrays(texts, self.shingle_w, self._hcache)
+        hv, doc_idx = _shingle_hash_index(texts, self.shingle_w,
+                                          self._hcache)
         D, BAND, H = [], [], []
-        for i, hv in zip(ids, sh_arrays):
-            if len(hv) == 0:
+        for i, idx in zip(ids, doc_idx):
+            if len(idx) == 0:
                 continue
+            hd = hv[idx]
+            # per-doc multiply: a batch-wide gather+reduceat variant
+            # measured SLOWER on this DRAM-bound box (one big buffer of
+            # memory traffic vs small cache-resident per-doc ops)
             with np.errstate(over="ignore"):
-                sig = (self.a[:, None] * hv[None, :]
+                sig = (self.a[:, None] * hd[None, :]
                        + self.b[:, None]).min(axis=1)
             for band in range(self.n_bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                chunk = sig[band * self.rows_per_band:
+                            (band + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(),
+                                    digest_size=8).hexdigest()
                 D.append(i); BAND.append(band); H.append(h)
         return pa.Table.from_pydict({
             "doc_id": pa.array(D, pa.int64()),
@@ -527,7 +544,7 @@ class MinHasher:
 def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
                       n_bands: int = 16, shingle_w: int = 3,
                       concurrency=(1, 8), batch_size: int = 2048,
-                      broadcast_max_candidates: int = 1_000_000) -> Dataset:
+                      broadcast_max_candidates: int = 20_000_000) -> Dataset:
     """Candidate generation: shingle → minhash → band-bucket groupby;
     verification: exact shingle Jaccard ≥ tau over the candidate pairs.
 

@@ -128,7 +128,7 @@ def embedding_neardup_lsh_pairs(emb: Dataset, *, tau: float = 0.45,
                                 n_bands: int = 24, band_planes: int = 5,
                                 seed: int = 42, id_col: str = "vec_id",
                                 vec_col: str = "embedding",
-                                broadcast_max_candidates: int = 1_000_000
+                                broadcast_max_candidates: int = 20_000_000
                                 ) -> Dataset:
     """Near-dup pairs via banded hyperplane LSH — the 100 TB path for
     ``embedding_neardup_pairs``. Each of ``n_bands`` independent
