@@ -652,6 +652,13 @@ def _q_events_rollup(sf_dir: str):
     return rollup_counts(_table(sf_dir, "events"))
 
 
+def _q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, user_id): all four grouping sets from
+    one raw scan (rollup plan + the (NULL, user_id) level)."""
+    from uckg_ray.stages.relational import cube_counts
+    return cube_counts(_table(sf_dir, "events"))
+
+
 def _q_reservoir_sample(sf_dir: str):
     """Deterministic reservoir-style sample: 20 docs per source by
     md5 priority."""
@@ -835,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_order": _q_customers_no_big_order,
         "customers_with_big_order": _q_customers_with_big_order,
         "events_rollup": _q_events_rollup,
+        "events_cube": _q_events_cube,
         "reservoir_sample": _q_reservoir_sample,
         "kmv_distinct": _q_kmv_distinct,
         "events_json_sum": _q_events_json_sum,
@@ -1867,6 +1875,11 @@ SELECT event_type, user_id, count(*) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_c100
 FROM events GROUP BY ROLLUP(event_type, user_id)""",
+        "events_cube": """
+SELECT event_type, user_id, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_c100
+FROM events GROUP BY CUBE(event_type, user_id)""",
         "reservoir_sample": """
 SELECT doc_id, source FROM (
   SELECT doc_id, source, row_number() OVER (

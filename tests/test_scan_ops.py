@@ -268,6 +268,27 @@ def test_rollup_counts(ray_session):
     assert len(out) == len(fine) + len(lvl1) + 1
 
 
+def test_cube_counts(ray_session):
+    """CUBE = ROLLUP rows + the (NULL, l2) grouping set."""
+    import ray.data
+    from uckg_ray.stages.relational import cube_counts
+    df = _random_events(n=2000, users=6, seed=54)
+    out = cube_counts(ray.data.from_pandas(df)).take_all()
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = df.assign(c=cents)
+    fine = df.groupby(["event_type", "user_id"])["c"].agg(["size", "sum"])
+    lvl1 = df.groupby("event_type")["c"].agg(["size", "sum"])
+    lvl2 = df.groupby("user_id")["c"].agg(["size", "sum"])
+    got_lvl2 = {r["user_id"]: (r["n"], r["sum_c100"])
+                for r in out if r["event_type"] is None
+                and r["user_id"] is not None}
+    got_grand = [(r["n"], r["sum_c100"]) for r in out
+                 if r["event_type"] is None and r["user_id"] is None]
+    assert got_lvl2 == {k: (v["size"], v["sum"]) for k, v in lvl2.iterrows()}
+    assert got_grand == [(len(df), int(cents.sum()))]
+    assert len(out) == len(fine) + len(lvl1) + len(lvl2) + 1
+
+
 def test_json_field_agg(ray_session):
     import ray.data
     from uckg_ray.stages.relational import json_field_agg

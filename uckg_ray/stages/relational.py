@@ -215,10 +215,13 @@ def distinct_count_per_key(events: Dataset, *, key_col: str = "user_id",
 
 
 def rollup_counts(events: Dataset, *, l1: str = "event_type",
-                  l2: str = "user_id", value_col: str = "value") -> Dataset:
+                  l2: str = "user_id", value_col: str = "value",
+                  cube: bool = False) -> Dataset:
     """``GROUP BY ROLLUP(l1, l2)``: counts + integer-cent sums at three
     hierarchy levels — (l1, l2), (l1, NULL), (NULL, NULL) — with NULLs
     marking rolled-up columns, exactly like the SQL ROLLUP rows.
+    ``cube=True`` adds the (NULL, l2) grouping set, completing
+    ``GROUP BY CUBE(l1, l2)``.
 
     Scale shape: the raw data is scanned ONCE (block-local partial at
     the finest level, one (l1, l2) shuffle); the coarser levels are
@@ -275,6 +278,23 @@ def rollup_counts(events: Dataset, *, l1: str = "event_type",
                        Sum("sum_c100", alias_name="sum_c100"))
             .map_batches(null_l2, batch_format="pyarrow", batch_size=None))
 
+    extra = []
+    if cube:
+        def null_l1(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or l2 not in b.schema.names:
+                return pin(b)
+            return pa.table({l1: pa.nulls(b.num_rows, pa.string()),
+                             l2: b.column(l2).cast(pa.int64()),
+                             "n": b.column("n").cast(pa.int64()),
+                             "sum_c100": b.column("sum_c100")
+                             .cast(pa.int64())})
+
+        extra.append(
+            fine.groupby(l2)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_c100", alias_name="sum_c100"))
+            .map_batches(null_l1, batch_format="pyarrow", batch_size=None))
+
     def grand_partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "n" not in b.schema.names:
             return pa.table({"g": pa.array([], pa.int32()),
@@ -318,7 +338,16 @@ def rollup_counts(events: Dataset, *, l1: str = "event_type",
             .map_batches(grand_total, batch_format="pyarrow",
                          batch_size=None))
 
-    return fine.union(lvl1, lvl0)
+    return fine.union(lvl1, *extra, lvl0)
+
+
+def cube_counts(events: Dataset, *, l1: str = "event_type",
+                l2: str = "user_id", value_col: str = "value") -> Dataset:
+    """``GROUP BY CUBE(l1, l2)`` — all four grouping sets, one raw scan
+    (the rollup plan plus the (NULL, l2) level off the same materialized
+    finest-level table)."""
+    return rollup_counts(events, l1=l1, l2=l2, value_col=value_col,
+                         cube=True)
 
 
 def json_field_agg(events: Dataset, *, group_col: str = "event_type",
