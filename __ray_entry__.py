@@ -652,6 +652,52 @@ def _q_events_rollup(sf_dir: str):
     return rollup_counts(_table(sf_dir, "events"))
 
 
+def _q_scrub_pii(sf_dir: str):
+    """PII redaction pass: emails / IPv4s / SSNs / phone numbers →
+    typed tokens, per-type counts on the original text. The synthetic
+    documents table carries no PII, so the query seeds deterministic
+    PII into a derived view (id-keyed, mirrored exactly in the SQL
+    oracle) — the check exercises every pattern and the replacement
+    composition, not a no-op."""
+    from uckg_ray.stages.text import scrub_pii
+
+    def seed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out = []
+        for i, t in zip(ids, b.column("text").to_pylist()):
+            s = t
+            if i % 7 == 0:
+                s += f" contact u{i}@example.com"
+            if i % 11 == 0:
+                s += f" from 10.0.{(i // 256) % 256}.{i % 256}"
+            if i % 13 == 0:
+                s += " ssn 123-45-6789"
+            if i % 17 == 0:
+                s += " call 555-123-4567"
+            out.append(s)
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    docs = _table(sf_dir, "documents").map_batches(
+        seed, batch_format="pyarrow", batch_size=None)
+    return scrub_pii(docs)
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Token-window 1→N chunking (size 64, stride 48): documents →
+    fixed-size overlapping training samples."""
+    from uckg_ray.stages.text import chunk_documents
+    return chunk_documents(_table(sf_dir, "documents"), size=64, stride=48)
+
+
+def _q_embed_centroids(sf_dir: str):
+    """Per-label integer-exact centroid components (n, Σq per dim) over
+    the embedding table — quantized like IntegerIVF so the vector sums
+    are value-hash-checkable."""
+    from uckg_ray.stages.similarity import embedding_centroids
+    return embedding_centroids(_table(sf_dir, "embeddings"))
+
+
 def _q_events_cube(sf_dir: str):
     """GROUP BY CUBE(event_type, user_id): all four grouping sets from
     one raw scan (rollup plan + the (NULL, user_id) level)."""
@@ -843,6 +889,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_big_order": _q_customers_with_big_order,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
+        "scrub_pii": _q_scrub_pii,
+        "chunk_documents": _q_chunk_documents,
+        "embed_centroids": _q_embed_centroids,
         "reservoir_sample": _q_reservoir_sample,
         "kmv_distinct": _q_kmv_distinct,
         "events_json_sum": _q_events_json_sum,
@@ -1206,6 +1255,34 @@ def _sql_kg_edges(p) -> str:
     return (f"WITH {_kg_ctes(p)} "
             f"SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype "
             f"FROM ({_edges_union(p)})")
+
+
+def _sql_scrub_pii() -> str:
+    """scrub_pii oracle generated from the SAME pattern table the Ray
+    stage compiles (uckg_ray.stages.text.PII_PATTERNS) — replacement
+    order is part of the contract, so it is encoded once. The CTE seeds
+    the same deterministic PII the Ray query injects (the fixture has
+    none)."""
+    from uckg_ray.stages.text import PII_PATTERNS
+    clean = "text"
+    counts = []
+    for name, rx, tok in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{rx}', '{tok}', 'g')"
+        counts.append(f"CAST(len(regexp_extract_all(text, '{rx}')) "
+                      f"AS BIGINT) AS n_{name}")
+    seed = """
+WITH d AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+          || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.'
+          || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+          || CAST(doc_id % 256 AS VARCHAR) ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+  || CASE WHEN doc_id % 17 = 0 THEN ' call 555-123-4567' ELSE '' END
+  AS text FROM documents)
+"""
+    return (seed + f"SELECT doc_id, {clean} AS clean_text,\n       "
+            + ",\n       ".join(counts) + "\nFROM d")
 
 
 def _sql_model_scores() -> str:
@@ -1880,6 +1957,29 @@ SELECT event_type, user_id, count(*) AS n,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_c100
 FROM events GROUP BY CUBE(event_type, user_id)""",
+        # patterns + replacement ORDER from uckg_ray.stages.text
+        # .PII_PATTERNS (explicit [0-9]: Rust \d is Unicode, RE2's isn't)
+        "scrub_pii": _sql_scrub_pii(),
+        "chunk_documents": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, len(toks), 48)) AS start FROM t)
+SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[start + 1 : least(start + 64, n)], ' ')
+         AS chunk_text,
+       CAST(least(start + 64, n) - start AS BIGINT) AS n_tokens
+FROM s""",
+        # same int64 quantization as IntegerIVF (float32 -> DOUBLE widen,
+        # floor(x*1e6+0.5)): per-(label, dim) sums are exact integers
+        "embed_centroids": """
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q
+FROM (SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings)
+GROUP BY label, dim""",
         "reservoir_sample": """
 SELECT doc_id, source FROM (
   SELECT doc_id, source, row_number() OVER (

@@ -184,3 +184,54 @@ def test_frame_sampler_expansion(ray_session):
     want = int.from_bytes(hashlib.md5(("a" * 16).encode()).digest()[:8],
                           "little")
     assert all(r["frame_h"] == want for r in out)
+
+
+def test_scrub_pii(ray_session):
+    import ray.data
+    from uckg_ray.stages.text import scrub_pii
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["mail bob@example.com or 10.1.2.3 now",
+                 "ssn 123-45-6789 phone 555-123-4567",
+                 "nothing here"]}))
+    rows = {r["doc_id"]: r for r in scrub_pii(ds).take_all()}
+    assert rows[0]["clean_text"] == "mail [EMAIL] or [IP] now"
+    assert rows[0]["n_email"] == 1 and rows[0]["n_ip"] == 1
+    assert rows[1]["clean_text"] == "ssn [SSN] phone [PHONE]"
+    assert rows[1]["n_ssn"] == 1 and rows[1]["n_phone"] == 1
+    assert rows[2]["clean_text"] == "nothing here"
+    assert rows[2]["n_email"] == rows[2]["n_ip"] == 0
+
+
+def test_chunk_documents(ray_session):
+    import ray.data
+    from uckg_ray.stages.text import chunk_documents
+    toks = [f"w{i}" for i in range(10)]
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1], "text": [" ".join(toks), "short"]}))
+    rows = chunk_documents(ds, size=4, stride=3).take_all()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+           for r in rows}
+    # doc 0: starts 0,3,6,9 over 10 tokens
+    assert got[(0, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(0, 1)] == ("w3 w4 w5 w6", 4)
+    assert got[(0, 2)] == ("w6 w7 w8 w9", 4)
+    assert got[(0, 3)] == ("w9", 1)
+    assert got[(1, 0)] == ("short", 1)
+    assert len(got) == 5
+
+
+def test_embedding_centroids(ray_session):
+    import ray.data
+    from uckg_ray.stages.similarity import embedding_centroids
+    M = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.5]], dtype=np.float32)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [r.tolist() for r in M],
+        "label": np.array([7, 7, 9], np.int32)}))
+    rows = {(r["label"], r["dim"]): (r["n"], r["sum_q"])
+            for r in embedding_centroids(ds).take_all()}
+    assert rows[(7, 1)] == (2, 4_000_000)      # 1e6 + 3e6
+    assert rows[(7, 2)] == (2, 6_000_000)
+    assert rows[(9, 1)] == (1, 5_000_000)
+    assert rows[(9, 2)] == (1, 6_500_000)

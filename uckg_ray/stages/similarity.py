@@ -424,3 +424,57 @@ class HyperplaneLSH:
         for k in range(self.planes.shape[0]):
             sig |= bits[:, k].astype(np.int64) << k
         return batch.append_column("bucket", pa.array(sig, pa.int64()))
+
+
+def embedding_centroids(emb: Dataset, *, group_col: str = "label",
+                        vec_col: str = "embedding") -> Dataset:
+    """Per-group embedding centroid components in EXACT integer
+    arithmetic — the vector aggregate a clustering / data-mixing
+    pipeline runs to characterize sources. Vectors quantize to int64
+    (``floor(x·10⁶ + 0.5)`` on the float32→double widening, the
+    IntegerIVF contract), so per-(group, dim) sums are exact integers
+    and the SQL oracle matches value-hashes bit-for-bit; the consumer
+    divides sum_q/n for the centroid at whatever precision it wants.
+
+    Scale shape: one block-local partial (labels × dims rows per
+    block, independent of row count) feeding a small (group, dim)
+    groupby — the classic pre-aggregated vector mean, no wide data
+    ever shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch, vec_col)                  # float64 widened
+        Q = np.floor(M * 1_000_000.0 + 0.5).astype(np.int64)
+        lbl = batch.column(group_col).to_numpy(zero_copy_only=False)
+        labels = np.unique(lbl)
+        L, DIM, N, S = [], [], [], []
+        dims = Q.shape[1]
+        for lv in labels:
+            rows = Q[lbl == lv]
+            L.append(np.full(dims, lv))
+            DIM.append(np.arange(1, dims + 1, dtype=np.int64))
+            N.append(np.full(dims, len(rows), np.int64))
+            S.append(rows.sum(axis=0))
+        return pa.Table.from_pydict({
+            "label": pa.array(np.concatenate(L), pa.int32()),
+            "dim": pa.array(np.concatenate(DIM), pa.int64()),
+            "n": pa.array(np.concatenate(N), pa.int64()),
+            "sum_q": pa.array(np.concatenate(S), pa.int64())})
+
+    def pin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "label" not in b.schema.names:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64())})
+        return pa.table({"label": b.column("label").cast(pa.int32()),
+                         "dim": b.column("dim").cast(pa.int64()),
+                         "n": b.column("n").cast(pa.int64()),
+                         "sum_q": b.column("sum_q").cast(pa.int64())})
+
+    return (emb.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+            .groupby(["label", "dim"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_q", alias_name="sum_q"))
+            .map_batches(pin, batch_format="pyarrow", batch_size=None))

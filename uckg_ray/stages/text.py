@@ -376,3 +376,84 @@ def ngram_contamination(docs: Dataset, *, n: int = 8, probe_mod: int = 10,
                                              batch_format="pyarrow")
     agg = partial.groupby("pk").aggregate(Sum("c", alias_name="overlap"))
     return agg.map_batches(decode, batch_format="pyarrow", batch_size=None)
+
+
+# PII patterns shared with the scrub_pii oracle SQL: explicit [0-9]
+# (Rust regex \d is Unicode, RE2's isn't) and applied in THIS order —
+# replacement output feeds the next pattern, so order is part of the
+# contract. SSN before phone: their digit-group shapes are disjoint,
+# but the fixed order makes the composition unambiguous either way.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "[PHONE]"),
+]
+
+
+def scrub_pii(docs: Dataset, text_col: str = "text",
+              id_col: str = "doc_id") -> Dataset:
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before anything else sees the text. Emails, IPv4s, SSNs and
+    phone numbers are replaced with typed redaction tokens (counts
+    reported per type, counted on the ORIGINAL text); everything is
+    vectorized Rust regex (polars ``replace_all``/``count_matches``),
+    stateless and embarrassingly parallel — no shuffle, no state.
+    Output: (doc_id, clean_text, n_email, n_ip, n_ssn, n_phone)."""
+    import polars as pl
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        s = pl.from_arrow(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+        df = pl.DataFrame({"t": s})
+        exprs = []
+        clean = pl.col("t")
+        for name, rx, tok in PII_PATTERNS:
+            exprs.append(pl.col("t").str.count_matches(rx)
+                         .cast(pl.Int64).alias("n_" + name))
+            clean = clean.str.replace_all(rx, tok)
+        out = df.select(clean.alias("clean_text"), *exprs)
+        t = pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "clean_text": out["clean_text"].to_arrow().cast(pa.string()),
+            **{f"n_{name}": out[f"n_{name}"].to_arrow()
+               for name, _, _ in PII_PATTERNS}})
+        return t
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def chunk_documents(docs: Dataset, *, size: int = 64, stride: int = 48,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> Dataset:
+    """Token-window chunking — the 1→N expansion that turns documents
+    into fixed-size training samples with overlap. Whitespace tokens;
+    a chunk starts at every multiple of ``stride`` below the token
+    count and spans ``size`` tokens (the tail chunks are shorter).
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    Stateless map — chunking never shuffles; downstream dedup/split
+    operators consume the chunk stream like any document table."""
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("chunk_idx", pa.int64()),
+        ("chunk_text", pa.string()), ("n_tokens", pa.int64())])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        D, CI, CT, NT = [], [], [], []
+        for i, t in zip(ids, texts):
+            toks = (t or "").split(" ")
+            n = len(toks)                     # ≥ 1: ''.split(' ') == ['']
+            for ci, start in enumerate(range(0, n, stride)):
+                piece = toks[start:start + size]
+                D.append(i); CI.append(ci)
+                CT.append(" ".join(piece)); NT.append(len(piece))
+        return pa.Table.from_pydict(
+            {id_col: pa.array(D, pa.int64()),
+             "chunk_idx": pa.array(CI, pa.int64()),
+             "chunk_text": pa.array(CT, pa.string()),
+             "n_tokens": pa.array(NT, pa.int64())}, schema=out_schema)
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
