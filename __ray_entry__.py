@@ -794,6 +794,20 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct_estimate(_table(sf_dir, "documents"), k=32)
 
 
+def _q_q5_region_volume(sf_dir: str):
+    """TPC-H Q5 (local supplier volume): two shuffle hash joins on the
+    large sides (orders ⨝ customer, lineitem ⨝ orders), dictionary
+    sides collapsed driver-side, exact integer-cent revenue."""
+    from uckg_ray.stages.relational import q5_local_supplier_volume
+    return q5_local_supplier_volume(
+        _table(sf_dir, "lineitem"), _table(sf_dir, "orders"),
+        pq.read_table(os.path.join(sf_dir, "customer.parquet")),
+        pq.read_table(os.path.join(sf_dir, "supplier.parquet")),
+        pq.read_table(os.path.join(sf_dir, "nation.parquet")),
+        pq.read_table(os.path.join(sf_dir, "region.parquet")),
+        region_name="ASIA")
+
+
 def _q_order_join(sf_dir: str):
     from uckg_ray.stages.joins import hash_join_sum
     return hash_join_sum(_table(sf_dir, "orders"), _table(sf_dir, "lineitem"))
@@ -904,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": _q_top_events_per_user,
         "train_test_split": _q_train_test_split,
         "q1_pricing": _q_q1_pricing,
+        "q5_region_volume": _q_q5_region_volume,
         "orders_by_nation": _q_orders_by_nation,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
@@ -2039,6 +2054,20 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus""",
+        # per-row integer cents BEFORE the sum (floor(x*100+0.5) in
+        # DOUBLE) — same rounding the Ray partial applies
+        "q5_region_volume": """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c100
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
         "orders_by_nation": """
 SELECT n.n_name, count(*) AS n_orders,
        CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -154,7 +154,9 @@ def run_bench() -> dict:
                  "token_count", "kg_custom_spec", "doc_winnow",
                  "embed_neardup_lsh", "events_range_join", "events_running",
                  "events_quantiles", "events_rollup", "docs_snapshot_diff",
-                 "kmv_distinct", "events_json_sum", "kg_subprop_entailed"):
+                 "kmv_distinct", "events_json_sum", "kg_subprop_entailed",
+                 "events_cube", "scrub_pii", "chunk_documents",
+                 "embed_centroids", "q5_region_volume"):
         timed(name, q[name])
     ray.shutdown()
 

@@ -78,3 +78,64 @@ def test_hash_join_sum(ray_session):
     wmap = {r[0]: (r[1], r[2]) for r in want}
     assert {r["o_orderstatus"]: (r["n_items"], r["sum_price_c100"])
             for r in rows} == wmap
+
+
+def test_q5_local_supplier_volume(ray_session):
+    """Q5 multi-join vs DuckDB on a small synthetic star: only
+    same-nation (customer, supplier) lineitems in the region count."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.relational import q5_local_supplier_volume
+
+    rng = np.random.default_rng(5)
+    region = pa.table({"r_regionkey": [0, 1], "r_name": ["ASIA", "EUROPE"]})
+    nation = pa.table({"n_nationkey": [0, 1, 2],
+                       "n_name": ["JAPAN", "INDIA", "FRANCE"],
+                       "n_regionkey": [0, 0, 1]})
+    supplier = pa.table({"s_suppkey": list(range(6)),
+                         "s_nationkey": [0, 1, 2, 0, 1, 2]})
+    customer = pa.table({"c_custkey": list(range(20)),
+                         "c_nationkey": rng.integers(0, 3, 20).tolist()})
+    n_orders = 60
+    orders = pd.DataFrame({
+        "o_orderkey": range(n_orders),
+        "o_custkey": rng.integers(0, 20, n_orders),
+        "o_orderdate": pd.to_datetime(
+            rng.integers(0, 700, n_orders), unit="D",
+            origin="1995-06-01")})
+    n_li = 300
+    lineitem = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_orders, n_li),
+        "l_suppkey": rng.integers(0, 6, n_li),
+        "l_extendedprice": np.round(rng.uniform(10, 5000, n_li), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2)})
+
+    got = {r["n_name"]: r["revenue_c100"]
+           for r in q5_local_supplier_volume(
+               ray.data.from_pandas(lineitem), ray.data.from_pandas(orders),
+               customer, supplier, nation, region,
+               region_name="ASIA").take_all()}
+
+    con = duckdb.connect()
+    for name, t in (("region", region), ("nation", nation),
+                    ("supplier", supplier), ("customer", customer)):
+        con.register(name, t)
+    con.register("orders", orders)
+    con.register("lineitem", lineitem)
+    want = dict(con.execute("""
+        SELECT n_name, CAST(sum(CAST(floor(
+                 l_extendedprice * (1 - l_discount) * 100 + 0.5)
+               AS BIGINT)) AS BIGINT)
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name""").fetchall())
+    assert want and got == want

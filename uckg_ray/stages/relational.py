@@ -485,3 +485,118 @@ def grouped_mode(events: Dataset, *, group_col: str = "event_type",
 
     return (_cent_histogram(events, group_col, value_col)
             .groupby(group_col).map_groups(pick, batch_format="pandas"))
+
+
+def q5_local_supplier_volume(lineitem: Dataset, orders: Dataset,
+                             customer: pa.Table, supplier: pa.Table,
+                             nation: pa.Table, region: pa.Table, *,
+                             region_name: str = "ASIA",
+                             date_lo: str = "1996-01-01",
+                             date_hi: str = "1997-01-01",
+                             num_partitions: int | None = None) -> Dataset:
+    """TPC-H Q5 (local supplier volume): revenue per nation from
+    lineitems whose supplier and customer share a nation inside one
+    region, for one order-date year. Revenue is exact integer cents —
+    ``floor(l_extendedprice · (1 − l_discount) · 100 + 0.5)`` per row
+    (float64 both sides) — so the value hash matches SQL bit-for-bit.
+
+    Distributed shape (the multi-way-join showcase):
+    - region / nation / supplier are dictionary-small: collapsed
+      driver-side into a suppkey → nationkey map over the qualifying
+      region, carried into tasks by closure (ray.put-equivalent).
+    - customer is semi-filtered to the region's nations and column-
+      pruned BEFORE the shuffle (two int64 columns move, nothing else).
+    - orders ⨝ customer and lineitem ⨝ orders are the two genuinely
+      large sides — explicit shuffle hash joins on the join keys, with
+      the date predicate applied to orders before its shuffle.
+    - the final per-nation aggregate is a block-local partial into a
+      ≤ |nations| groupby."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from uckg_ray.config import join_num_partitions
+
+    # driver-side dictionary collapse: region -> nations -> suppliers
+    rk = region.filter(pc.equal(region.column("r_name"), region_name)) \
+        .column("r_regionkey").to_numpy(zero_copy_only=False)
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"),
+                                 value_set=pa.array(rk)))
+    nat_keys = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    nat_names = nat.column("n_name").to_pylist()
+    n_order = np.argsort(nat_keys)
+    nat_keys_s = nat_keys[n_order]
+    nat_names_s = [nat_names[i] for i in n_order]
+    sup = supplier.filter(pc.is_in(supplier.column("s_nationkey"),
+                                   value_set=pa.array(nat_keys)))
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False)
+    sn = sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+    s_order = np.argsort(sk)
+    sk_s, sn_s = sk[s_order], sn[s_order]
+
+    # customer: semi-filter + column-prune before the shuffle
+    cust = customer.filter(pc.is_in(customer.column("c_nationkey"),
+                                    value_set=pa.array(nat_keys))) \
+        .select(["c_custkey", "c_nationkey"])
+
+    lo = np.datetime64(date_lo)
+    hi = np.datetime64(date_hi)
+
+    def orders_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        k = b.filter(pa.array(keep))
+        return pa.table({"o_orderkey": k.column("o_orderkey"),
+                         "o_custkey": k.column("o_custkey")})
+
+    import ray.data
+    o_small = orders.map_batches(orders_prep, batch_format="pyarrow",
+                                 batch_size=None)
+    cust_ds = ray.data.from_arrow(cust)
+    if num_partitions is None:
+        num_partitions = join_num_partitions(cust.num_rows, None)
+    o2 = o_small.join(cust_ds, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("o_custkey",), right_on=("c_custkey",))
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    j = li.join(o2.select_columns(["o_orderkey", "c_nationkey"]),
+                join_type="inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue_c100": pa.array([], pa.int64())})
+        sup_k = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        c_nat = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        if len(sk_s) == 0:
+            keep = np.zeros(len(sup_k), bool)
+        else:
+            pos_c = np.clip(np.searchsorted(sk_s, sup_k), 0, len(sk_s) - 1)
+            hit = sk_s[pos_c] == sup_k
+            # local supplier rule: supplier and customer share a nation
+            keep = hit & (np.where(hit, sn_s[pos_c], -1) == c_nat)
+        if not keep.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue_c100": pa.array([], pa.int64())})
+        ep = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep].astype(np.float64)
+        dc = b.column("l_discount").to_numpy(
+            zero_copy_only=False)[keep].astype(np.float64)
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        nk = c_nat[keep]
+        npos = np.searchsorted(nat_keys_s, nk)
+        names = [nat_names_s[i] for i in npos]
+        import pandas as pd
+        g = (pd.DataFrame({"n_name": names, "c": cents})
+             .groupby("n_name", sort=False)["c"].sum().reset_index())
+        return pa.table({
+            "n_name": pa.array(g["n_name"].tolist(), pa.string()),
+            "revenue_c100": pa.array(g["c"].to_numpy(np.int64),
+                                     pa.int64())})
+
+    return (j.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("n_name")
+            .aggregate(Sum("revenue_c100", alias_name="revenue_c100")))
