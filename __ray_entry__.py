@@ -90,22 +90,35 @@ def _q_kg_mentions(sf_dir: str):
 
 
 @functools.lru_cache(maxsize=2)
-def _distinct_edges_cached(sf_dir: str):
+def _distinct_edges_for(sf_dir: str, session_key: str | None):
     """Materialized canonical (sorted, distinct) edge set, shared by every
-    KG query at one sf_dir. Ten of the queries() entries are different
-    VIEWS over the same extraction (edges / nodes / props / degree /
-    entailment / traversal); without the cache each re-runs the full
-    transcript extraction end-to-end, and the two ~20 s queries crowd the
-    driver's correctness-check time budget. Same answer, one extraction —
-    each query's own pipeline (node_table, infer_types, ...) still runs
-    distributed on top of the cached handle. bench.py clears this cache
-    between timed queries so per-query timings stay extraction-honest."""
+    KG query at one sf_dir WITHIN one Ray session. Ten of the queries()
+    entries are different VIEWS over the same extraction (edges / nodes /
+    props / degree / entailment / traversal); without the cache each
+    re-runs the full transcript extraction end-to-end, and the two ~20 s
+    queries crowd the driver's correctness-check time budget. Same
+    answer, one extraction — each query's own pipeline (node_table,
+    infer_types, ...) still runs distributed on top of the cached handle.
+    ``session_key`` is part of the key: a materialized Dataset's blocks
+    die with their Ray session, so a new ray.init() must never see a
+    stale handle. bench.py clears this cache between timed queries so
+    per-query timings stay extraction-honest."""
     f = _fixdir(sf_dir)
     from uckg_ray.pipelines.kg import extract_edges, side_table_edges
     from uckg_ray.stages.materialize import distinct_edges, union_edge_sources
     edges = extract_edges(_rd_turns(sf_dir), f)
     return distinct_edges(union_edge_sources(edges, side_table_edges(f)),
                           sort=True).materialize()
+
+
+def _distinct_edges_cached(sf_dir: str):
+    import ray
+    key = (ray.get_runtime_context().get_job_id()
+           if ray.is_initialized() else None)
+    return _distinct_edges_for(sf_dir, key)
+
+
+_distinct_edges_cached.cache_clear = _distinct_edges_for.cache_clear
 
 
 def _q_kg_edges(sf_dir: str):

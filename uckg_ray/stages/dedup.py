@@ -349,16 +349,19 @@ def _bucketed_pairs(sigs: Dataset, bucket_cols: list[str],
 def _copartition_attach(pairs: Dataset, state: Dataset, pair_key: str,
                         out_col: str, val_type: pa.DataType,
                         pair_schema: pa.Schema,
-                        num_partitions: int = 32) -> Dataset:
-    """Attach per-doc list-valued state to a pair stream WITHOUT any
-    driver gather: pairs (hash-partitioned on ``pair_key``) and state
-    rows (doc_id, val — hash-partitioned on doc_id) meet inside the same
-    partition task, where a sorted-searchsorted lookup gathers each
-    pair's value. Pairs whose key has no state row are dropped (a doc
-    with an empty shingle set never signed, so it can never be a
-    candidate). This is the verification shape for candidate volumes too
-    large to broadcast — two such exchanges (doc_a then doc_b) replace
-    the ``ray.put`` of the candidate state."""
+                        num_partitions: int = 32,
+                        keep_misses: bool = False) -> Dataset:
+    """Attach per-doc state to a pair stream WITHOUT any driver gather:
+    pairs (hash-partitioned on ``pair_key``) and state rows (doc_id,
+    val — hash-partitioned on doc_id) meet inside the same partition
+    task, where a sorted-searchsorted lookup gathers each pair's value.
+    By default pairs whose key has no state row are dropped (a doc with
+    an empty shingle set never signed, so it can never be a candidate);
+    ``keep_misses=True`` keeps them with a null ``out_col`` instead —
+    the left-lookup shape canonical-map application uses. This is the
+    verification shape for candidate volumes too large to broadcast —
+    two such exchanges (doc_a then doc_b) replace the ``ray.put`` of
+    the candidate state."""
     import pyarrow.compute as pc
 
     from uckg_ray.stages.materialize import _add_hash_partition
@@ -395,21 +398,31 @@ def _copartition_attach(pairs: Dataset, state: Dataset, pair_key: str,
         pr = part.filter(pc.equal(part.column("_side"), 0))
         if pr.num_rows == 0:
             return empty
-        keys = pr.column(pair_key).to_numpy(zero_copy_only=False)
         if st.num_rows == 0:
-            return empty
+            if not keep_misses:
+                return empty
+            cols = [pr.column(c) for c in pair_cols] \
+                + [pa.nulls(pr.num_rows, val_type)]
+            return pa.Table.from_arrays(cols, schema=out_schema)
+        keys = pr.column(pair_key).to_numpy(zero_copy_only=False)
         sid = st.column(pair_key).to_numpy(zero_copy_only=False)
         order = np.argsort(sid)
         sid = sid[order]
         pos = np.searchsorted(sid, keys)
         pos_c = np.clip(pos, 0, len(sid) - 1)
         hit = sid[pos_c] == keys
-        taken = pa.compute.take(
-            st.column(out_col).combine_chunks()
-            if isinstance(st.column(out_col), pa.ChunkedArray)
-            else st.column(out_col),
-            pa.array(order[pos_c[hit]]))
-        kept = pr.filter(pa.array(hit))
+        val_col = st.column(out_col).combine_chunks() \
+            if isinstance(st.column(out_col), pa.ChunkedArray) \
+            else st.column(out_col)
+        if keep_misses:
+            taken = pa.compute.if_else(
+                pa.array(hit),
+                pa.compute.take(val_col, pa.array(order[pos_c])),
+                pa.scalar(None, val_type))
+            kept = pr
+        else:
+            taken = pa.compute.take(val_col, pa.array(order[pos_c[hit]]))
+            kept = pr.filter(pa.array(hit))
         cols = [kept.column(c) for c in pair_cols] + [taken]
         return pa.Table.from_arrays(cols, schema=out_schema)
 
@@ -502,14 +515,20 @@ class MinHasher:
             return {" ".join(toks)} if toks != [""] else set()
         return {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
 
+    def _sig_from_hashes(self, hv: np.ndarray) -> np.ndarray:
+        """Permutation mins from shingle hashes — the ONE kernel both
+        ``signature`` and the batched ``__call__`` route through, so
+        the two paths can't drift."""
+        with np.errstate(over="ignore"):
+            return (self.a[:, None] * hv[None, :]
+                    + self.b[:, None]).min(axis=1)
+
     def signature(self, sh: set[str]) -> np.ndarray | None:
         if not sh:
             return None
         hv = np.fromiter((_stable64(s) for s in sh), dtype=np.uint64,
                          count=len(sh))
-        with np.errstate(over="ignore"):
-            vals = self.a[:, None] * hv[None, :] + self.b[:, None]
-        return vals.min(axis=1)
+        return self._sig_from_hashes(hv)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -523,13 +542,10 @@ class MinHasher:
         for i, idx in zip(ids, doc_idx):
             if len(idx) == 0:
                 continue
-            hd = hv[idx]
             # per-doc multiply: a batch-wide gather+reduceat variant
             # measured SLOWER on this DRAM-bound box (one big buffer of
             # memory traffic vs small cache-resident per-doc ops)
-            with np.errstate(over="ignore"):
-                sig = (self.a[:, None] * hd[None, :]
-                       + self.b[:, None]).min(axis=1)
+            sig = self._sig_from_hashes(hv[idx])
             for band in range(self.n_bands):
                 chunk = sig[band * self.rows_per_band:
                             (band + 1) * self.rows_per_band]
@@ -693,7 +709,11 @@ def _minhash_verify_join(docs: Dataset, cand: Dataset, *, tau: float,
             "val": pa.array([x.tolist() for x in sh],
                             pa.list_(pa.uint64()))})
 
-    state = docs.map_batches(shingle_rows, batch_format="pyarrow")
+    # materialize: the state dataset feeds BOTH attach exchanges — an
+    # unmaterialized plan would re-run the full-corpus shingle hashing
+    # once per attach (Ray Data plans are trees, not DAGs)
+    state = docs.map_batches(shingle_rows,
+                             batch_format="pyarrow").materialize()
     lt = pa.list_(pa.uint64())
     schema1 = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     a1 = _copartition_attach(cand, state, "doc_a", "sh_a", lt, schema1,
@@ -848,68 +868,51 @@ def neardup_canonical_docs(docs: Dataset, pairs: Dataset, *,
 
 def _assign_canonical_join(docs: Dataset, cc: Dataset, id_col: str,
                            num_partitions: int) -> Dataset:
-    """Component-map application WITHOUT a driver gather: doc ids and the
-    (node → label) map co-partition on the same id hash; each partition
-    task runs the identical sorted-searchsorted left-lookup the
-    broadcast path uses. Output is bit-identical to the broadcast path
-    (one row per doc; canonical_id = own id when unmapped)."""
+    """Component-map application WITHOUT a driver gather: one
+    ``_copartition_attach(keep_misses=True)`` left-lookup of the
+    (node → label) map against the doc-id stream, then a stateless
+    coalesce. Output is bit-identical to the broadcast path (one row
+    per doc; canonical_id = own id when unmapped)."""
     import pyarrow.compute as pc
 
-    from uckg_ray.stages.materialize import _add_hash_partition
-
-    def prep_docs(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).cast(pa.int64())
-        t = pa.table({
-            "id": ids,
-            "label": pa.nulls(b.num_rows, pa.int64()),
-            "_side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8())})
-        return _add_hash_partition(t, num_partitions, col="id")
-
     def prep_map(b: pa.Table) -> pa.Table:
-        nd = pa.array([int(v) for v in b.column("node").to_pylist()],
-                      pa.int64())
-        lb = pa.array([int(v) for v in b.column("label").to_pylist()],
-                      pa.int64())
-        t = pa.table({
-            "id": nd, "label": lb,
-            "_side": pa.array(np.ones(len(nd), np.int8), pa.int8())})
-        return _add_hash_partition(t, num_partitions, col="id")
+        # zero-padded CC strings cast vectorized; never a Python loop
+        return pa.table({
+            "doc_id": pc.cast(b.column("node"), pa.int64()),
+            "val": pc.cast(b.column("label"), pa.int64())})
+
+    ids = docs.select_columns([id_col]).map_batches(
+        lambda b: pa.table({id_col: b.column(id_col).cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    state = cc.map_batches(prep_map, batch_format="pyarrow",
+                           batch_size=None)
+    attached = _copartition_attach(
+        ids, state, id_col, "label", pa.int64(),
+        pa.schema([(id_col, pa.int64())]), num_partitions,
+        keep_misses=True)
 
     _EMPTY = pa.Table.from_pydict({
         id_col: pa.array([], pa.int64()),
         "canonical_id": pa.array([], pa.int64()),
         "is_dup": pa.array([], pa.bool_())})
 
-    def assign_partition(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0 or "_side" not in part.column_names:
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return _EMPTY
-        mp = part.filter(pc.equal(part.column("_side"), 1))
-        dp = part.filter(pc.equal(part.column("_side"), 0))
-        if dp.num_rows == 0:
-            return _EMPTY
-        ids = dp.column("id").to_numpy(zero_copy_only=False)
-        canon = ids.copy()
-        if mp.num_rows:
-            nd = mp.column("id").to_numpy(zero_copy_only=False)
-            lb = mp.column("label").to_numpy(zero_copy_only=False)
-            order = np.argsort(nd)
-            nd, lb = nd[order], lb[order]
-            pos = np.searchsorted(nd, ids)
-            pos_c = np.clip(pos, 0, len(nd) - 1)
-            hit = nd[pos_c] == ids
-            canon[hit] = lb[pos_c[hit]]
+        idc = b.column(id_col).combine_chunks() \
+            if isinstance(b.column(id_col), pa.ChunkedArray) \
+            else b.column(id_col)
+        lab = b.column("label").combine_chunks() \
+            if isinstance(b.column("label"), pa.ChunkedArray) \
+            else b.column("label")
+        canon = pc.coalesce(lab, idc)
         return pa.Table.from_pydict({
-            id_col: pa.array(ids, pa.int64()),
-            "canonical_id": pa.array(canon, pa.int64()),
-            "is_dup": pa.array(canon != ids, pa.bool_())})
+            id_col: idc,
+            "canonical_id": canon,
+            "is_dup": pc.not_equal(canon, idc)})
 
-    both = (docs.select_columns([id_col])
-            .map_batches(prep_docs, batch_format="pyarrow", batch_size=None)
-            .union(cc.map_batches(prep_map, batch_format="pyarrow",
-                                  batch_size=None)))
-    return both.groupby("p").map_groups(
-        lambda t: assign_partition(t.drop_columns(["p"])),
-        batch_format="pyarrow")
+    return attached.map_batches(finish, batch_format="pyarrow",
+                                batch_size=None)
 
 
 def simhash_pairs(docs: Dataset, *, max_hamming: int = 3,

@@ -550,20 +550,45 @@ def q5_local_supplier_volume(lineitem: Dataset, orders: Dataset,
                          "o_custkey": k.column("o_custkey")})
 
     import ray.data
+
+    from uckg_ray.stages.dedup import _copartition_attach
+
+    if num_partitions is None:
+        num_partitions = join_num_partitions(cust.num_rows)
+
+    # both large-side joins run as explicit co-partition attaches (the
+    # repo's robust shuffle-join shape): ``Dataset.join`` hands Acero
+    # schema-less empty blocks when a narrow date window leaves fewer
+    # surviving orders than blocks, and raises ArrowInvalid regardless
+    # of the partition count. Join keys are unique on the build side
+    # (custkey in customer, orderkey in orders), so attach ≡ inner join.
     o_small = orders.map_batches(orders_prep, batch_format="pyarrow",
                                  batch_size=None)
-    cust_ds = ray.data.from_arrow(cust)
-    if num_partitions is None:
-        num_partitions = join_num_partitions(cust.num_rows, None)
-    o2 = o_small.join(cust_ds, join_type="inner",
-                      num_partitions=num_partitions,
-                      on=("o_custkey",), right_on=("c_custkey",))
+    cust_state = ray.data.from_arrow(pa.table({
+        "doc_id": cust.column("c_custkey").cast(pa.int64()),
+        "val": cust.column("c_nationkey").cast(pa.int64())}))
+    o2 = _copartition_attach(
+        o_small, cust_state, "o_custkey", "c_nationkey", pa.int64(),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        num_partitions)
+
+    def o2_state(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_orderkey" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        return pa.table({"doc_id": b.column("o_orderkey").cast(pa.int64()),
+                         "val": b.column("c_nationkey").cast(pa.int64())})
 
     li = lineitem.select_columns(
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    j = li.join(o2.select_columns(["o_orderkey", "c_nationkey"]),
-                join_type="inner", num_partitions=num_partitions,
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = _copartition_attach(
+        li, o2.map_batches(o2_state, batch_format="pyarrow",
+                           batch_size=None),
+        "l_orderkey", "c_nationkey", pa.int64(),
+        pa.schema([("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+                   ("l_extendedprice", pa.float64()),
+                   ("l_discount", pa.float64())]),
+        num_partitions)
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -264,7 +264,10 @@ def _embed_verify_join(emb: Dataset, cand: Dataset, *, tau: float,
             "doc_id": batch.column(id_col).cast(pa.int64()),
             "val": pa.array(list(Mn), pa.list_(pa.float64()))})
 
-    state = emb.map_batches(unit_rows, batch_format="pyarrow")
+    # materialize: referenced by both attach exchanges — an
+    # unmaterialized plan would normalize the full corpus twice
+    state = emb.map_batches(unit_rows,
+                            batch_format="pyarrow").materialize()
     lt = pa.list_(pa.float64())
     schema1 = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     a1 = _copartition_attach(cand, state, "doc_a", "v_a", lt, schema1,
