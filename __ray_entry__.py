@@ -113,9 +113,13 @@ def _distinct_edges_for(sf_dir: str, session_key: str | None):
 
 def _distinct_edges_cached(sf_dir: str):
     import ray
-    key = (ray.get_runtime_context().get_job_id()
-           if ray.is_initialized() else None)
-    return _distinct_edges_for(sf_dir, key)
+    if not ray.is_initialized():
+        # Ray Data will auto-init during the materialize; don't cache
+        # under a pre-init key (two uninitialized-epoch calls would
+        # alias even across a dead session) — run this one uncached
+        return _distinct_edges_for.__wrapped__(sf_dir, None)
+    return _distinct_edges_for(sf_dir,
+                               ray.get_runtime_context().get_job_id())
 
 
 _distinct_edges_cached.cache_clear = _distinct_edges_for.cache_clear

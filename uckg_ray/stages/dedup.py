@@ -899,17 +899,11 @@ def _assign_canonical_join(docs: Dataset, cc: Dataset, id_col: str,
     def finish(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return _EMPTY
-        idc = b.column(id_col).combine_chunks() \
-            if isinstance(b.column(id_col), pa.ChunkedArray) \
-            else b.column(id_col)
-        lab = b.column("label").combine_chunks() \
-            if isinstance(b.column("label"), pa.ChunkedArray) \
-            else b.column("label")
-        canon = pc.coalesce(lab, idc)
+        canon = pc.coalesce(b.column("label"), b.column(id_col))
         return pa.Table.from_pydict({
-            id_col: idc,
+            id_col: b.column(id_col),
             "canonical_id": canon,
-            "is_dup": pc.not_equal(canon, idc)})
+            "is_dup": pc.not_equal(canon, b.column(id_col))})
 
     return attached.map_batches(finish, batch_format="pyarrow",
                                 batch_size=None)

@@ -515,7 +515,6 @@ def q5_local_supplier_volume(lineitem: Dataset, orders: Dataset,
 
     from ray.data.aggregate import Sum
 
-    from uckg_ray.config import join_num_partitions
 
     # driver-side dictionary collapse: region -> nations -> suppliers
     rk = region.filter(pc.equal(region.column("r_name"), region_name)) \
@@ -554,7 +553,12 @@ def q5_local_supplier_volume(lineitem: Dataset, orders: Dataset,
     from uckg_ray.stages.dedup import _copartition_attach
 
     if num_partitions is None:
-        num_partitions = join_num_partitions(cust.num_rows)
+        # no row-count clamp needed: _copartition_attach returns
+        # schema-correct empty tables for empty partitions, so the
+        # large lineitem shuffle keeps full cluster parallelism even
+        # when few customers/orders qualify
+        from uckg_ray.config import default_num_partitions
+        num_partitions = default_num_partitions()
 
     # both large-side joins run as explicit co-partition attaches (the
     # repo's robust shuffle-join shape): ``Dataset.join`` hands Acero
