@@ -536,3 +536,38 @@ def test_source_formats_identical(ray_session, tmp_path):
     for path in (str(tmp_path / "t.jsonl"), str(tmp_path / "t.csv")):
         got = canon(read_transcripts(path))
         assert got.equals(want), path
+
+
+def test_kg_extraction_from_jsonl_source(ray_session, tmp_path):
+    """End-to-end format independence: the KG extraction over a JSONL
+    transcript source emits the exact edge set the Parquet path does —
+    a reference user can feed the pipeline from JSONL unchanged."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from uckg_ray.pipelines.kg import extract_edges
+    from uckg_ray.sources import fixtures as fx
+    from uckg_ray.sources.formats import read_transcripts
+
+    fdir = fx.fixture_dir("/root/testdata/sf0.001")
+    src = sorted(glob.glob(os.path.join(fdir, "transcripts",
+                                        "*.parquet")))[:2]
+
+    jl_paths = []
+    for i, f in enumerate(src):
+        df = pq.read_table(f).to_pandas()
+        df["ts"] = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        p = str(tmp_path / f"t{i}.jsonl")
+        df.to_json(p, orient="records", lines=True)
+        jl_paths.append(p)
+
+    def edge_set(turns):
+        rows = extract_edges(turns, fdir).take_all()
+        return {(r["subj"], r["pred"], r["obj"], r["obj_is_literal"],
+                 r["obj_datatype"]) for r in rows}
+
+    import ray.data
+    want = edge_set(ray.data.read_parquet(src))
+    got = edge_set(read_transcripts(jl_paths))
+    assert got == want and len(want) > 100

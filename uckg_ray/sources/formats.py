@@ -31,17 +31,18 @@ def _normalize(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def read_transcripts(path: str, *, fmt: str | None = None,
+def read_transcripts(path: str | list[str], *, fmt: str | None = None,
                      **read_kwargs) -> Dataset:
     """File-parallel transcript read for ``parquet`` / ``json`` (JSONL)
     / ``csv``, normalized to the canonical schema. ``fmt=None`` infers
-    from the file extension."""
+    from the file extension; a list of paths (all the same format)
+    reads file-parallel like the underlying Ray readers."""
     import os
 
     import ray.data
 
     if fmt is None:
-        low = path.lower()
+        low = (path[0] if isinstance(path, list) else path).lower()
         ext_raw = os.path.splitext(low)[1]
         for ext, f in ((".parquet", "parquet"), (".jsonl", "json"),
                        (".json", "json"), (".csv", "csv")):
@@ -56,6 +57,11 @@ def read_transcripts(path: str, *, fmt: str | None = None,
                     f"cannot infer transcript format from {path!r}; "
                     "pass fmt='parquet' | 'json' | 'csv'")
             fmt = "parquet"  # extension-less directory of parquet files
+    if isinstance(path, list):
+        mixed = {p.rsplit(".", 1)[-1].lower() for p in path if "." in p}
+        if len(mixed) > 1:
+            raise ValueError(
+                f"mixed transcript formats in one read: {sorted(mixed)}")
     if fmt == "parquet":
         ds = ray.data.read_parquet(path, **read_kwargs)
     elif fmt == "json":
