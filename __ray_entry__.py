@@ -715,6 +715,13 @@ def _q_embed_centroids(sf_dir: str):
     return embedding_centroids(_table(sf_dir, "embeddings"))
 
 
+def _q_top_terms(sf_dir: str):
+    """Per-source top-10 frequent tokens (distributed heavy-hitters;
+    combiner → distinct-pair shuffle → partial-top-k merge)."""
+    from uckg_ray.stages.text import top_terms_per_group
+    return top_terms_per_group(_table(sf_dir, "documents"), k=10)
+
+
 def _q_events_cube(sf_dir: str):
     """GROUP BY CUBE(event_type, user_id): all four grouping sets from
     one raw scan (rollup plan + the (NULL, user_id) level)."""
@@ -923,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": _q_scrub_pii,
         "chunk_documents": _q_chunk_documents,
         "embed_centroids": _q_embed_centroids,
+        "top_terms": _q_top_terms,
         "reservoir_sample": _q_reservoir_sample,
         "kmv_distinct": _q_kmv_distinct,
         "events_json_sum": _q_events_json_sum,
@@ -2012,6 +2020,15 @@ FROM (SELECT label,
                   AS BIGINT) AS q
       FROM embeddings)
 GROUP BY label, dim""",
+        "top_terms": """
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY source, tok),
+r AS (SELECT source, tok, CAST(n AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, tok) AS rk
+      FROM c)
+SELECT source, tok, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10""",
         "reservoir_sample": """
 SELECT doc_id, source FROM (
   SELECT doc_id, source, row_number() OVER (

@@ -235,3 +235,17 @@ def test_embedding_centroids(ray_session):
     assert rows[(7, 2)] == (2, 6_000_000)
     assert rows[(9, 1)] == (1, 5_000_000)
     assert rows[(9, 2)] == (1, 6_500_000)
+
+
+def test_top_terms_per_group(ray_session):
+    import ray.data
+    from uckg_ray.stages.text import top_terms_per_group
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "source": ["a", "a", "a", "b", "b", "b"],
+        "text": ["x y x", "x z", "y x", "q q q", "q r", "r s"]})
+    rows = top_terms_per_group(ray.data.from_pandas(df), k=2).take_all()
+    got = {(r["source"], r["rk"]): (r["tok"], r["n"]) for r in rows}
+    # a: x=4, y=2, z=1 → top2 x, y;  b: q=4, r=2, s=1 → top2 q, r
+    assert got == {("a", 1): ("x", 4), ("a", 2): ("y", 2),
+                   ("b", 1): ("q", 4), ("b", 2): ("r", 2)}

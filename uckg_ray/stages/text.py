@@ -457,3 +457,75 @@ def chunk_documents(docs: Dataset, *, size: int = 64, stride: int = 48,
              "n_tokens": pa.array(NT, pa.int64())}, schema=out_schema)
 
     return docs.map_batches(chunks, batch_format="pyarrow")
+
+
+def top_terms_per_group(docs: Dataset, *, k: int = 10,
+                        group_col: str = "source",
+                        text_col: str = "text") -> Dataset:
+    """Per-group top-k frequent whitespace tokens (vocabulary /
+    heavy-hitter characterization of each corpus slice). Ties break
+    deterministically: count desc, then token asc — ``row_number()
+    OVER (PARTITION BY group ORDER BY n DESC, tok)``.
+    Output: (group, tok, n, rk 1..k).
+
+    Scale shape: block-local (group, token) counts are the combiner
+    (all-Rust polars split/explode/group_by), the global Sum groupby
+    moves distinct (group, token) pairs only, and the final top-k runs
+    block-partial top-k → tiny per-group merge (the degree_topk
+    pattern) — no global sort, nothing proportional to raw token
+    volume crosses an exchange twice."""
+    import numpy as np
+    import pandas as pd
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        g = batch.column(group_col)
+        df = pl.DataFrame({
+            "g": pl.from_arrow(g.combine_chunks()
+                               if isinstance(g, pa.ChunkedArray) else g),
+            "t": pl.from_arrow(t.combine_chunks()
+                               if isinstance(t, pa.ChunkedArray) else t)
+            .fill_null("")})
+        out = (df.lazy()
+               .select(pl.col("g"), pl.col("t").str.split(" ").alias("tok"))
+               .explode("tok")
+               .group_by(["g", "tok"]).len()
+               .collect())
+        return pa.table({
+            group_col: out["g"].to_arrow().cast(pa.string()),
+            "tok": out["tok"].to_arrow().cast(pa.string()),
+            "n": out["len"].to_arrow().cast(pa.int64())})
+
+    counts = (docs.select_columns([group_col, text_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+              .groupby([group_col, "tok"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        # block-partial top-k per group: the global merge sees ≤ k rows
+        # per (group, block)
+        if b.num_rows == 0 or group_col not in b.schema.names:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        df = (b.to_pandas()
+              .sort_values(["n", "tok"], ascending=[False, True])
+              .groupby(group_col, sort=False).head(k))
+        return pa.table({
+            group_col: pa.array(df[group_col].tolist(), pa.string()),
+            "tok": pa.array(df["tok"].tolist(), pa.string()),
+            "n": pa.array(df["n"].to_numpy(np.int64), pa.int64())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["n", "tok"], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[group_col, "tok", "n", "rk"]]
+
+    return (counts.map_batches(local_top, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))
