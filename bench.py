@@ -156,7 +156,7 @@ def run_bench() -> dict:
                  "events_quantiles", "events_rollup", "docs_snapshot_diff",
                  "kmv_distinct", "events_json_sum", "kg_subprop_entailed",
                  "events_cube", "scrub_pii", "chunk_documents",
-                 "embed_centroids", "q5_region_volume"):
+                 "embed_centroids", "q5_region_volume", "top_terms"):
         timed(name, q[name])
     ray.shutdown()
 
