@@ -41,24 +41,32 @@ def read_transcripts(path: str | list[str], *, fmt: str | None = None,
 
     import ray.data
 
+    if isinstance(path, list) and not path:
+        raise ValueError("read_transcripts: empty path list")
+
+    ext_to_fmt = {".parquet": "parquet", ".jsonl": "json",
+                  ".json": "json", ".csv": "csv"}
+
+    def _infer(one: str) -> str | None:
+        low = one.lower()
+        ext = os.path.splitext(low)[1]
+        if ext in ext_to_fmt:
+            return ext_to_fmt[ext]
+        if ext:
+            # an unknown extension is a user mistake — raise the
+            # clean error here, not a Parquet magic-bytes failure
+            raise ValueError(
+                f"cannot infer transcript format from {one!r}; "
+                "pass fmt='parquet' | 'json' | 'csv'")
+        return None  # extension-less directory
+
     if fmt is None:
-        low = (path[0] if isinstance(path, list) else path).lower()
-        ext_raw = os.path.splitext(low)[1]
-        for ext, f in ((".parquet", "parquet"), (".jsonl", "json"),
-                       (".json", "json"), (".csv", "csv")):
-            if low.endswith(ext):
-                fmt = f
-                break
-        else:
-            if ext_raw:
-                # an unknown extension is a user mistake — raise the
-                # clean error here, not a Parquet magic-bytes failure
-                raise ValueError(
-                    f"cannot infer transcript format from {path!r}; "
-                    "pass fmt='parquet' | 'json' | 'csv'")
-            fmt = "parquet"  # extension-less directory of parquet files
+        fmt = _infer(path[0] if isinstance(path, list) else path) \
+            or "parquet"  # extension-less directory of parquet files
     if isinstance(path, list):
-        mixed = {p.rsplit(".", 1)[-1].lower() for p in path if "." in p}
+        # compare RESOLVED formats, not raw extensions — .json and
+        # .jsonl both read through the json reader and may mix freely
+        mixed = {_infer(p) or "parquet" for p in path}
         if len(mixed) > 1:
             raise ValueError(
                 f"mixed transcript formats in one read: {sorted(mixed)}")

@@ -408,6 +408,15 @@ def _copartition_attach(pairs: Dataset, state: Dataset, pair_key: str,
         sid = st.column(pair_key).to_numpy(zero_copy_only=False)
         order = np.argsort(sid)
         sid = sid[order]
+        # precondition: ONE state row per key. searchsorted returns a
+        # single value per key, so a duplicate-keyed build side would
+        # silently drop join multiplicity instead of fanning out — make
+        # a non-unique build side a loud error, not a wrong answer.
+        if len(sid) > 1 and np.any(sid[1:] == sid[:-1]):
+            raise ValueError(
+                "_copartition_attach: duplicate state keys on the build "
+                f"side (attaching {out_col!r}); this helper is a unique-"
+                "key lookup, not a fan-out join")
         pos = np.searchsorted(sid, keys)
         pos_c = np.clip(pos, 0, len(sid) - 1)
         hit = sid[pos_c] == keys

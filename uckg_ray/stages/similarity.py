@@ -446,6 +446,11 @@ def embedding_centroids(emb: Dataset, *, group_col: str = "label",
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # sparse upstream filter can emit empties
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64())})
         M = _emb_matrix(batch, vec_col)                  # float64 widened
         Q = np.floor(M * 1_000_000.0 + 0.5).astype(np.int64)
         lbl = batch.column(group_col).to_numpy(zero_copy_only=False)

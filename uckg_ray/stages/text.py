@@ -383,12 +383,22 @@ def ngram_contamination(docs: Dataset, *, n: int = 8, probe_mod: int = 10,
 # replacement output feeds the next pattern, so order is part of the
 # contract. SSN before phone: their digit-group shapes are disjoint,
 # but the fixed order makes the composition unambiguous either way.
+# Patterns are written in the RE2/ASCII dialect (\b = ASCII word
+# boundary); the Rust-regex side rewrites \b via _rust_rx below so both
+# engines agree even when a digit run abuts a non-ASCII word character.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
     ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "[PHONE]"),
 ]
+
+
+def _rust_rx(rx: str) -> str:
+    """RE2-dialect pattern → Rust-regex dialect: \\b is a UNICODE word
+    boundary in the Rust regex crate but ASCII in RE2, so force the
+    ASCII form ``(?-u:\\b)`` (legal in Rust regex on UTF-8 haystacks)."""
+    return rx.replace(r"\b", r"(?-u:\b)")
 
 
 def scrub_pii(docs: Dataset, text_col: str = "text",
@@ -410,9 +420,10 @@ def scrub_pii(docs: Dataset, text_col: str = "text",
         exprs = []
         clean = pl.col("t")
         for name, rx, tok in PII_PATTERNS:
-            exprs.append(pl.col("t").str.count_matches(rx)
+            rrx = _rust_rx(rx)
+            exprs.append(pl.col("t").str.count_matches(rrx)
                          .cast(pl.Int64).alias("n_" + name))
-            clean = clean.str.replace_all(rx, tok)
+            clean = clean.str.replace_all(rrx, tok)
         out = df.select(clean.alias("clean_text"), *exprs)
         t = pa.table({
             id_col: batch.column(id_col).cast(pa.int64()),
