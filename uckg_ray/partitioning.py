@@ -25,3 +25,14 @@ def key_partition_ids(k: np.ndarray, n_parts: int) -> np.ndarray:
     """key → int32 partition id (single-key co-partition / stitch)."""
     return ((k.astype(np.uint64) * np.uint64(KNUTH))
             % np.uint64(n_parts)).astype(np.int32)
+
+
+def knuth_mod100(ids: np.ndarray) -> np.ndarray:
+    """Deterministic percentile bucket ``(id * KNUTH) % 2**32 % 100`` —
+    the split/sample hash shared by train_test_split, stratified_sample
+    and the curation pipeline, mirrored verbatim by their SQL oracles.
+    uint64 wraparound equals the exact big-int arithmetic for ANY int64
+    id: the multiply keeps the low 64 bits and 2**64 ≡ 0 (mod 2**32),
+    so the % 2**32 result is identical even under wraparound."""
+    return ((ids.astype(np.uint64) * np.uint64(KNUTH))
+            % np.uint64(1 << 32)) % np.uint64(100)

@@ -24,9 +24,6 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-_KNUTH = 2654435761
-_2_32 = 1 << 32
-
 
 def curate_documents(docs: Dataset, *, min_tokens: int = 5,
                      train_pct: int = 80,
@@ -71,14 +68,11 @@ def curate_documents(docs: Dataset, *, min_tokens: int = 5,
                                  pa.int64())})
 
     def gate_and_split(batch: pa.Table) -> pa.Table:
+        from uckg_ray.partitioning import knuth_mod100
         n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array(n >= min_tokens))
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        # vectorized Knuth hash: ids are non-negative int64 well below
-        # 2**64/_KNUTH here, but uint64 wraparound == the Python
-        # (i * K) % 2**32 arithmetic for any non-negative id anyway
-        h = ((ids.astype(np.uint64) * np.uint64(_KNUTH))
-             % np.uint64(_2_32)) % np.uint64(100)
+        h = knuth_mod100(ids)
         return batch.append_column(
             "split", pa.array(np.where(h < train_pct, "train", "test"),
                               pa.string()))

@@ -33,8 +33,6 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-_KNUTH = 2654435761  # Knuth multiplicative hash constant
-_2_32 = 1 << 32
 
 
 def asof_join_events(events: Dataset, *, left_type: str, right_type: str,
@@ -528,14 +526,18 @@ def train_test_split(ds: Dataset, *, id_col: str, train_pct: int = 80
     train_pct. Exact integer arithmetic; ≡ SQL
     ``(id * 2654435761) % 4294967296 % 100 < train_pct``."""
 
+    from uckg_ray.partitioning import knuth_mod100
+
     def split(batch: pa.Table) -> pa.Table:
         # null ids drop, matching the SQL oracle's NULL-comparison filter
         batch = batch.filter(pa.compute.is_valid(batch.column(id_col)))
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(object)
-        h = [(int(i) * _KNUTH) % _2_32 % 100 for i in ids]
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = knuth_mod100(ids)
         return pa.Table.from_pydict({
             id_col: batch.column(id_col).cast(pa.int64()),
-            "split": ["train" if x < train_pct else "test" for x in h],
+            "split": pa.array(np.where(h < train_pct, "train", "test"),
+                              pa.string()),
         })
 
     return ds.map_batches(split, batch_format="pyarrow")
@@ -550,14 +552,28 @@ def stratified_sample(ds: Dataset, *, id_col: str, group_col: str,
     integer arithmetic so the SQL oracle matches bit-for-bit; stateless
     map (no shuffle — the sample decision is pure per row)."""
 
+    from uckg_ray.partitioning import knuth_mod100
+
     def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         # null ids drop, matching the SQL oracle's NULL-comparison filter
         batch = batch.filter(pa.compute.is_valid(batch.column(id_col)))
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(object)
-        groups = batch.column(group_col).to_pylist()
-        mask = [((int(i) * _KNUTH) % _2_32 % 100
-                 < rates_pct.get(g, default_pct))
-                for i, g in zip(ids, groups)]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # per-row rate via dictionary-encode: the Python dict lookup runs
+        # once per DISTINCT group value per block, not once per row
+        col = batch.column(group_col)
+        enc = pc.dictionary_encode(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col)
+        uniq = enc.dictionary.to_pylist()
+        rate = np.array([rates_pct.get(g, default_pct) for g in uniq]
+                        + [default_pct], np.uint64)  # tail = null group
+        idx = enc.indices
+        if idx.null_count:
+            idx = pc.fill_null(idx, len(uniq))
+        thresh = rate[idx.to_numpy(zero_copy_only=False)]
+        return batch.filter(pa.array(knuth_mod100(ids) < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
