@@ -64,6 +64,18 @@ def _table(sf_dir: str, name: str):
     return _rd(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _table_blocks(sf_dir: str, name: str):
+    """Single-file table read split to ~1 block per core: a one-file
+    parquet read yields ONE block, which serializes any downstream
+    actor-pool stage (one block = one task = one actor)."""
+    import ray
+    import ray.data
+    n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                                 override_num_blocks=n_cpus)
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -451,7 +463,7 @@ def _q_ann_ivf_topk(sf_dir: str):
 
 def _q_doc_winnow(sf_dir: str):
     from uckg_ray.stages.text import winnow_fingerprints
-    return winnow_fingerprints(_table(sf_dir, "documents"), k=8, w=4)
+    return winnow_fingerprints(_table_blocks(sf_dir, "documents"), k=8, w=4)
 
 
 def _q_token_count_regex(sf_dir: str):

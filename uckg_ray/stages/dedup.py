@@ -475,6 +475,13 @@ def _shingle_hash_index(texts: list[str], w: int,
             sh = {" ".join(toks[j:j + w]) for j in range(len(toks) - w + 1)}
         doc_idx.append(np.fromiter((uniq.setdefault(s, len(uniq))
                                     for s in sh), np.int64, len(sh)))
+    return _hash_distinct(uniq, cache), doc_idx
+
+
+def _hash_distinct(uniq: dict[str, int], cache: dict[str, int] | None
+                   ) -> np.ndarray:
+    """md5-64 each DISTINCT string once; ``cache`` (an actor-held dict,
+    capped) carries hashes across batches."""
     hv = np.empty(len(uniq), np.uint64)
     if cache is None:
         for s, j in uniq.items():
@@ -487,7 +494,29 @@ def _shingle_hash_index(texts: list[str], w: int,
                 if len(cache) < 4_000_000:   # bound actor heap growth
                     cache[s] = h
             hv[j] = h
-    return hv, doc_idx
+    return hv
+
+
+def _char_gram_hash_index(texts: list[str], k: int,
+                          cache: dict[str, int] | None = None
+                          ) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Ordered char-k-gram hash sequences: hv = uint64 ``_stable64``
+    hashes of the batch's DISTINCT grams, doc_idx[i] = POSITION-ORDERED
+    indices into hv for doc i's full gram sequence (duplicates kept —
+    rolling-window consumers like winnowing need the sequence, unlike
+    the set-semantics shingle index above). A doc shorter than k
+    contributes one gram (the whole text). Bit-identical to hashing
+    per (doc, position): the window minima are functions of the hash
+    VALUES only."""
+    uniq: dict[str, int] = {}
+    doc_idx: list[np.ndarray] = []
+    for t in texts:
+        t = t or ""
+        grams = ([t[j:j + k] for j in range(len(t) - k + 1)]
+                 if len(t) >= k else [t])
+        doc_idx.append(np.fromiter((uniq.setdefault(g, len(uniq))
+                                    for g in grams), np.int64, len(grams)))
+    return _hash_distinct(uniq, cache), doc_idx
 
 
 def _shingle_hash_arrays(texts: list[str], w: int,

@@ -136,25 +136,24 @@ def winnow_fingerprints(docs: Dataset, *, k: int = 8, w: int = 4) -> Dataset:
     gram (the whole text); fewer than w grams collapse to one window.
     Output: (doc_id, fp) distinct, fp uint64.
 
-    Stateless map_batches; the per-gram md5 is the inherent unit of
-    work (hash-bound, not Python-overhead-bound: numpy does the
-    sliding-window minima and the distinct)."""
-    import hashlib
-
+    Stateless task-pool map_batches with BATCH-DISTINCT gram hashing
+    (dedup._char_gram_hash_index — the same md5-64 identity as the
+    minhash/simhash shingle path): near-dup corpora share the vast
+    majority of grams (measured 2.2% distinct on the fixture), so the
+    md5 cost collapses and an actor pool's spin-up would cost more
+    than the cross-batch cache could save; numpy does the gather, the
+    sliding-window minima and the distinct."""
     import numpy as np
+
+    from uckg_ray.stages.dedup import _char_gram_hash_index
 
     def fps(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        hv, doc_idx = _char_gram_hash_index(texts, k)
         D, F = [], []
-        for i, t in zip(ids, texts):
-            t = t or ""
-            grams = ([t[j:j + k] for j in range(len(t) - k + 1)]
-                     if len(t) >= k else [t])
-            h = np.fromiter(
-                (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
-                 for g in grams),
-                dtype=np.uint64, count=len(grams))
+        for i, idx in zip(ids, doc_idx):
+            h = hv[idx]
             ww = min(w, len(h))
             mins = np.unique(
                 np.lib.stride_tricks.sliding_window_view(h, ww).min(axis=1))
