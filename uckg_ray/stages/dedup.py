@@ -446,6 +446,48 @@ def _copartition_attach(pairs: Dataset, state: Dataset, pair_key: str,
 _MERSENNE = (1 << 61) - 1
 
 
+def _gather_ranges(vals: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Flat gather of ``vals[starts[i]:starts[i]+lens[i]]`` for all i,
+    concatenated in row order — no Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return vals[:0]
+    off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(off, lens) + np.repeat(starts, lens))
+    return vals[idx]
+
+
+def _pair_intersect_sizes(flat_a: np.ndarray, len_a: np.ndarray,
+                          flat_b: np.ndarray, len_b: np.ndarray
+                          ) -> np.ndarray:
+    """Per-row intersection sizes for two row-concatenated flat buffers
+    of UNIQUE-per-row uint64 values: one lexsort over the batch replaces
+    a Python loop of per-pair ``np.intersect1d`` calls. A value appears
+    at most once per side per row, so the intersection size is the
+    count of (row, value) duplicates in the side-concatenation."""
+    n = len(len_a)
+    rid = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), len_a),
+                          np.repeat(np.arange(n, dtype=np.int64), len_b)])
+    vals = np.concatenate([flat_a, flat_b])
+    order = np.lexsort((vals, rid))
+    rid_s, vals_s = rid[order], vals[order]
+    dup = (rid_s[1:] == rid_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+    return np.bincount(rid_s[1:][dup], minlength=n).astype(np.int64)
+
+
+def _jaccard_keep(inter: np.ndarray, len_a: np.ndarray,
+                  len_b: np.ndarray, tau: float) -> np.ndarray:
+    """Vectorized twin of ``inter and inter/(la+lb-inter) >= tau`` —
+    same IEEE-double division as the scalar form, so threshold rounding
+    is bit-identical."""
+    denom = len_a + len_b - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = inter / denom
+    return (inter > 0) & (jac >= tau)
+
+
 def _stable64(s: str) -> int:
     """64-bit stable hash == DuckDB ``md5_number_upper(s)`` (first 8 md5
     digest bytes, little-endian) — the same identity doc_winnow relies
@@ -706,20 +748,14 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
         b = batch.column("doc_b").to_numpy(zero_copy_only=False)
         ia = np.searchsorted(ids_s, a)
         ib = np.searchsorted(ids_s, b)
-        A, B = [], []
-        for k in range(len(a)):
-            la, lb = int(ln[ia[k]]), int(ln[ib[k]])
-            if la == 0 or lb == 0:
-                continue
-            sa = vals[starts[ia[k]]:starts[ia[k]] + la]
-            sb = vals[starts[ib[k]]:starts[ib[k]] + lb]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            # same float-division form as the exact-set reference check so
-            # threshold rounding is identical
-            if inter and inter / (la + lb - inter) >= tau:
-                A.append(int(a[k])); B.append(int(b[k]))
+        la, lb = ln[ia], ln[ib]
+        flat_a = _gather_ranges(vals, starts[ia], la)
+        flat_b = _gather_ranges(vals, starts[ib], lb)
+        inter = _pair_intersect_sizes(flat_a, la, flat_b, lb)
+        keep = _jaccard_keep(inter, la, lb, tau)
         return pa.Table.from_pydict({
-            "doc_a": pa.array(A, pa.int64()), "doc_b": pa.array(B, pa.int64())})
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64())})
 
     # set-semantics output; duplicate candidates (same pair from two
     # bands in different partitions) collapse in the post-verify
@@ -773,20 +809,15 @@ def _minhash_verify_join(docs: Dataset, cand: Dataset, *, tau: float,
         oa = la.offsets.to_numpy(zero_copy_only=False)
         vb = lb.values.to_numpy(zero_copy_only=False)
         ob = lb.offsets.to_numpy(zero_copy_only=False)
-        A, B = [], []
-        for k in range(len(a)):
-            sa = va[oa[k]:oa[k + 1]]
-            sb = vb[ob[k]:ob[k + 1]]
-            if not len(sa) or not len(sb):
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            # same float-division form as the broadcast verify so
-            # threshold rounding is identical
-            if inter and inter / (len(sa) + len(sb) - inter) >= tau:
-                A.append(int(a[k])); B.append(int(b[k]))
+        # offsets need not start at 0 on a sliced array — re-base
+        len_a, len_b = np.diff(oa), np.diff(ob)
+        flat_a = va[oa[0]:oa[-1]]
+        flat_b = vb[ob[0]:ob[-1]]
+        inter = _pair_intersect_sizes(flat_a, len_a, flat_b, len_b)
+        keep = _jaccard_keep(inter, len_a, len_b, tau)
         return pa.Table.from_pydict({
-            "doc_a": pa.array(A, pa.int64()),
-            "doc_b": pa.array(B, pa.int64())})
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64())})
 
     return distinct_pairs(a2.map_batches(verify, batch_format="pyarrow"))
 
