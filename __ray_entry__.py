@@ -226,6 +226,15 @@ def _q_kg_types_domain_range(sf_dir: str):
     return infer_types_domain_range(_distinct_edges_cached(sf_dir))
 
 
+def _q_kg_owl_entailed(sf_dir: str):
+    """OWL-lite entailment delta beyond RDFS: owl:inverseOf,
+    owl:SymmetricProperty and owl:TransitiveProperty over the snapshot
+    axioms (uco2.ttl:38-40, 324-325) plus the graft-added axioms —
+    the distinct triples the reasoner ADDS (entailed minus asserted)."""
+    from uckg_ray.stages.materialize import entail_owl
+    return entail_owl(_distinct_edges_cached(sf_dir))
+
+
 def _q_kg_subprop_entailed(sf_dir: str):
     """T5 (RDFS rule rdfs7) property-hierarchy entailment: the distinct
     super-property triples the rdfs:subPropertyOf closure adds over the
@@ -916,6 +925,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _q_orders_by_nation,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
+        # -- new in round 5 --
+        "kg_owl_entailed": _q_kg_owl_entailed,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -1538,6 +1549,44 @@ SELECT DISTINCT e.subj, c.s AS pred, e.obj
 FROM edges e JOIN clos c ON c.c = e.pred"""
 
 
+def _sql_kg_owl_entailed(p) -> str:
+    """OWL-lite oracle, generated from the SAME axiom tables the Ray
+    stage consumes (uckg_ray.tbox TBOX_INVERSE / TBOX_SYMMETRIC /
+    TBOX_TRANSITIVE): inverse/symmetric swaps via a VALUES axiom join,
+    the transitive predicate via a recursive closure CTE, asserted
+    triples subtracted with EXCEPT (the reasoner's delta)."""
+    from uckg_ray.tbox import TBOX_INVERSE, TBOX_SYMMETRIC, TBOX_TRANSITIVE
+    pairs = []
+    for a, b in TBOX_INVERSE:
+        pairs += [(a, b), (b, a)]
+    pairs += [(s, s) for s in TBOX_SYMMETRIC]
+    inv_vals = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    if len(TBOX_TRANSITIVE) != 1:
+        raise NotImplementedError(
+            "oracle generator emits one closure CTE per transitive "
+            "axiom; extend it alongside TBOX_TRANSITIVE")
+    tp = TBOX_TRANSITIVE[0]
+    return f"""WITH RECURSIVE {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal
+          FROM ({_edges_union(p)})),
+ax(p, q) AS (VALUES {inv_vals}),
+inv_ent AS (SELECT e.obj AS subj, a.q AS pred, e.subj AS obj
+            FROM edges e JOIN ax a ON a.p = e.pred
+            WHERE NOT e.obj_is_literal),
+tc(s, o) AS (SELECT subj, obj FROM edges
+             WHERE pred = '{tp}' AND NOT obj_is_literal
+             UNION
+             SELECT t.s, e.obj FROM tc t JOIN edges e
+             ON e.pred = '{tp}' AND NOT e.obj_is_literal
+                AND e.subj = t.o)
+SELECT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM inv_ent
+  UNION
+  SELECT s AS subj, '{tp}' AS pred, o AS obj FROM tc)
+EXCEPT
+SELECT subj, pred, obj FROM edges"""
+
+
 def _sql_kg_edges_canonical(p) -> str:
     """Full canonicalized edge table: the template UNION plus the
     union-find canonical map (recursive CTE) applied as an IRI rewrite
@@ -1627,6 +1676,7 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_types_inferred": _sql_kg_types_inferred(p),
         "kg_types_domain_range": _sql_kg_types_domain_range(p),
         "kg_subprop_entailed": _sql_kg_subprop_entailed(p),
+        "kg_owl_entailed": _sql_kg_owl_entailed(p),
         "kg_triangles": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

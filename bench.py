@@ -156,7 +156,8 @@ def run_bench() -> dict:
                  "events_quantiles", "events_rollup", "docs_snapshot_diff",
                  "kmv_distinct", "events_json_sum", "kg_subprop_entailed",
                  "events_cube", "scrub_pii", "chunk_documents",
-                 "embed_centroids", "q5_region_volume", "top_terms"):
+                 "embed_centroids", "q5_region_volume", "top_terms",
+                 "kg_owl_entailed"):
         timed(name, q[name])
     ray.shutdown()
 

@@ -121,3 +121,58 @@ def test_subprop_closure_and_entailment(ray_session):
         ("v1", U + "hasSeverityScore", "HIGH"),
         ("v1", U + "hasSeverityScore", "CVSS:3.1/AV:N"),
         ("v2", U + "hasSeverityScore", "LOW")}
+
+
+def test_entail_owl_semantics(ray_session):
+    """owl:inverseOf / owl:SymmetricProperty / owl:TransitiveProperty
+    entailment: swaps both directions, closes chains, excludes literal
+    objects, and subtracts triples the input already asserts."""
+    import ray.data
+
+    from uckg_ray.stages.materialize import entail_owl
+    edges = pa.table({
+        "subj": ["a", "x", "m", "c1", "c2", "c3"],
+        "pred": ["p", "s", "s", "t", "t", "t"],
+        "obj": ["b", "y", "x", "c2", "c3", "c4"],
+        "obj_is_literal": [False] * 6,
+        "obj_datatype": [""] * 6})
+    # add a literal-object row under an axiom predicate: must entail
+    # nothing, and an already-asserted symmetric pair (m,s,x)/(x,s,m)?
+    edges = pa.concat_tables([edges, pa.table({
+        "subj": ["a"], "pred": ["p"], "obj": ["lit"],
+        "obj_is_literal": [True], "obj_datatype": ["xsd:string"]})])
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in entail_owl(ray.data.from_arrow(edges),
+                               inverse=[("p", "q")], symmetric=["s"],
+                               transitive=["t"]).take_all()}
+    assert got == {
+        ("b", "q", "a"),            # inverseOf
+        ("y", "s", "x"),            # symmetric (x,s,y)
+        # symmetric (m,s,x) entails (x,s,m) — not asserted, so kept
+        ("x", "s", "m"),
+        # transitive closure adds the 2- and 3-hop paths only
+        ("c1", "t", "c3"), ("c1", "t", "c4"), ("c2", "t", "c4")}
+
+
+def test_entail_owl_squaring_path_identity(ray_session):
+    """Forcing the distributed repeated-squaring closure
+    (driver_max_pairs=0) yields byte-identical triples to the
+    driver-side semi-naive path on a long chain plus a cycle."""
+    import ray.data
+
+    from uckg_ray.stages.materialize import entail_owl
+    n = 12
+    subs = [f"n{i}" for i in range(n)] + ["z"]
+    objs = [f"n{i + 1}" for i in range(n)] + ["n0"]  # cycle back
+    edges = pa.table({
+        "subj": subs, "pred": ["t"] * len(subs), "obj": objs,
+        "obj_is_literal": [False] * len(subs),
+        "obj_datatype": [""] * len(subs)})
+    ds = ray.data.from_arrow(edges)
+    kw = dict(inverse=[], symmetric=[], transitive=["t"])
+    drv = {(r["subj"], r["pred"], r["obj"])
+           for r in entail_owl(ds, **kw).take_all()}
+    sqr = {(r["subj"], r["pred"], r["obj"])
+           for r in entail_owl(ds, driver_max_pairs=0, **kw).take_all()}
+    assert drv == sqr and len(drv) > n  # closure added real rows
+    assert ("n0", "t", f"n{n}") in drv  # full-chain hop present

@@ -269,7 +269,14 @@ def ngram_counts(docs: Dataset, *, n: int = 2) -> Dataset:
     space-joined token windows. Block-local Counter pre-aggregation is
     the combiner (the shuffle moves one row per distinct n-gram per
     block, not one per occurrence); the global Sum groupby is the only
-    exchange. ≡ SQL: unnest sliding windows + GROUP BY."""
+    exchange. ≡ SQL: unnest sliding windows + GROUP BY.
+
+    The Python window loop is the MEASURED winner here, not an
+    oversight: a polars explode + shift(-i).over(row) + concat_str
+    formulation ran 1.8× SLOWER on the sf0.1 corpus even with an
+    unpinned thread pool (workers pin POLARS_MAX_THREADS=1) — the cost
+    is materializing the gram strings themselves, which every
+    formulation pays; don't re-attempt without a new idea."""
     from collections import Counter
 
     def partial(batch: pa.Table) -> pa.Table:

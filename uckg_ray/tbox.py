@@ -362,6 +362,38 @@ TBOX_SUBPROP: list[tuple[str, str]] = [
 ]
 
 
+# OWL-lite property axioms beyond RDFS — the fragment of the
+# reference's optional HermiT ``sync_reasoner()`` pass
+# (reference/process/ontology_updater.py:69-74) that the snapshot
+# actually exercises, plus graft-added axioms over engine-emitted
+# predicates (the same convention as TBOX_SUBPROP's CVSS additions).
+#
+# owl:inverseOf — (s p o) ⟹ (o q s) and (s q o) ⟹ (o p s):
+TBOX_INVERSE: list[tuple[str, str]] = [
+    # uco2.ttl:324-325 (ucoisResultOf owl:inverseOf ucoresultsIn)
+    (_U + "isResultOf", _U + "resultsIn"),
+    # graft-added: the engine's CWE observed-example cross link is
+    # asserted in one direction per pair; the inverse completes it
+    (_X + "hasObservedExample", _X + "exampleObservedIn"),
+]
+
+# owl:SymmetricProperty — (s p o) ⟹ (o p s):
+TBOX_SYMMETRIC: list[str] = [
+    _U + "connectedTo",                 # uco2.ttl:38-40
+    # graft-added: CAPEC related_attack_patterns references are mutual
+    _X + "hasRelatedAttackPattern",
+]
+
+# owl:TransitiveProperty — (a p b) ∧ (b p c) ⟹ (a p c). The snapshot
+# declares none; the graft adds the CWE related-weakness chain (the
+# ChildOf-style hierarchy the CWE self equi-join J3 traverses), whose
+# subgraph is bounded by the CWE dictionary — ontology-scale, not
+# data-scale.
+TBOX_TRANSITIVE: list[str] = [
+    _U + "relatedWeakness",
+]
+
+
 def tbox_closure(edges: list[tuple[str, str]] | None = None
                  ) -> dict[str, list[str]]:
     """class → sorted list of ALL strict superclasses (transitive
