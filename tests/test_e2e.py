@@ -223,3 +223,83 @@ def test_full_rerun_skips_finalize(ray_session, sf_small_fixtures, tmp_path):
     m3 = build_kg(tdir, fdir, out, resume=False)
     assert "finalize_skipped" not in m3
     assert _rows(out) == before
+
+
+def test_build_kg_incremental_driver(ray_session, sf_small_fixtures, tmp_path):
+    """The single detect→rebuild-affected→merge driver (the reference's
+    scheduled re-sync, ingestion_dag.py:27-77): mutating 1 of N shard
+    files re-extracts ONLY that file-keyed group (unchanged groups keep
+    their original manifests byte-untouched), the merged edge table is
+    identical to a from-scratch build, and the snapshot_diff audit
+    reports the graph-level delta."""
+    import json
+
+    from uckg_ray.pipelines.kg import build_kg_incremental
+    from uckg_ray.state.manifest import manifest_path
+
+    tdir = os.path.join(sf_small_fixtures, "transcripts")
+    inc_dir = str(tmp_path / "transcripts")
+    os.makedirs(inc_dir)
+    for f in sorted(glob.glob(os.path.join(tdir, "*.parquet"))):
+        shutil.copy(f, os.path.join(inc_dir, os.path.basename(f)))
+    files = sorted(glob.glob(os.path.join(inc_dir, "*.parquet")))
+    assert len(files) >= 2
+    out = str(tmp_path / "kg_incr")
+
+    m1 = build_kg_incremental(inc_dir, sf_small_fixtures, out)
+    assert sorted(m1["incremental"]["added"]) == sorted(
+        "file-" + os.path.splitext(os.path.basename(f))[0] for f in files)
+    assert m1["incremental"]["changed"] == []
+
+    # a no-change rerun is a metadata no-op: nothing rebuilt, finalize
+    # fingerprint short-circuits
+    m_noop = build_kg_incremental(inc_dir, sf_small_fixtures, out)
+    inc = m_noop["incremental"]
+    assert inc["added"] == inc["changed"] == inc["removed"] == []
+    assert m_noop.get("finalize_skipped") is True
+
+    # mutate ONE file: append a turn carrying a brand-new CVE mention
+    victim = files[0]
+    vname = "file-" + os.path.splitext(os.path.basename(victim))[0]
+    t = pq.read_table(victim)
+    extra = pa.Table.from_pydict({
+        "conv_id": ["conv-mut"], "turn_idx": pa.array([0], pa.int32()),
+        "role": ["user"], "text": ["observe CVE-2031-11111 in the wild"],
+        "tool": [""],
+        "ts": pa.array([pa.scalar(1, pa.timestamp("us")).as_py()],
+                       pa.timestamp("us"))},
+        schema=t.schema)
+    pq.write_table(pa.concat_tables([t, extra]), victim)
+    untouched = {
+        g: (os.stat(manifest_path(os.path.join(out, "shards", g))).st_mtime_ns,
+            json.load(open(manifest_path(os.path.join(out, "shards", g)))))
+        for g in m1["incremental"]["added"] if g != vname}
+
+    m2 = build_kg_incremental(inc_dir, sf_small_fixtures, out)
+    inc2 = m2["incremental"]
+    assert inc2["changed"] == [vname] and inc2["added"] == []
+    assert sorted(inc2["unchanged"]) == sorted(untouched)
+    assert m2["groups_skipped_by_resume"] == len(files) - 1
+    # manifest wall-times of unchanged groups prove no re-extraction
+    for g, (mt, man) in untouched.items():
+        p = manifest_path(os.path.join(out, "shards", g))
+        assert os.stat(p).st_mtime_ns == mt
+        assert json.load(open(p)) == man
+    # the audit saw the new conversation's edges arrive, none removed
+    assert inc2["edge_diff"][vname]["edges_added"] > 0
+    assert inc2["edge_diff"][vname]["edges_removed"] == 0
+    from uckg_ray import namespaces as ns
+    assert (ns.UCO + "CVE-2031-11111", ns.RDF_TYPE, ns.UCO + "CVE") \
+        in _spo_set(out)
+
+    # merged output == from-scratch build of the mutated inputs, bytes
+    scratch = str(tmp_path / "kg_scratch")
+    build_kg(inc_dir, sf_small_fixtures, scratch)
+    assert _rows(out) == _rows(scratch)
+
+    # removing a file prunes its group and its triples
+    os.remove(victim)
+    m3 = build_kg_incremental(inc_dir, sf_small_fixtures, out)
+    assert m3["incremental"]["removed"] == [vname]
+    assert (ns.UCO + "CVE-2031-11111", ns.RDF_TYPE, ns.UCO + "CVE") \
+        not in _spo_set(out)

@@ -94,6 +94,26 @@ def _groups(files: list[str], files_per_group: int | None) -> list[list[str]]:
     return [files[i:i + files_per_group] for i in range(0, len(files), files_per_group)]
 
 
+def _named_groups(files: list[str], files_per_group: int | None,
+                  group_by: str) -> list[tuple[str, list[str]]]:
+    """Shard-group naming. ``position`` slices the sorted file list into
+    ``group-NNNN`` (max pipelining; a mid-list insert shifts every later
+    group). ``file`` keys ONE group per input file by its basename —
+    the stable assignment an incremental daily re-sync needs: adding,
+    removing or rewriting a shard file affects exactly its own group."""
+    if group_by == "file":
+        named = [("file-" + os.path.splitext(os.path.basename(f))[0], [f])
+                 for f in files]
+        if len({n for n, _ in named}) != len(named):
+            raise ValueError("duplicate transcript basenames — file-keyed "
+                             "incremental grouping needs unique stems")
+        return named
+    if group_by != "position":
+        raise ValueError(f"unknown group_by: {group_by!r}")
+    return [(f"group-{gi:04d}", g)
+            for gi, g in enumerate(_groups(files, files_per_group))]
+
+
 def rewriter_from_observed_aliases(observed: set[str], fixture_dir: str,
                                    cfg: PipelineConfig | None = None
                                    ) -> dict[str, str]:
@@ -210,25 +230,29 @@ def _write_with_import_retry(fn, attempts: int = 4):
 
 def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
              cfg: PipelineConfig | None = None, *, resume: bool = True,
-             canonicalize: bool = True) -> dict:
+             canonicalize: bool = True, group_by: str = "position") -> dict:
     """Full pipeline with per-group checkpointing. Returns the global
-    manifest (metrics included)."""
+    manifest (metrics included). ``group_by="file"`` keys shard groups
+    by input basename instead of list position (see ``_named_groups``)
+    — the stable grouping ``build_kg_incremental`` builds on."""
     from uckg_ray.state import manifest as mf
 
     cfg = cfg or PipelineConfig()
     t_start = time.perf_counter()
     files = transcript_files(transcripts_dir)
-    groups = _groups(files, cfg.files_per_group)
+    named_groups = _named_groups(files, cfg.files_per_group, group_by)
+    groups = [g for _, g in named_groups]
     shards_root = os.path.join(out_dir, "shards")
     os.makedirs(shards_root, exist_ok=True)
 
     flags = f"mark_aliases={canonicalize}"
-    # prune group dirs that don't belong to the current grouping — stale
-    # outputs from a prior run with different inputs or files_per_group
-    # must never be unioned into the final table
+    # prune shard dirs that don't belong to the current grouping — stale
+    # outputs from a prior run with different inputs, files_per_group or
+    # naming scheme (and crash-orphaned *.tmp dirs) must never be
+    # unioned into the final table
     import shutil as _sh
-    expected = {f"group-{gi:04d}" for gi in range(len(groups))}
-    for d in glob.glob(os.path.join(shards_root, "group-*")):
+    expected = {name for name, _ in named_groups}
+    for d in glob.glob(os.path.join(shards_root, "*")):
         if os.path.basename(d) not in expected:
             _sh.rmtree(d, ignore_errors=True)
 
@@ -252,8 +276,8 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     mat_groups: list[Dataset] = []
     shard_writes: list[_cf.Future] = []
     write_pool = _cf.ThreadPoolExecutor(max_workers=4)
-    for gi, gfiles in enumerate(groups):
-        gdir = os.path.join(shards_root, f"group-{gi:04d}")
+    for gname, gfiles in named_groups:
+        gdir = os.path.join(shards_root, gname)
         if resume and mf.group_is_complete(gdir, gfiles, flags):
             skipped += 1
             continue
@@ -345,7 +369,7 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
         skipped_files = []
     else:                   # multi-group or resume-skipped: read shards
         skipped_files = sorted(glob.glob(
-            os.path.join(shards_root, "group-*", "*.parquet")))
+            os.path.join(shards_root, "*", "*.parquet")))
     if skipped_files:
         skipped_ds = ray.data.read_parquet(
             skipped_files, override_num_blocks=n_cpus).materialize()
@@ -453,6 +477,128 @@ def build_kg(transcripts_dir: str, fixture_dir: str, out_dir: str,
     }
     mf.write_global_manifest(out_dir, payload)
     return payload
+
+
+def _edge_diff_counts(old: Dataset, new: Dataset) -> dict:
+    """Graph-level what-changed audit between two edge shards: distinct
+    triples on each side (marker rows dropped), then ``snapshot_diff``
+    keyed on the 64-bit triple hash — counts of edges the rebuild added
+    and removed. Cost is bounded by the two shards, never the corpus."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from uckg_ray.schema import EDGE_KEY_COLS
+    from uckg_ray.stages.dedup import _stable64
+    from uckg_ray.stages.extract import ALIAS_MARKER_PRED
+    from uckg_ray.stages.joins import snapshot_diff
+    from uckg_ray.stages.materialize import distinct_edges
+
+    def keyed(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b.column("pred"), ALIAS_MARKER_PRED))
+        cols = []
+        for c in EDGE_KEY_COLS:
+            col = b.column(c).cast(pa.string())
+            cols.append(col.combine_chunks()
+                        if isinstance(col, pa.ChunkedArray) else col)
+        trip = pc.binary_join_element_wise(*cols, "\x1f")
+        texts = trip.to_pylist()
+        # distinct_edges guarantees unique triples per side, so the
+        # hash key is unique per side too (the diff's precondition)
+        k = np.fromiter((_stable64(t) for t in texts), dtype=np.uint64,
+                        count=len(texts)).view(np.int64)
+        return pa.table({"edge_key": pa.array(k, pa.int64()),
+                         "triple": pa.array(texts, pa.string())})
+
+    def prep(ds: Dataset) -> Dataset:
+        return distinct_edges(ds, sort=False).map_batches(
+            keyed, batch_format="pyarrow", batch_size=None)
+
+    ops = snapshot_diff(prep(old), prep(new), key_col="edge_key",
+                        text_col="triple")
+    counts = {r["op"]: r["count()"]
+              for r in ops.groupby("op").count().take_all()}
+    return {"edges_added": int(counts.get("add", 0)),
+            "edges_removed": int(counts.get("del", 0))}
+
+
+def build_kg_incremental(transcripts_dir: str, fixture_dir: str,
+                         out_dir: str, cfg: PipelineConfig | None = None,
+                         *, canonicalize: bool = True,
+                         audit_diff: bool = True) -> dict:
+    """Incremental daily re-sync driver — the composition the reference
+    schedules as its ingestion DAG (``airflow/dags/ingestion_dag.py:
+    27-77``: re-download → SHA-compare → reprocess changed sources →
+    merge, with the SQLite offset row ``cve_collection.py:311-336``):
+
+    1. **Detect** — each current transcript file is compared against its
+       recorded group manifest (``state/manifest.py`` fingerprint:
+       name+size+mtime, the analogue of the reference's SHA-256 snapshot
+       compare): no manifest → *added*, fingerprint/flags mismatch →
+       *changed*, match → *unchanged*; shard dirs whose input file
+       vanished → *removed* (pruned).
+    2. **Rebuild** — ``build_kg(resume=True, group_by="file")``
+       re-extracts ONLY added+changed groups (file-keyed groups make the
+       assignment stable under inserts) and re-runs the finalize merge
+       over all shards; when nothing changed, the finalize fingerprint
+       short-circuits the rerun to a metadata no-op.
+    3. **Audit** — per changed group, ``snapshot_diff`` between its
+       previous and new distinct edge shards reports how many edges the
+       rebuild added/removed (A6's change report at graph granularity).
+
+    Returns the global build manifest plus an ``incremental`` section:
+    ``{added, changed, unchanged, removed, edge_diff}``."""
+    import shutil
+
+    from uckg_ray.state import manifest as mf
+
+    cfg = cfg or PipelineConfig()
+    files = transcript_files(transcripts_dir)
+    named = _named_groups(files, cfg.files_per_group, "file")
+    shards_root = os.path.join(out_dir, "shards")
+    prev_root = os.path.join(out_dir, "shards_prev")
+    shutil.rmtree(prev_root, ignore_errors=True)
+    flags = f"mark_aliases={canonicalize}"
+    report: dict = {"added": [], "changed": [], "unchanged": [],
+                    "removed": []}
+    for name, gfiles in named:
+        gdir = os.path.join(shards_root, name)
+        if not os.path.exists(mf.manifest_path(gdir)):
+            report["added"].append(name)
+        elif mf.group_is_complete(gdir, gfiles, flags):
+            report["unchanged"].append(name)
+        else:
+            report["changed"].append(name)
+            if audit_diff:
+                # stash the stale shard OUTSIDE shards_root (build_kg
+                # prunes unexpected dirs inside it) for the post-rebuild
+                # edge diff; without audit the fingerprint gate alone
+                # forces the re-extract
+                os.makedirs(prev_root, exist_ok=True)
+                os.replace(gdir, os.path.join(prev_root, name))
+    expected = {name for name, _ in named}
+    report["removed"] = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(shards_root, "*"))
+        if os.path.basename(d) not in expected)
+
+    manifest = build_kg(transcripts_dir, fixture_dir, out_dir, cfg,
+                        resume=True, canonicalize=canonicalize,
+                        group_by="file")
+
+    edge_diff: dict = {}
+    if audit_diff:
+        for name in report["changed"]:
+            old_files = sorted(glob.glob(
+                os.path.join(prev_root, name, "*.parquet")))
+            new_files = sorted(glob.glob(
+                os.path.join(shards_root, name, "*.parquet")))
+            if old_files and new_files:
+                edge_diff[name] = _edge_diff_counts(
+                    ray.data.read_parquet(old_files),
+                    ray.data.read_parquet(new_files))
+        shutil.rmtree(prev_root, ignore_errors=True)
+    manifest["incremental"] = {**report, "edge_diff": edge_diff}
+    return manifest
 
 
 def kg_for_sf(sf_dir: str, out_dir: str, cfg: PipelineConfig | None = None,

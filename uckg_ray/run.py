@@ -29,6 +29,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--files-per-group", type=int, default=None)
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--incremental", action="store_true",
+                    help="daily re-sync mode: detect changed/added/removed "
+                         "input files via group manifests, re-extract only "
+                         "the affected file-keyed groups, re-merge, and "
+                         "report the graph-level edge diff")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="only used when starting a local session")
     ap.add_argument("--status", action="store_true",
@@ -51,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     from uckg_ray.config import PipelineConfig
-    from uckg_ray.pipelines.kg import build_kg
+    from uckg_ray.pipelines.kg import build_kg, build_kg_incremental
     from uckg_ray.sources import fixtures as fx
 
     if args.sf:
@@ -64,9 +69,14 @@ def main(argv: list[str] | None = None) -> int:
         input_dir, fixture_dir = args.input, args.fixtures
 
     cfg = PipelineConfig(files_per_group=args.files_per_group)
-    manifest = build_kg(input_dir, fixture_dir, args.output, cfg,
-                        resume=not args.no_resume,
-                        canonicalize=not args.no_canonicalize)
+    if args.incremental:
+        manifest = build_kg_incremental(
+            input_dir, fixture_dir, args.output, cfg,
+            canonicalize=not args.no_canonicalize)
+    else:
+        manifest = build_kg(input_dir, fixture_dir, args.output, cfg,
+                            resume=not args.no_resume,
+                            canonicalize=not args.no_canonicalize)
     print(json.dumps(manifest, default=str))
     ray.shutdown()
     return 0
