@@ -875,21 +875,14 @@ def _q_multimodal_features(sf_dir: str):
 
 
 def _q_multimodal_decode(sf_dir: str):
-    from uckg_ray.stages.multimodal import ImageDecodeStub, attach_binary_payload
-
-    def project(batch: pa.Table) -> pa.Table:
-        feats = batch.column("decoded_features")
-        return pa.Table.from_pydict({
-            "doc_id": batch.column("doc_id"),
-            "n_features": pa.array(
-                [len(f) for f in feats.to_pylist()], pa.int64()),
-        })
-
-    ds = attach_binary_payload(_table(sf_dir, "documents"))
-    return ds.map_batches(
-        ImageDecodeStub, fn_constructor_kwargs={"fake": True},
-        batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
-    ).map_batches(project, batch_format="pyarrow")
+    """Genuine RIFF/WAVE decode over a synthesized real container
+    (chunk-walked LIST+data layout): header fields, sample count from
+    the data chunk, md5 of the extracted PCM bytes. The oracle
+    reproduces the features from the text the samples derive from —
+    a wrong chunk walk (e.g. fixed offset 44, or reading the pad byte)
+    breaks the md5/count match."""
+    from uckg_ray.stages.multimodal import attach_wav_payload, decode_wav
+    return decode_wav(attach_wav_payload(_table(sf_dir, "documents")))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1948,8 +1941,13 @@ SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
        count(*) AS n_events,
        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
 FROM s GROUP BY user_id, sid""",
-        "multimodal_decode": ("SELECT doc_id, CAST(8 AS BIGINT) AS n_features "
-                              "FROM documents"),
+        "multimodal_decode": """
+SELECT doc_id, CAST(1 AS BIGINT) AS n_channels,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(8 AS BIGINT) AS bits_per_sample,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+       md5(text) AS data_md5
+FROM documents""",
         "events_asof": """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')

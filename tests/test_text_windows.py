@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def test_quality_and_lang(ray_session):
@@ -49,21 +50,61 @@ def test_sessionize(ray_session):
     assert sorted(n_by_start.values()) == [1, 2]
 
 
-def test_multimodal_stub(ray_session):
+def test_wav_decode_real_parse(ray_session):
+    """WavDecoder genuinely chunk-walks RIFF: the LIST chunk before
+    'data' and the odd-length pad byte must not leak into features;
+    a 16-bit stereo container decodes frame counts via block align."""
+    import hashlib
+
     import pytest
     import ray.data
-    from uckg_ray.stages.multimodal import (ImageDecodeStub,
-                                            attach_binary_payload)
-    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["abc"]}))
-    with_payload = attach_binary_payload(ds)
-    # real decode path is explicitly stubbed
-    with pytest.raises(Exception):
-        with_payload.map_batches(ImageDecodeStub, batch_format="pyarrow",
-                                 concurrency=1).take_all()
-    rows = with_payload.map_batches(
-        ImageDecodeStub, fn_constructor_kwargs={"fake": True},
-        batch_format="pyarrow", concurrency=1).take_all()
-    assert len(rows[0]["decoded_features"]) == 8
+
+    from uckg_ray.stages.multimodal import (WavDecoder, attach_wav_payload,
+                                            decode_wav, wav_bytes)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["abcde", ""]}))  # odd + empty data
+    rows = {r["doc_id"]: r
+            for r in decode_wav(attach_wav_payload(ds),
+                                concurrency=1).take_all()}
+    assert rows[0]["n_samples"] == 5                      # not the pad byte
+    assert rows[0]["data_md5"] == hashlib.md5(b"abcde").hexdigest()
+    assert rows[1]["n_samples"] == 0
+    assert (rows[0]["n_channels"], rows[0]["sample_rate"],
+            rows[0]["bits_per_sample"]) == (1, 16000, 8)
+    # 16-bit stereo: n_samples counts frames (data bytes / block align)
+    pcm = bytes(range(16))
+    f = WavDecoder.parse(wav_bytes(pcm, channels=2, bits=16, sample_rate=8000))
+    assert (f["n_samples"], f["n_channels"], f["sample_rate"],
+            f["bits_per_sample"]) == (4, 2, 8000, 16)
+    assert f["data_md5"] == hashlib.md5(pcm).hexdigest()
+    # malformed payloads: strict raises, lenient yields null features
+    with pytest.raises(ValueError):
+        WavDecoder.parse(b"RIFFxxxxJUNK")
+    bad = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([9], pa.int64()),
+         "payload": pa.array([b"not a wav"], pa.binary())}))
+    r = bad.map_batches(WavDecoder, fn_constructor_kwargs={"strict": False},
+                        batch_format="pyarrow", concurrency=1).take_all()[0]
+    assert r["n_samples"] is None and r["data_md5"] is None
+
+
+def test_ppm_decode_real_parse():
+    """PpmDecoder parses the P6 header (comment skipping, dims, maxval)
+    and extracts exactly width*height*3 pixel bytes."""
+    import hashlib
+
+    import pytest
+
+    from uckg_ray.stages.multimodal import PpmDecoder, ppm_bytes
+    px = bytes(range(24))                     # 4x2 RGB
+    f = PpmDecoder.parse(ppm_bytes(px, 4, 2))
+    assert (f["width"], f["height"], f["n_pixels"]) == (4, 2, 8)
+    assert f["mean_value"] == int(sum(px) / len(px))
+    assert f["pixel_md5"] == hashlib.md5(px).hexdigest()
+    with pytest.raises(ValueError):
+        PpmDecoder.parse(ppm_bytes(px, 4, 2)[:-1])   # truncated pixels
+    with pytest.raises(ValueError):
+        PpmDecoder.parse(b"P5\n1 1\n255\n\x00")      # not P6
 
 
 def test_winnow_fingerprints(ray_session):

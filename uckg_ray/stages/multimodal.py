@@ -1,18 +1,24 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the actual decode is a
-clearly-marked stub (``ImageDecodeStub`` raises NotImplementedError
-unless ``fake=True``); everything around it — schema, actor-pool batch
-signature, small-batch sizing for wide binary rows, deterministic
-feature output layout — is real and tested. At 100 TB the pattern is:
-small ``batch_size`` (binary rows are wide), ``batch_format="pyarrow"``
-(binary round-trips Arrow but not pandas), actor pools so codec init
-happens once per worker.
+The container ships no codec LIBRARIES, but two media containers are
+simple enough to parse genuinely with the stdlib ``struct`` module:
+RIFF/WAVE PCM audio (``WavDecoder``) and binary PPM images
+(``PpmDecoder``). Payloads are synthesized as REAL containers —
+chunk-walked RIFF with an interleaved LIST metadata chunk and odd-size
+padding, PPM with a comment line — so the decoders must honor the
+actual formats (a naive fixed-offset slice produces wrong features).
+Heavier codecs (JPEG/H.264/FLAC) stay out of scope for this
+environment; they'd drop into the same actor-pool ``__call__`` slot.
+
+At 100 TB the pattern is: small ``batch_size`` (binary rows are wide),
+``batch_format="pyarrow"`` (binary round-trips Arrow but not pandas),
+actor pools so codec init happens once per worker.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -33,29 +39,182 @@ def attach_binary_payload(docs: Dataset, text_col: str = "text") -> Dataset:
     return docs.map_batches(attach, batch_format="pyarrow")
 
 
-class ImageDecodeStub:
-    """Actor-pool decode stage. Real codecs are not available in this
-    environment; with ``fake=True`` it produces a deterministic
-    pseudo-decode (blake2b-seeded 8-dim feature vector) so the
-    downstream plumbing is exercised end-to-end."""
+def wav_bytes(data: bytes, *, sample_rate: int = 16_000, channels: int = 1,
+              bits: int = 8, tag: int = 0) -> bytes:
+    """Serialize PCM sample bytes as a REAL RIFF/WAVE container: fmt
+    chunk, a LIST-INFO metadata chunk (so the data chunk does NOT sit at
+    the canonical offset 44 — parsers must chunk-walk), and the RIFF
+    even-size pad byte after odd-length data (the size field stays the
+    true length; parsers must honor it, not the padded extent)."""
+    block_align = max(1, channels * bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    info = f"INFO{tag:016d}".encode()        # even length (20)
+    chunks = b"".join([
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt,
+        b"LIST" + struct.pack("<I", len(info)) + info,
+        b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b""),
+    ])
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
-    def __init__(self, fake: bool = False):
-        self.fake = fake
+
+def ppm_bytes(pixels: bytes, width: int, height: int, *,
+              maxval: int = 255) -> bytes:
+    """Serialize RGB bytes as a binary PPM (P6) image with a comment
+    line in the header (legal per the spec; parsers must skip it)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    return (f"P6\n# synthetic fixture {width}x{height}\n"
+            f"{width} {height}\n{maxval}\n").encode() + pixels
+
+
+def attach_wav_payload(docs: Dataset, text_col: str = "text") -> Dataset:
+    """Synthesize a real WAV payload per document: the utf-8 bytes of
+    the text become the 8-bit PCM sample stream (deterministic, so a
+    SQL oracle can reproduce sample-level features via md5/length over
+    the same text column)."""
+    def attach(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        payload = [wav_bytes(t.encode(), tag=i % 10**16)
+                   for i, t in zip(ids, texts)]
+        n = len(texts)
+        return (batch
+                .append_column("payload", pa.array(payload, pa.binary()))
+                .append_column("media_type", pa.array(["audio/wav"] * n)))
+    return docs.map_batches(attach, batch_format="pyarrow", batch_size=512)
+
+
+class WavDecoder:
+    """Actor-pool RIFF/WAVE PCM decode stage — a genuine stdlib-struct
+    parser (magic validation, chunk walk with odd-size pad skipping,
+    fmt field unpack, data extraction). Output features per payload:
+    channels, sample-rate, bit depth, sample count (from the data size
+    and block align, NOT the payload size) and the md5 of the extracted
+    sample bytes — the last two prove the chunk walk found the right
+    bytes. Malformed payloads raise (strict=True) or yield a null
+    feature row."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    @staticmethod
+    def parse(p: bytes) -> dict:
+        if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        riff_size = struct.unpack_from("<I", p, 4)[0]
+        end = min(len(p), 8 + riff_size)
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= end:
+            cid = p[pos:pos + 4]
+            size = struct.unpack_from("<I", p, pos + 4)[0]
+            body = p[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)     # RIFF pads chunks to even
+        if fmt is None or data is None:
+            raise ValueError("missing fmt or data chunk")
+        audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+        if audio_format != 1:
+            raise ValueError(f"not PCM (format tag {audio_format})")
+        return {"n_channels": channels, "sample_rate": rate,
+                "bits_per_sample": bits,
+                "n_samples": len(data) // max(1, block_align),
+                "data_md5": hashlib.md5(data).hexdigest()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "image/audio codecs are not available in this container; "
-                "run with fake=True for the deterministic stub decode")
-        payloads = batch.column("payload").to_pylist()
-        feats = []
-        for p in payloads:
-            h = hashlib.blake2b(p or b"", digest_size=32).digest()
-            feats.append((np.frombuffer(h, dtype=np.uint32).astype(np.float32)
-                          / np.float32(2**32)).tolist())
-        return batch.append_column(
-            "decoded_features",
-            pa.array(feats, pa.list_(pa.float32())))
+        ids = batch.column("doc_id").to_pylist()
+        out = {"doc_id": [], "n_channels": [], "sample_rate": [],
+               "bits_per_sample": [], "n_samples": [], "data_md5": []}
+        for did, p in zip(ids, batch.column("payload").to_pylist()):
+            try:
+                f = self.parse(p or b"")
+            except ValueError:
+                if self.strict:
+                    raise
+                f = {k: None for k in out if k != "doc_id"}
+            out["doc_id"].append(did)
+            for k, v in f.items():
+                out[k].append(v)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_channels": pa.array(out["n_channels"], pa.int64()),
+            "sample_rate": pa.array(out["sample_rate"], pa.int64()),
+            "bits_per_sample": pa.array(out["bits_per_sample"], pa.int64()),
+            "n_samples": pa.array(out["n_samples"], pa.int64()),
+            "data_md5": pa.array(out["data_md5"], pa.string())})
+
+
+class PpmDecoder:
+    """Actor-pool binary-PPM (P6) decode stage: header parse (magic,
+    comment skipping, dims, maxval) + pixel extraction. Features:
+    width, height, n_pixels, mean channel value (integer-floored) and
+    pixel md5."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    @staticmethod
+    def parse(p: bytes) -> dict:
+        if p[:2] != b"P6":
+            raise ValueError("not a binary PPM payload")
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(p) and p[pos:pos + 1].isspace():
+                pos += 1
+            if p[pos:pos + 1] == b"#":            # comment to end of line
+                nl = p.find(b"\n", pos)
+                pos = len(p) if nl < 0 else nl + 1
+                continue
+            start = pos
+            while pos < len(p) and not p[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(p[start:pos]))
+        pos += 1                                   # single ws after maxval
+        width, height, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        pixels = p[pos:pos + width * height * 3]
+        if len(pixels) != width * height * 3:
+            raise ValueError("truncated pixel data")
+        arr = np.frombuffer(pixels, np.uint8)
+        return {"width": width, "height": height,
+                "n_pixels": width * height,
+                "mean_value": int(arr.mean()) if arr.size else 0,
+                "pixel_md5": hashlib.md5(pixels).hexdigest()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = {"doc_id": [], "width": [], "height": [], "n_pixels": [],
+               "mean_value": [], "pixel_md5": []}
+        for did, p in zip(ids, batch.column("payload").to_pylist()):
+            try:
+                f = self.parse(p or b"")
+            except ValueError:
+                if self.strict:
+                    raise
+                f = {k: None for k in out if k != "doc_id"}
+            out["doc_id"].append(did)
+            for k, v in f.items():
+                out[k].append(v)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "width": pa.array(out["width"], pa.int64()),
+            "height": pa.array(out["height"], pa.int64()),
+            "n_pixels": pa.array(out["n_pixels"], pa.int64()),
+            "mean_value": pa.array(out["mean_value"], pa.int64()),
+            "pixel_md5": pa.array(out["pixel_md5"], pa.string())})
+
+
+def decode_wav(docs_with_payload: Dataset, *, concurrency=(1, 4),
+               batch_size: int = 512) -> Dataset:
+    """Decode a WAV payload column with a ``WavDecoder`` actor pool."""
+    return docs_with_payload.map_batches(
+        WavDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 class FrameSampler:
