@@ -104,21 +104,21 @@ def regex_token_counts_by(docs: Dataset, group_col: str = "source") -> Dataset:
 
 
 def token_counts_by(docs: Dataset, group_col: str = "source") -> Dataset:
-    """(group, n_docs, n_tokens) — corpus token accounting, pre-aggregated
-    per block before the (tiny) groupby."""
+    """(group, n_docs, n_tokens) — corpus token accounting under the
+    whitespace tokenizer, pre-aggregated per block before the (tiny)
+    groupby. ``len(t.split(' '))`` is exactly the literal-space count
+    plus one (including for the empty string: ``''.split(' ') == ['']``),
+    so the whole partial is one Rust-side expression — no Python loop."""
     def partial(batch: pa.Table) -> pa.Table:
-        groups = batch.column(group_col).to_pylist()
-        texts = batch.column("text").to_pylist()
-        agg: dict[str, list[int]] = {}
-        for g, t in zip(groups, texts):
-            e = agg.setdefault(g, [0, 0])
-            e[0] += 1
-            e[1] += len(t.split(" "))
-        return pa.Table.from_pydict({
-            group_col: list(agg),
-            "n_docs": pa.array([v[0] for v in agg.values()], pa.int64()),
-            "n_tokens": pa.array([v[1] for v in agg.values()], pa.int64()),
-        })
+        import polars as pl
+        out = (pl.from_arrow(batch.select([group_col, "text"]))
+               .group_by(group_col)
+               .agg(pl.len().cast(pl.Int64).alias("n_docs"),
+                    (pl.col("text").str.count_matches(" ", literal=True) + 1)
+                    .cast(pl.Int64).sum().alias("n_tokens")))
+        return out.to_arrow().cast(pa.schema([
+            (group_col, pa.string()), ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64())]))
 
     return (docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby(group_col)
