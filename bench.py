@@ -311,6 +311,70 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
     return res
 
 
+def run_query_once(name: str) -> dict:
+    """One fresh-session timed run of a single registry query (worker
+    for --query-scaling)."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+    from uckg_ray.sources import fixtures as fx
+    fx.ensure_fixtures(sf_dir)
+    fn = entrymod.queries()[name]
+    from ray.data import Dataset
+
+    def once():
+        entrymod._distinct_edges_cached.cache_clear()
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        n = res.count() if isinstance(res, Dataset) else len(res)
+        return time.perf_counter() - t0, n
+
+    # scaling measures steady-state throughput: the first execution in a
+    # fresh session pays several seconds of one-time worker-process
+    # imports + page-cache reads (measured 2-6s, IDENTICAL at 2 and 8
+    # CPUs) that a long-running cluster amortizes — warm once untimed,
+    # then report the median of three timed runs.
+    once()
+    s0 = _steal_ticks()
+    samples = [once() for _ in range(3)]
+    steal = _steal_ticks() - s0
+    ray.shutdown()
+    walls = sorted(w for w, _ in samples)
+    return {"query": name, "sec": round(walls[1], 3),
+            "samples_sec": [round(w, 3) for w in walls],
+            "rows": samples[0][1],
+            "num_cpus": num_cpus, "steal_ticks": steal,
+            "sf": os.path.basename(os.path.normpath(sf_dir))}
+
+
+def run_query_scaling(names: list[str], lo: int, hi: int) -> dict:
+    """Per-query N→4N scaling: each leg is a fresh subprocess (own Ray
+    session). Efficiency = (sec_lo / sec_hi) / (hi / lo) — same input,
+    so time ratio is the throughput ratio."""
+    out = {"metric": "query_scaling", "cpus_lo": lo, "cpus_hi": hi,
+           "queries": {}}
+    for name in names:
+        legs = {}
+        for cpus in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--query-once", name],
+                env=env, capture_output=True, text=True, check=True)
+            legs[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+        out["queries"][name] = {
+            "sec_lo": legs[lo]["sec"], "sec_hi": legs[hi]["sec"],
+            "rows": legs[hi]["rows"],
+            "steal_lo": legs[lo]["steal_ticks"],
+            "steal_hi": legs[hi]["steal_ticks"],
+            "efficiency": round((legs[lo]["sec"] / legs[hi]["sec"])
+                                / (hi / lo), 3)}
+        out["sf"] = legs[hi]["sf"]
+    return out
+
+
 def run_scaling_pair(lo: int, hi: int) -> dict:
     """One N→4N pair at arbitrary CPU counts (single build per leg) —
     `python bench.py --scaling-pair 2 8` measures the uncontended pair
@@ -340,6 +404,13 @@ if __name__ == "__main__":
         print(json.dumps(run_build_once()))
     elif "--once" in sys.argv:
         print(json.dumps(run_once()))
+    elif "--query-once" in sys.argv:
+        i = sys.argv.index("--query-once")
+        print(json.dumps(run_query_once(sys.argv[i + 1])))
+    elif "--query-scaling" in sys.argv:
+        i = sys.argv.index("--query-scaling")
+        lo_, hi_ = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        print(json.dumps(run_query_scaling(sys.argv[i + 3:], lo_, hi_)))
     elif "--scaling-pair" in sys.argv:
         i = sys.argv.index("--scaling-pair")
         print(json.dumps(run_scaling_pair(int(sys.argv[i + 1]),
