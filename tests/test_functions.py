@@ -104,3 +104,22 @@ def test_per_type_scan_no_prefix_swallowing():
     assert ("cve", "CVE-2021-44228") in got
     assert ("d3fend", "D3-CVE") in got
     assert [n for n, _ in PER_TYPE_RX] == [n for n, _ in MENTION_TYPES]
+
+
+def test_empty_schema_warning_filter():
+    """The executor-noise filter drops only the empty-new-schema variant
+    of Ray's RefBundle warning; a real two-schema mismatch still warns."""
+    import logging
+
+    import uckg_ray  # noqa: F401  (installs the filter on import)
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    mk = lambda m: logging.LogRecord("x", logging.WARNING, "", 0, m, (), None)
+    empty = mk("Operator produced a RefBundle with a different schema than "
+               "the previous one. Previous schema: a: int64, new schema: . "
+               "This may lead to unexpected behavior.")
+    real = mk("Operator produced a RefBundle with a different schema than "
+              "the previous one. Previous schema: a: int64, new schema: "
+              "b: string. This may lead to unexpected behavior.")
+    assert not lg.filter(empty)
+    assert lg.filter(real)

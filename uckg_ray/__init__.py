@@ -38,4 +38,27 @@ import os as _os
 # the polars analogue. setdefault → a user can still override.
 _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
+
+def _install_empty_schema_warning_filter() -> None:
+    """Drop the one harmless variant of Ray Data's 'RefBundle with a
+    different schema' executor warning: an EMPTY new schema, which the
+    streaming executor emits for every empty partition a sort/groupby
+    produces (20 groups through a 200-partition exchange → a wall of
+    them). A real schema MISMATCH (two non-empty schemas) still warns —
+    that one catches genuine operator bugs."""
+    import logging
+
+    class _EmptySchemaFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not ("RefBundle with a different schema" in msg
+                        and "new schema: ." in msg)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaFilter())
+
+
+_install_empty_schema_warning_filter()
+
 __version__ = "0.1.0"
