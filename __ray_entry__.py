@@ -743,6 +743,20 @@ def _q_top_terms(sf_dir: str):
     return top_terms_per_group(_table(sf_dir, "documents"), k=10)
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Intra-document word-3-gram repetition profile (the Gopher /
+    RefinedWeb repetition-removal signal), all-integer per doc."""
+    from uckg_ray.stages.text import repetition_stats
+    return repetition_stats(_table(sf_dir, "documents"), n=3)
+
+
+def _q_zipf_histogram(sf_dir: str):
+    """Corpus frequency-of-frequencies histogram: how many distinct
+    tokens occur exactly `freq` times (Zipf sanity profile)."""
+    from uckg_ray.stages.text import token_freq_histogram
+    return token_freq_histogram(_table(sf_dir, "documents"))
+
+
 def _q_events_cube(sf_dir: str):
     """GROUP BY CUBE(event_type, user_id): all four grouping sets from
     one raw scan (rollup plan + the (NULL, user_id) level)."""
@@ -893,6 +907,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rounds of driver-green rows each) rotate to the tail.  Every entry,
     # head or tail, stays covered by tools/check_oracle.py and pytest.
     return {
+        # -- new in round 5 (driver samples the head) --
+        "doc_repetition": _q_doc_repetition,
+        "zipf_histogram": _q_zipf_histogram,
         # -- never driver-sampled through r04 (VERDICT r4 ask #1) --
         "customers_no_big_order": _q_customers_no_big_order,
         "customers_with_big_order": _q_customers_with_big_order,
@@ -2088,6 +2105,30 @@ FROM (SELECT label,
                   AS BIGINT) AS q
       FROM embeddings)
 GROUP BY label, dim""",
+        # word-3-gram repetition: range is end-exclusive and DuckDB list
+        # slicing l[a:b] is 1-based INCLUSIVE, so gram i spans tokens
+        # i..i+2 and the last start is n_tokens-2; docs shorter than the
+        # gram width fall out of the lateral unnest and COALESCE to 0
+        "doc_repetition": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram
+      FROM t, unnest(range(1, n_tokens - 1)) AS u(i)),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+p AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+             CAST(count(*) AS BIGINT) AS n_distinct_grams,
+             CAST(max(cnt) AS BIGINT) AS max_gram_count
+      FROM c GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_distinct_grams, 0) AS n_distinct_grams,
+       COALESCE(p.max_gram_count, 0) AS max_gram_count
+FROM t LEFT JOIN p USING (doc_id)""",
+        "zipf_histogram": """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY tok)
+SELECT freq, CAST(count(*) AS BIGINT) AS n_tokens FROM c GROUP BY freq""",
         "top_terms": """
 WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
            FROM documents),

@@ -157,7 +157,8 @@ def run_bench() -> dict:
                  "kmv_distinct", "events_json_sum", "kg_subprop_entailed",
                  "events_cube", "scrub_pii", "chunk_documents",
                  "embed_centroids", "q5_region_volume", "top_terms",
-                 "kg_owl_entailed"):
+                 "kg_owl_entailed", "doc_repetition", "zipf_histogram",
+                 "ngram_contamination", "multimodal_decode"):
         timed(name, q[name])
     ray.shutdown()
 

@@ -290,3 +290,34 @@ def test_top_terms_per_group(ray_session):
     # a: x=4, y=2, z=1 → top2 x, y;  b: q=4, r=2, s=1 → top2 q, r
     assert got == {("a", 1): ("x", 4), ("a", 2): ("y", 2),
                    ("b", 1): ("q", 4), ("b", 2): ("r", 2)}
+
+
+def test_repetition_stats_semantics(ray_session):
+    """3-gram repetition profile: a fully repetitive doc, a unique doc,
+    and sub-gram-width docs (zeros)."""
+    import ray.data
+    from uckg_ray.stages.text import repetition_stats
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b a b a b",      # 6 grams, 2 distinct
+                 "v w x y z",            # 3 grams, all distinct
+                 "a b",                  # shorter than gram width
+                 ""]}))
+    rows = {r["doc_id"]: r for r in repetition_stats(ds, n=3).take_all()}
+    assert (rows[0]["n_grams"], rows[0]["n_distinct_grams"],
+            rows[0]["max_gram_count"]) == (6, 2, 3)
+    assert (rows[1]["n_grams"], rows[1]["n_distinct_grams"],
+            rows[1]["max_gram_count"]) == (3, 3, 1)
+    assert (rows[2]["n_tokens"], rows[2]["n_grams"]) == (2, 0)
+    assert (rows[3]["n_tokens"], rows[3]["n_grams"]) == (1, 0)
+
+
+def test_token_freq_histogram(ray_session):
+    import ray.data
+    from uckg_ray.stages.text import token_freq_histogram
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a a b", "a c"]}))      # a:3, b:1, c:1
+    rows = {r["freq"]: r["n_tokens"]
+            for r in token_freq_histogram(ds).take_all()}
+    assert rows == {3: 1, 1: 2}

@@ -476,6 +476,88 @@ def chunk_documents(docs: Dataset, *, size: int = 64, stride: int = 48,
     return docs.map_batches(chunks, batch_format="pyarrow")
 
 
+def repetition_stats(docs: Dataset, *, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id") -> Dataset:
+    """Intra-document n-gram repetition profile — the Gopher/RefinedWeb
+    repetition-removal signal (fraction of duplicated word n-grams
+    inside each document). Output per doc, all-integer so the oracle is
+    exact: (doc_id, n_tokens, n_grams, n_distinct_grams,
+    max_gram_count); the duplicate-gram fraction is
+    ``1 - n_distinct/n_grams`` one expression downstream. A document
+    with fewer than ``n`` tokens reports zeros.
+
+    Stateless per-block map, fully vectorized: one Rust-side split →
+    explode → within-doc shifts → concat_str builds the gram column,
+    and two tiny in-block group_bys reduce it back to one row per doc.
+    Nothing shuffles — documents are whole rows in their block."""
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("n_tokens", pa.int64()),
+        ("n_grams", pa.int64()), ("n_distinct_grams", pa.int64()),
+        ("max_gram_count", pa.int64())])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = (pl.from_arrow(batch.select([id_col, text_col]))
+              .select(pl.col(id_col).cast(pl.Int64),
+                      pl.col(text_col).str.split(" ").alias("tok")))
+        base = df.select(id_col, pl.col("tok").list.len().cast(pl.Int64)
+                         .alias("n_tokens"))
+        shifts = [pl.col("tok").shift(-i).over(id_col).alias(f"_t{i}")
+                  for i in range(1, n)]
+        grams = (df.explode("tok").with_columns(shifts)
+                 .filter(pl.all_horizontal(
+                     [pl.col(f"_t{i}").is_not_null() for i in range(1, n)]))
+                 .select(id_col,
+                         pl.concat_str([pl.col("tok"),
+                                        *[pl.col(f"_t{i}")
+                                          for i in range(1, n)]],
+                                       separator=" ").alias("gram")))
+        per_doc = (grams.group_by([id_col, "gram"]).len()
+                   .group_by(id_col)
+                   .agg(n_grams=pl.col("len").sum().cast(pl.Int64),
+                        n_distinct_grams=pl.len().cast(pl.Int64),
+                        max_gram_count=pl.col("len").max().cast(pl.Int64)))
+        out = (base.join(per_doc, on=id_col, how="left")
+               .fill_null(0))
+        return out.to_arrow().cast(out_schema)
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def token_freq_histogram(docs: Dataset, text_col: str = "text") -> Dataset:
+    """Corpus Zipf profile: (freq, n_tokens) — how many distinct
+    whitespace tokens occur exactly ``freq`` times corpus-wide (the
+    frequency-of-frequencies histogram used to sanity-check corpus
+    composition and tokenizer fit). Two-phase: block-local token counts
+    (all-Rust) are the combiner, ONE Sum shuffle on the token
+    co-locates global counts, and the second groupby moves one row per
+    distinct frequency — tiny."""
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        out = (pl.from_arrow(batch.select([text_col]))
+               .select(pl.col(text_col).str.split(" ").alias("tok"))
+               .explode("tok")
+               .group_by("tok").len())
+        return pa.table({
+            "tok": out["tok"].to_arrow().cast(pa.string()),
+            "n": out["len"].to_arrow().cast(pa.int64())})
+
+    _MID = pa.schema([("freq", pa.int64()), ("one", pa.int64())])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return _MID.empty_table()
+        return pa.table({
+            "freq": batch.column("n"),
+            "one": pa.array([1] * batch.num_rows, pa.int64())})
+
+    return (docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+            .groupby("tok").aggregate(Sum("n", alias_name="n"))
+            .map_batches(ones, batch_format="pyarrow", batch_size=None)
+            .groupby("freq").aggregate(Sum("one", alias_name="n_tokens")))
+
+
 def top_terms_per_group(docs: Dataset, *, k: int = 10,
                         group_col: str = "source",
                         text_col: str = "text") -> Dataset:
