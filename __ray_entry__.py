@@ -757,6 +757,14 @@ def _q_zipf_histogram(sf_dir: str):
     return token_freq_histogram(_table(sf_dir, "documents"))
 
 
+def _q_fp_overlap(sf_dir: str):
+    """Cross-source winnow-fingerprint overlap matrix: distinct shared
+    fingerprints per source pair (corpus-mixing contamination audit)."""
+    from uckg_ray.stages.text import fingerprint_overlap
+    return fingerprint_overlap(_table_blocks(sf_dir, "documents"),
+                               k=8, w=4)
+
+
 def _q_events_cube(sf_dir: str):
     """GROUP BY CUBE(event_type, user_id): all four grouping sets from
     one raw scan (rollup plan + the (NULL, user_id) level)."""
@@ -910,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 5 (driver samples the head) --
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
+        "fp_overlap": _q_fp_overlap,
         # -- never driver-sampled through r04 (VERDICT r4 ask #1) --
         "customers_no_big_order": _q_customers_no_big_order,
         "customers_with_big_order": _q_customers_with_big_order,
@@ -1871,6 +1880,27 @@ m AS (SELECT doc_id, i, ng,
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
       FROM h)
 SELECT DISTINCT doc_id, mn AS fp FROM m WHERE i <= ng - least(4, ng)""",
+        # same winnow CTE chain as doc_winnow, joined back to source;
+        # fs is DISTINCT (source, fp) so count(*) counts shared fps
+        "fp_overlap": """
+WITH g AS (SELECT doc_id, len(text) AS n,
+           unnest(range(greatest(len(text) - 8 + 1, 1))) AS i, text
+           FROM documents),
+h AS (SELECT doc_id, i, greatest(n - 8 + 1, 1) AS ng,
+      md5_number_upper(CASE WHEN n >= 8
+        THEN substr(text, CAST(i AS INT) + 1, 8) ELSE text END) AS hv
+      FROM g),
+m AS (SELECT doc_id, i, ng,
+      min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+      FROM h),
+w AS (SELECT DISTINCT doc_id, mn AS fp FROM m WHERE i <= ng - least(4, ng)),
+fs AS (SELECT DISTINCT d.source, w.fp
+       FROM w JOIN documents d USING (doc_id))
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2""",
         "token_count": ("SELECT source, count(*) AS n_docs, "
                         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
                         "FROM documents GROUP BY source"),

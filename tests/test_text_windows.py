@@ -321,3 +321,19 @@ def test_token_freq_histogram(ray_session):
     rows = {r["freq"]: r["n_tokens"]
             for r in token_freq_histogram(ds).take_all()}
     assert rows == {3: 1, 1: 2}
+
+
+def test_fingerprint_overlap(ray_session):
+    """Shared winnow fingerprints counted once per source pair; pairs
+    ordered src_a < src_b; disjoint sources absent."""
+    import ray.data
+    from uckg_ray.stages.text import fingerprint_overlap
+    # k=3, w=1 → fps = distinct 3-gram hashes; texts chosen so A∩B
+    # share exactly the grams of "xyz" (1 fp), A∩C nothing
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "source": ["A", "B", "C"],
+        "text": ["xyzq", "axyz", "qrstu"]}))
+    rows = {(r["src_a"], r["src_b"]): r["n_shared_fps"]
+            for r in fingerprint_overlap(ds, k=3, w=1).take_all()}
+    assert rows == {("A", "B"): 1}   # the md5 of "xyz" only

@@ -126,7 +126,8 @@ def token_counts_by(docs: Dataset, group_col: str = "source") -> Dataset:
                        Sum("n_tokens", alias_name="n_tokens")))
 
 
-def winnow_fingerprints(docs: Dataset, *, k: int = 8, w: int = 4) -> Dataset:
+def winnow_fingerprints(docs: Dataset, *, k: int = 8, w: int = 4,
+                        carry_col: str | None = None) -> Dataset:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
     shape): rolling k-gram hashes, distinct window minima per doc.
 
@@ -150,20 +151,88 @@ def winnow_fingerprints(docs: Dataset, *, k: int = 8, w: int = 4) -> Dataset:
     def fps(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        carry = (batch.column(carry_col).to_pylist()
+                 if carry_col else None)
         hv, doc_idx = _char_gram_hash_index(texts, k)
-        D, F = [], []
-        for i, idx in zip(ids, doc_idx):
+        D, F, C = [], [], []
+        for row, (i, idx) in enumerate(zip(ids, doc_idx)):
             h = hv[idx]
             ww = min(w, len(h))
             mins = np.unique(
                 np.lib.stride_tricks.sliding_window_view(h, ww).min(axis=1))
             D.extend([i] * len(mins)); F.append(mins)
-        return pa.Table.from_pydict({
+            if carry is not None:
+                C.extend([carry[row]] * len(mins))
+        cols = {
             "doc_id": pa.array(D, pa.int64()),
             "fp": pa.array(np.concatenate(F) if F else
-                           np.array([], np.uint64), pa.uint64())})
+                           np.array([], np.uint64), pa.uint64())}
+        if carry is not None:
+            cols[carry_col] = pa.array(C, pa.string())
+        return pa.Table.from_pydict(cols)
 
     return docs.map_batches(fps, batch_format="pyarrow")
+
+
+def fingerprint_overlap(docs: Dataset, *, k: int = 8, w: int = 4,
+                        group_col: str = "source",
+                        num_partitions: int | None = None) -> Dataset:
+    """Cross-slice corpus overlap matrix: for every pair of sources,
+    the number of DISTINCT winnow fingerprints present in both —
+    the corpus-level "how much do these two slices share" audit run
+    before mixing training corpora (pairwise contamination at the
+    fingerprint level, robust to whole-document edits).
+    Output: (src_a, src_b, n_shared_fps) with src_a < src_b.
+
+    Scale shape: in-block distinct (fp, source) from the winnow kernel
+    (the document text never leaves its block), hash-partition on the
+    FINGERPRINT so each fp's source set is co-located, per-partition
+    vectorized self-join + pair counts (disjoint across partitions by
+    construction — each fp lives in exactly one), then one tiny Sum
+    groupby on the source pair. Nothing quadratic in documents: the
+    join fans out per fp only over the sources sharing it (≤ #sources,
+    a small set by definition)."""
+    import polars as pl
+
+    from uckg_ray.config import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    fps = winnow_fingerprints(docs, k=k, w=w, carry_col=group_col)
+
+    _FS = pa.schema([("fp", pa.uint64()), (group_col, pa.string()),
+                     ("p", pa.int32())])
+
+    def distinct_fs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _FS.empty_table()
+        df = pl.from_arrow(batch.select(["fp", group_col])).unique()
+        return pa.table({
+            "fp": df["fp"].to_arrow().cast(pa.uint64()),
+            group_col: df[group_col].to_arrow().cast(pa.string()),
+            "p": (df["fp"] % num_partitions).cast(pl.Int32).to_arrow()})
+
+    _PART = pa.schema([("src_a", pa.string()), ("src_b", pa.string()),
+                       ("c", pa.int64())])
+
+    def pair_count(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _PART.empty_table()
+        df = pl.from_arrow(part.drop_columns(["p"])).unique()
+        j = (df.join(df, on="fp")
+             .filter(pl.col(group_col) < pl.col(group_col + "_right"))
+             .group_by([group_col, group_col + "_right"]).len())
+        return pa.table({
+            "src_a": j[group_col].to_arrow().cast(pa.string()),
+            "src_b": j[group_col + "_right"].to_arrow().cast(pa.string()),
+            "c": j["len"].to_arrow().cast(pa.int64())})
+
+    return (fps.map_batches(distinct_fs, batch_format="pyarrow",
+                            batch_size=None)
+            .groupby("p").map_groups(pair_count, batch_format="pyarrow")
+            .groupby(["src_a", "src_b"])
+            .aggregate(Sum("c", alias_name="n_shared_fps")))
 
 
 def tfidf_components(docs: Dataset, num_partitions: int | None = None
