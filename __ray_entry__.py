@@ -757,6 +757,13 @@ def _q_zipf_histogram(sf_dir: str):
     return token_freq_histogram(_table(sf_dir, "documents"))
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered view→click→purchase conversion funnel, first-occurrence
+    semantics, strictly-after comparisons."""
+    from uckg_ray.stages.windows import event_funnel
+    return event_funnel(_table(sf_dir, "events"))
+
+
 def _q_fp_overlap(sf_dir: str):
     """Cross-source winnow-fingerprint overlap matrix: distinct shared
     fingerprints per source pair (corpus-mixing contamination audit)."""
@@ -919,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
         "fp_overlap": _q_fp_overlap,
+        "events_funnel": _q_events_funnel,
         # -- never driver-sampled through r04 (VERDICT r4 ask #1) --
         "customers_no_big_order": _q_customers_no_big_order,
         "customers_with_big_order": _q_customers_with_big_order,
@@ -1880,6 +1888,23 @@ m AS (SELECT doc_id, i, ng,
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
       FROM h)
 SELECT DISTINCT doc_id, mn AS fp FROM m WHERE i <= ng - least(4, ng)""",
+        # first-occurrence funnel with strictly-after chaining; both
+        # engines compare microsecond timestamps so ordering is exact
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+       CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+       CAST((SELECT count(*) FROM s3) AS BIGINT)""",
         # same winnow CTE chain as doc_winnow, joined back to source;
         # fs is DISTINCT (source, fp) so count(*) counts shared fps
         "fp_overlap": """

@@ -337,3 +337,21 @@ def test_fingerprint_overlap(ray_session):
     rows = {(r["src_a"], r["src_b"]): r["n_shared_fps"]
             for r in fingerprint_overlap(ds, k=3, w=1).take_all()}
     assert rows == {("A", "B"): 1}   # the md5 of "xyz" only
+
+
+def test_event_funnel(ray_session):
+    """Strictly-after chaining: u1 converts fully; u2's purchase
+    precedes the click, so it must not count; u3 never clicks."""
+    import ray.data
+    from uckg_ray.stages.windows import event_funnel
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02",  # u1
+        "2024-01-01 00:00", "2024-01-01 00:02", "2024-01-01 00:01",  # u2
+        "2024-01-01 00:00"])                                         # u3
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 2, 3],
+        "event_type": ["view", "click", "purchase",
+                       "view", "click", "purchase", "view"],
+        "ts": ts}))
+    rows = {r["step"]: r["n_users"] for r in event_funnel(ds).take_all()}
+    assert rows == {"view": 3, "click": 2, "purchase": 1}

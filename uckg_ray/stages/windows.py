@@ -458,3 +458,72 @@ def hopping_window_agg(events: Dataset, *, size_minutes: int = 60,
             .groupby(["user_id", "window_start_us"])
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("sum_value_c100", alias_name="sum_value_c100")))
+
+
+def event_funnel(events: Dataset,
+                 steps: tuple[str, ...] = ("view", "click", "purchase"),
+                 *, num_partitions: int | None = None) -> Dataset:
+    """Ordered conversion funnel: how many users performed step 1, step
+    2 strictly after their first step 1, step 3 strictly after that
+    reach, … (first-occurrence semantics — t_k is the earliest step-k
+    event after t_{k-1}). Output: (step_idx 1.., step, n_users), one
+    row per step.
+
+    Scale shape: rows are pruned to funnel event types at the read,
+    users are hash-co-partitioned ONCE (`key_partition_ids` — every
+    user's history lands whole in one partition), each partition runs
+    the k-step chain as vectorized polars joins over (user, ts) frames,
+    and the per-partition counts merge with a k-row Sum groupby. Skew
+    note: the per-user state is one timestamp per step, so even a
+    pathological hot user costs O(its events) in one partition, never
+    cross-partition traffic."""
+    import polars as pl
+
+    from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import key_partition_ids
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    step_list = list(steps)
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.is_in(b.column("event_type"),
+                              pa.array(step_list, pa.string())))
+        users = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "ts": b.column("ts").cast(pa.int64()),
+            "p": pa.array(key_partition_ids(users, num_partitions),
+                          pa.int32())})
+
+    _OUT = pa.schema([("step_idx", pa.int64()), ("step", pa.string()),
+                      ("n_users", pa.int64())])
+
+    def funnel_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        df = pl.from_arrow(part.select(["user_id", "event_type", "ts"]))
+        counts = []
+        cur = None           # (user_id, t): users who reached the step
+        for s in step_list:
+            ev = df.filter(pl.col("event_type") == s)
+            if cur is None:
+                cur = ev.group_by("user_id").agg(pl.col("ts").min().alias("t"))
+            else:
+                cur = (ev.join(cur, on="user_id")
+                       .filter(pl.col("ts") > pl.col("t"))
+                       .group_by("user_id")
+                       .agg(pl.col("ts").min().alias("t")))
+            counts.append(cur.height)
+        return pa.table({
+            "step_idx": pa.array(range(1, len(step_list) + 1), pa.int64()),
+            "step": pa.array(step_list, pa.string()),
+            "n_users": pa.array(counts, pa.int64())})
+
+    return (events.select_columns(["user_id", "event_type", "ts"])
+            .map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby("p").map_groups(funnel_partition, batch_format="pyarrow")
+            .groupby(["step_idx", "step"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
