@@ -183,6 +183,14 @@ def _q_kg_node_props(sf_dir: str):
     return node_props(_distinct_edges_cached(sf_dir))
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Integer-exact PageRank (3 iterations, damping 85/100, scale
+    10^6) over the KG link graph — fixed-point floor arithmetic both
+    sides, so DuckDB replays each iteration bit-for-bit."""
+    from uckg_ray.stages.graph import pagerank_int
+    return pagerank_int(_distinct_edges_cached(sf_dir))
+
+
 def _q_kg_degree_topk(sf_dir: str):
     """Graph query over the materialized KG: top-20 subjects by
     out-degree (ties → min subj)."""
@@ -927,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_histogram": _q_zipf_histogram,
         "fp_overlap": _q_fp_overlap,
         "events_funnel": _q_events_funnel,
+        "kg_pagerank": _q_kg_pagerank,
         # -- never driver-sampled through r04 (VERDICT r4 ask #1) --
         "customers_no_big_order": _q_customers_no_big_order,
         "customers_with_big_order": _q_customers_with_big_order,
@@ -1686,6 +1695,35 @@ edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)}))
 SELECT subj, pred, string_agg(DISTINCT obj, ';;' ORDER BY obj) AS vals
 FROM edges WHERE obj_is_literal GROUP BY subj, pred""",
+        # fixed-point PageRank: each iteration is a MATERIALIZED CTE
+        # (non-materialized chains re-evaluate prefixes exponentially);
+        # SUM over BIGINT is HUGEINT in DuckDB — `//` stays exact on it
+        # and the final CAST restores BIGINT parity with the Ray side
+        "kg_pagerank": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+le AS MATERIALIZED (SELECT DISTINCT subj, obj FROM edges
+                    WHERE NOT obj_is_literal),
+nodes AS MATERIALIZED (SELECT subj AS node FROM edges
+                       UNION SELECT obj FROM edges WHERE NOT obj_is_literal),
+deg AS MATERIALIZED (SELECT subj, count(*) AS outdeg FROM le GROUP BY subj),
+r0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+r1 AS MATERIALIZED (
+  SELECT n.node, 150000 + COALESCE(s.w, 0) AS rank FROM nodes n LEFT JOIN (
+    SELECT le.obj AS node, SUM((r.rank * 85) // (100 * d.outdeg)) AS w
+    FROM le JOIN r0 r ON r.node = le.subj JOIN deg d ON d.subj = le.subj
+    GROUP BY le.obj) s USING (node)),
+r2 AS MATERIALIZED (
+  SELECT n.node, 150000 + COALESCE(s.w, 0) AS rank FROM nodes n LEFT JOIN (
+    SELECT le.obj AS node, SUM((r.rank * 85) // (100 * d.outdeg)) AS w
+    FROM le JOIN r1 r ON r.node = le.subj JOIN deg d ON d.subj = le.subj
+    GROUP BY le.obj) s USING (node)),
+r3 AS MATERIALIZED (
+  SELECT n.node, 150000 + COALESCE(s.w, 0) AS rank FROM nodes n LEFT JOIN (
+    SELECT le.obj AS node, SUM((r.rank * 85) // (100 * d.outdeg)) AS w
+    FROM le JOIN r2 r ON r.node = le.subj JOIN deg d ON d.subj = le.subj
+    GROUP BY le.obj) s USING (node))
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""",
         "kg_degree_topk": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

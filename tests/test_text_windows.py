@@ -355,3 +355,21 @@ def test_event_funnel(ray_session):
         "ts": ts}))
     rows = {r["step"]: r["n_users"] for r in event_funnel(ds).take_all()}
     assert rows == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_pagerank_int_hand_computed(ray_session):
+    """3-node chain A→{B,C}, B→C plus a literal edge (excluded from the
+    link graph; its subject D still ranks as an isolated node). Ranks
+    after 3 fixed-point iterations verified by hand."""
+    import ray.data
+    from uckg_ray.stages.graph import pagerank_int
+    ds = ray.data.from_arrow(pa.table({
+        "subj": pa.array(["A", "A", "B", "D"]),
+        "pred": pa.array(["p"] * 4),
+        "obj": pa.array(["B", "C", "C", "a literal"]),
+        "obj_is_literal": pa.array([False, False, False, True])}))
+    got = {r["node"]: r["rank"] for r in pagerank_int(ds).take_all()}
+    # iter1: A=150000, B=575000, C=1425000
+    # iter2: A=150000, B=213750, C=702500
+    # iter3: A=150000, B=213750, C=150000+63750+181687
+    assert got == {"A": 150000, "B": 213750, "C": 395437, "D": 150000}

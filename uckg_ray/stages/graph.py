@@ -162,3 +162,110 @@ def triangles(edges: Dataset, num_partitions: int | None = None) -> Dataset:
     return tagged.groupby("p").map_groups(
         lambda t: close_in_partition(t.drop_columns(["p", "k"])),
         batch_format="pyarrow")
+
+
+def pagerank_int(edges: Dataset, *, iters: int = 3, damping_pct: int = 85,
+                 scale: int = 1_000_000,
+                 max_driver_nodes: int = 5_000_000) -> Dataset:
+    """Integer-exact PageRank over the KG link graph — the iterative
+    graph algorithm made hash-checkable by fixed-point floor arithmetic
+    (the IntegerIVF trick): a SQL oracle replays every iteration
+    bit-for-bit with materialized CTEs.
+
+    Graph: distinct (subj, obj) pairs with resource objects; nodes are
+    all subjects plus resource objects. Recurrence (unnormalized base,
+    dangling mass dropped — both documented, both mirrored in SQL)::
+
+        r_0(v)     = scale
+        r_{t+1}(v) = (100-damping_pct)*scale//100
+                     + Σ_{(u,v)∈E} (r_t(u)*damping_pct) // (100*outdeg(u))
+
+    Scale shape: the link table is distincted once and MATERIALIZED
+    (each iteration re-reads it; Ray plans are trees). Per iteration:
+    per-node contribution weights are computed vectorized DRIVER-side
+    over the node-bounded rank vector (the entity vocabulary — the same
+    bounded state as the node table / canonical map), broadcast once
+    via ``ray.put`` as an Arrow table, joined in-block (polars) with a
+    per-block partial sum, then ONE Sum groupby on the target node.
+    Ranks above ``max_driver_nodes`` raise loudly — the extension is
+    the canonicalize-style co-partitioned rank attach."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def link_part(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(b.column("obj_is_literal")))
+        return pa.table({"subj": t.column("subj"), "obj": t.column("obj")})
+
+    le = (edges.map_batches(link_part, batch_format="pyarrow",
+                            batch_size=None)
+          .groupby(["subj", "obj"]).aggregate(Count(alias_name="_c"))
+          .drop_columns(["_c"]).materialize())
+
+    def _flat(col) -> list:
+        # ChunkedArray.combine_chunks() returns a plain Array on recent
+        # pyarrow; normalize either shape to a list of Arrays
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return c.chunks if isinstance(c, pa.ChunkedArray) else [c]
+
+    def node_part(b: pa.Table) -> pa.Table:
+        objs = (b.filter(pc.invert(b.column("obj_is_literal")))
+                .column("obj"))
+        arrs = _flat(b.column("subj")) + _flat(objs)
+        return pa.table({"node": pa.concat_arrays(arrs) if arrs
+                         else pa.array([], pa.string())})
+
+    nodes_ds = (edges.map_batches(node_part, batch_format="pyarrow",
+                                  batch_size=None)
+                .groupby("node").aggregate(Count(alias_name="_c")))
+    node_arr = np.array([r["node"] for r in nodes_ds.take_all()])
+    if len(node_arr) > max_driver_nodes:
+        raise ValueError(
+            f"pagerank_int holds the rank vector driver-side (bounded by "
+            f"the entity vocabulary); {len(node_arr)} nodes exceeds "
+            f"max_driver_nodes={max_driver_nodes} — extend with a "
+            f"co-partitioned rank attach (see canonicalize) for wider "
+            f"vocabularies")
+    order = np.argsort(node_arr)
+    node_arr = node_arr[order]
+    deg_map = {r["subj"]: r["outdeg"] for r in
+               le.groupby("subj").aggregate(Count(alias_name="outdeg"))
+               .take_all()}
+    outdeg = np.array([deg_map.get(n, 0) for n in node_arr], np.int64)
+    has_out = outdeg > 0
+
+    base = (100 - damping_pct) * scale // 100
+    ranks = np.full(len(node_arr), scale, np.int64)
+
+    _P = pa.schema([("obj", pa.string()), ("w", pa.int64())])
+
+    def contrib_factory(wref):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return _P.empty_table()
+            import polars as pl
+            wdf = pl.from_arrow(ray.get(wref))
+            j = (pl.from_arrow(b.select(["subj", "obj"]))
+                 .join(wdf, on="subj")
+                 .group_by("obj").agg(pl.col("w").sum()))
+            return pa.table({
+                "obj": j["obj"].to_arrow().cast(pa.string()),
+                "w": j["w"].to_arrow().cast(pa.int64())})
+        return f
+
+    for _ in range(iters):
+        w = (ranks[has_out] * damping_pct) // (100 * outdeg[has_out])
+        wref = ray.put(pa.table({"subj": pa.array(node_arr[has_out]),
+                                 "w": pa.array(w, pa.int64())}))
+        inc = (le.map_batches(contrib_factory(wref),
+                              batch_format="pyarrow", batch_size=None)
+               .groupby("obj").aggregate(Sum("w", alias_name="w")))
+        ranks = np.full(len(node_arr), base, np.int64)
+        inc_rows = inc.take_all()
+        if inc_rows:
+            idx = np.searchsorted(node_arr,
+                                  np.array([r["obj"] for r in inc_rows]))
+            ranks[idx] += np.array([r["w"] for r in inc_rows], np.int64)
+
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(node_arr), "rank": pa.array(ranks, pa.int64())}))
