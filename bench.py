@@ -158,7 +158,8 @@ def run_bench() -> dict:
                  "events_cube", "scrub_pii", "chunk_documents",
                  "embed_centroids", "q5_region_volume", "top_terms",
                  "kg_owl_entailed", "doc_repetition", "zipf_histogram",
-                 "ngram_contamination", "multimodal_decode"):
+                 "ngram_contamination", "multimodal_decode", "fp_overlap",
+                 "events_funnel", "kg_pagerank"):
         timed(name, q[name])
     ray.shutdown()
 
