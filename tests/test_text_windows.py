@@ -373,3 +373,25 @@ def test_pagerank_int_hand_computed(ray_session):
     # iter2: A=150000, B=213750, C=702500
     # iter3: A=150000, B=213750, C=150000+63750+181687
     assert got == {"A": 150000, "B": 213750, "C": 395437, "D": 150000}
+
+
+def test_pagerank_distributed_path_identical(ray_session):
+    """force_distributed (co-partitioned rank attach, no driver rank
+    state) produces exactly the broadcast-path ranks on a 60-node
+    deterministic graph with hubs and dangling nodes."""
+    import ray.data
+    from uckg_ray.stages.graph import pagerank_int
+    subs, objs = [], []
+    for i in range(60):
+        for j in ((i * 7 + 3) % 60, (i * 13 + 5) % 60, 0):
+            if j != i:
+                subs.append(f"n{i:02d}"); objs.append(f"n{j:02d}")
+    ds = ray.data.from_arrow(pa.table({
+        "subj": pa.array(subs), "pred": pa.array(["p"] * len(subs)),
+        "obj": pa.array(objs),
+        "obj_is_literal": pa.array([False] * len(subs))}))
+    a = {r["node"]: r["rank"] for r in pagerank_int(ds).take_all()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank_int(ds, force_distributed=True,
+                               num_partitions=7).take_all()}
+    assert a == b and len(a) == 60 and len(set(a.values())) > 3

@@ -166,7 +166,9 @@ def triangles(edges: Dataset, num_partitions: int | None = None) -> Dataset:
 
 def pagerank_int(edges: Dataset, *, iters: int = 3, damping_pct: int = 85,
                  scale: int = 1_000_000,
-                 max_driver_nodes: int = 5_000_000) -> Dataset:
+                 max_driver_nodes: int = 5_000_000,
+                 force_distributed: bool = False,
+                 num_partitions: int | None = None) -> Dataset:
     """Integer-exact PageRank over the KG link graph — the iterative
     graph algorithm made hash-checkable by fixed-point floor arithmetic
     (the IntegerIVF trick): a SQL oracle replays every iteration
@@ -181,14 +183,20 @@ def pagerank_int(edges: Dataset, *, iters: int = 3, damping_pct: int = 85,
                      + Σ_{(u,v)∈E} (r_t(u)*damping_pct) // (100*outdeg(u))
 
     Scale shape: the link table is distincted once and MATERIALIZED
-    (each iteration re-reads it; Ray plans are trees). Per iteration:
-    per-node contribution weights are computed vectorized DRIVER-side
-    over the node-bounded rank vector (the entity vocabulary — the same
-    bounded state as the node table / canonical map), broadcast once
-    via ``ray.put`` as an Arrow table, joined in-block (polars) with a
-    per-block partial sum, then ONE Sum groupby on the target node.
-    Ranks above ``max_driver_nodes`` raise loudly — the extension is
-    the canonicalize-style co-partitioned rank attach."""
+    (each iteration re-reads it; Ray plans are trees). Two size-adaptive
+    placements, identical output (forced-path tested):
+
+    - ``≤ max_driver_nodes`` (the entity vocabulary — the same bounded
+      state as the node table / canonical map): per-node contribution
+      weights are computed vectorized DRIVER-side, broadcast once per
+      iteration via ``ray.put`` as an Arrow table, joined in-block
+      (polars) with a per-block partial sum, then ONE Sum groupby on
+      the target node.
+    - above it (or ``force_distributed``): ranks stay a Dataset
+      carrying ``outdeg``; each iteration is two explicit key-hash
+      co-partitions (weights⨝links, ranks⨝incoming — per-partition
+      exact polars string joins) plus the same Sum groupby. Nothing is
+      ever O(nodes) on the driver."""
     import ray
     from ray.data.aggregate import Count, Sum
 
@@ -216,15 +224,13 @@ def pagerank_int(edges: Dataset, *, iters: int = 3, damping_pct: int = 85,
 
     nodes_ds = (edges.map_batches(node_part, batch_format="pyarrow",
                                   batch_size=None)
-                .groupby("node").aggregate(Count(alias_name="_c")))
+                .groupby("node").aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"]).materialize())
+    if force_distributed or nodes_ds.count() > max_driver_nodes:
+        return _pagerank_distributed(le, nodes_ds, iters=iters,
+                                     damping_pct=damping_pct, scale=scale,
+                                     num_partitions=num_partitions)
     node_arr = np.array([r["node"] for r in nodes_ds.take_all()])
-    if len(node_arr) > max_driver_nodes:
-        raise ValueError(
-            f"pagerank_int holds the rank vector driver-side (bounded by "
-            f"the entity vocabulary); {len(node_arr)} nodes exceeds "
-            f"max_driver_nodes={max_driver_nodes} — extend with a "
-            f"co-partitioned rank attach (see canonicalize) for wider "
-            f"vocabularies")
     order = np.argsort(node_arr)
     node_arr = node_arr[order]
     deg_map = {r["subj"]: r["outdeg"] for r in
@@ -269,3 +275,169 @@ def pagerank_int(edges: Dataset, *, iters: int = 3, damping_pct: int = 85,
     import ray.data
     return ray.data.from_arrow(pa.table({
         "node": pa.array(node_arr), "rank": pa.array(ranks, pa.int64())}))
+
+
+def _pagerank_distributed(le: Dataset, nodes_ds: Dataset, *, iters: int,
+                          damping_pct: int, scale: int,
+                          num_partitions: int | None) -> Dataset:
+    """Co-partitioned PageRank: the rank vector never visits the driver.
+    Ranks are a Dataset (node, outdeg, rank) — outdeg rides along so the
+    per-iteration weight map needs no extra join. Each iteration:
+    weights (stateless map off ranks) co-partition with the link table
+    by hash(subj) → per-partition polars string join + partial sums →
+    Sum groupby on the target node → co-partition incoming with ranks
+    by hash(node) → per-partition left join applies base + damping."""
+    import polars as pl
+
+    from ray.data.aggregate import Count, Sum
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    if num_partitions is None:
+        num_partitions = _default_partitions()
+    base = (100 - damping_pct) * scale // 100
+
+    deg = le.groupby("subj").aggregate(Count(alias_name="outdeg"))
+
+    # --- setup: ranks0 = nodes ⟕ outdeg, rank = scale -----------------
+    _SETUP = pa.schema([("key", pa.string()), ("side", pa.int8()),
+                        ("ival", pa.int64())])
+
+    def tag_nodes(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return _add_hash_partition(_SETUP.empty_table(),
+                                       num_partitions, "key")
+        t = pa.table({"key": b.column("node").cast(pa.string()),
+                      "side": pa.array(np.zeros(b.num_rows, np.int8)),
+                      "ival": pa.array(np.zeros(b.num_rows, np.int64))})
+        return _add_hash_partition(t, num_partitions, "key")
+
+    def tag_deg(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "subj" not in b.column_names:
+            return _add_hash_partition(_SETUP.empty_table(),
+                                       num_partitions, "key")
+        t = pa.table({"key": b.column("subj").cast(pa.string()),
+                      "side": pa.array(np.ones(b.num_rows, np.int8)),
+                      "ival": b.column("outdeg").cast(pa.int64())})
+        return _add_hash_partition(t, num_partitions, "key")
+
+    _RANKS = pa.schema([("node", pa.string()), ("outdeg", pa.int64()),
+                        ("rank", pa.int64())])
+
+    def init_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _RANKS.empty_table()
+        df = pl.from_arrow(part.select(["key", "side", "ival"]))
+        n = df.filter(pl.col("side") == 0).select(node="key")
+        d = (df.filter(pl.col("side") == 1)
+             .select(node="key", outdeg="ival"))
+        j = n.join(d, on="node", how="left").fill_null(0)
+        return pa.table({
+            "node": j["node"].to_arrow().cast(pa.string()),
+            "outdeg": j["outdeg"].to_arrow().cast(pa.int64()),
+            "rank": pa.array(np.full(j.height, scale, np.int64))})
+
+    ranks = (nodes_ds.map_batches(tag_nodes, batch_format="pyarrow",
+                                  batch_size=None)
+             .union(deg.map_batches(tag_deg, batch_format="pyarrow",
+                                    batch_size=None))
+             .groupby("p").map_groups(init_partition,
+                                      batch_format="pyarrow")
+             .materialize())
+
+    # --- per-iteration exchanges --------------------------------------
+    _CU = pa.schema([("key", pa.string()), ("side", pa.int8()),
+                     ("obj", pa.string()), ("w", pa.int64())])
+
+    def tag_le(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "subj" not in b.column_names:
+            return _add_hash_partition(_CU.empty_table(),
+                                       num_partitions, "key")
+        t = pa.table({"key": b.column("subj").cast(pa.string()),
+                      "side": pa.array(np.zeros(b.num_rows, np.int8)),
+                      "obj": b.column("obj").cast(pa.string()),
+                      "w": pa.array(np.zeros(b.num_rows, np.int64))})
+        return _add_hash_partition(t, num_partitions, "key")
+
+    def weights(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return _add_hash_partition(_CU.empty_table(),
+                                       num_partitions, "key")
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        d = b.column("outdeg").to_numpy(zero_copy_only=False)
+        m = d > 0
+        w = (r[m] * damping_pct) // (100 * d[m])
+        t = pa.table({"key": b.column("node").filter(pa.array(m))
+                      .cast(pa.string()),
+                      "side": pa.array(np.ones(int(m.sum()), np.int8)),
+                      "obj": pa.array([None] * int(m.sum()), pa.string()),
+                      "w": pa.array(w, pa.int64())})
+        return _add_hash_partition(t, num_partitions, "key")
+
+    _INC = pa.schema([("obj", pa.string()), ("w", pa.int64())])
+
+    def contrib_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _INC.empty_table()
+        df = pl.from_arrow(part.select(["key", "side", "obj", "w"]))
+        links = df.filter(pl.col("side") == 0).select("key", "obj")
+        wt = df.filter(pl.col("side") == 1).select("key", "w")
+        if links.height == 0 or wt.height == 0:
+            return _INC.empty_table()
+        j = (links.join(wt, on="key")
+             .group_by("obj").agg(pl.col("w").sum()))
+        return pa.table({"obj": j["obj"].to_arrow().cast(pa.string()),
+                         "w": j["w"].to_arrow().cast(pa.int64())})
+
+    _RU = pa.schema([("key", pa.string()), ("side", pa.int8()),
+                     ("outdeg", pa.int64()), ("w", pa.int64())])
+
+    def tag_ranks(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return _add_hash_partition(_RU.empty_table(),
+                                       num_partitions, "key")
+        t = pa.table({"key": b.column("node").cast(pa.string()),
+                      "side": pa.array(np.zeros(b.num_rows, np.int8)),
+                      "outdeg": b.column("outdeg").cast(pa.int64()),
+                      "w": pa.array(np.zeros(b.num_rows, np.int64))})
+        return _add_hash_partition(t, num_partitions, "key")
+
+    def tag_inc(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "obj" not in b.column_names:
+            return _add_hash_partition(_RU.empty_table(),
+                                       num_partitions, "key")
+        t = pa.table({"key": b.column("obj").cast(pa.string()),
+                      "side": pa.array(np.ones(b.num_rows, np.int8)),
+                      "outdeg": pa.array(np.zeros(b.num_rows, np.int64)),
+                      "w": b.column("w").cast(pa.int64())})
+        return _add_hash_partition(t, num_partitions, "key")
+
+    def update_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _RANKS.empty_table()
+        df = pl.from_arrow(part.select(["key", "side", "outdeg", "w"]))
+        r = (df.filter(pl.col("side") == 0)
+             .select(node="key", outdeg="outdeg"))
+        i = df.filter(pl.col("side") == 1).select(node="key", w="w")
+        j = r.join(i, on="node", how="left").fill_null(0)
+        return pa.table({
+            "node": j["node"].to_arrow().cast(pa.string()),
+            "outdeg": j["outdeg"].to_arrow().cast(pa.int64()),
+            "rank": (j["w"] + base).to_arrow().cast(pa.int64())})
+
+    for _ in range(iters):
+        inc = (le.map_batches(tag_le, batch_format="pyarrow",
+                              batch_size=None)
+               .union(ranks.map_batches(weights, batch_format="pyarrow",
+                                        batch_size=None))
+               .groupby("p").map_groups(contrib_partition,
+                                        batch_format="pyarrow")
+               .groupby("obj").aggregate(Sum("w", alias_name="w")))
+        ranks = (ranks.map_batches(tag_ranks, batch_format="pyarrow",
+                                   batch_size=None)
+                 .union(inc.map_batches(tag_inc, batch_format="pyarrow",
+                                        batch_size=None))
+                 .groupby("p").map_groups(update_partition,
+                                          batch_format="pyarrow")
+                 .materialize())
+
+    return ranks.drop_columns(["outdeg"])
