@@ -176,3 +176,26 @@ def test_entail_owl_squaring_path_identity(ray_session):
            for r in entail_owl(ds, driver_max_pairs=0, **kw).take_all()}
     assert drv == sqr and len(drv) > n  # closure added real rows
     assert ("n0", "t", f"n{n}") in drv  # full-chain hop present
+
+
+def test_entail_owl_squaring_duplicate_base_rows(ray_session):
+    """Regression: duplicate (subj,pred,obj) rows in the base (same
+    triple under two obj_datatype values) must not mask first-round
+    growth in the repeated-squaring fixpoint — the closure previously
+    compared against the NON-distinct base count and could stop early."""
+    import ray.data
+
+    from uckg_ray.stages.materialize import entail_owl
+    # chain a→b→c under 't', with a→b duplicated (two datatype strings);
+    # one new path (a,t,c) is added while one dup collapses: counts are
+    # equal, growth is real
+    edges = pa.table({
+        "subj": ["a", "a", "b"], "pred": ["t"] * 3,
+        "obj": ["b", "b", "c"],
+        "obj_is_literal": [False] * 3,
+        "obj_datatype": ["", "xsd:anyURI", ""]})
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in entail_owl(ray.data.from_arrow(edges),
+                               inverse=[], symmetric=[], transitive=["t"],
+                               driver_max_pairs=0).take_all()}
+    assert got == {("a", "t", "c")}

@@ -395,3 +395,16 @@ def test_pagerank_distributed_path_identical(ray_session):
          for r in pagerank_int(ds, force_distributed=True,
                                num_partitions=7).take_all()}
     assert a == b and len(a) == 60 and len(set(a.values())) > 3
+
+
+def test_event_funnel_empty_input_yields_zero_rows(ray_session):
+    """Oracle parity: an events table with no funnel-step events still
+    reports all steps with n_users = 0 (seeded zero rows)."""
+    import ray.data
+    from uckg_ray.stages.windows import event_funnel
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "user_id": [1], "event_type": ["error"],
+        "ts": pd.to_datetime(["2024-01-01"])}))
+    rows = {(r["step_idx"], r["step"]): r["n_users"]
+            for r in event_funnel(ds).take_all()}
+    assert rows == {(1, "view"): 0, (2, "click"): 0, (3, "purchase"): 0}

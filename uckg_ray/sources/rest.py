@@ -127,8 +127,11 @@ def collect_paged(fetch: Fetch, out_dir: str, *, page_size: int = 2000,
                      if schema is not None else pa.Table.from_pylist(records))
             shard = os.path.join(out_dir, "pages",
                                  f"page-{result.offset:012d}.parquet")
-            pq.write_table(table, shard + ".tmp")
-            os.replace(shard + ".tmp", shard)
+            # tmp lives OUTSIDE pages/: a crash-orphaned partial write
+            # must never be visible to the ingest read
+            tmp = os.path.join(out_dir, f".page-{result.offset:012d}.tmp")
+            pq.write_table(table, tmp)
+            os.replace(tmp, shard)
             result.offset += len(records)
             result.records_fetched += len(records)
             result.pages_fetched += 1
@@ -151,5 +154,6 @@ def collected_dataset(out_dir: str, **read_kwargs):
     """The ingest side: stream the collected shard tree as a Dataset
     (file-parallel; pass ``columns=[...]`` to prune at the read)."""
     import ray.data
+    read_kwargs.setdefault("file_extensions", ["parquet"])
     return ray.data.read_parquet(os.path.join(out_dir, "pages"),
                                  **read_kwargs)

@@ -720,8 +720,11 @@ def minhash_lsh_pairs(docs: Dataset, *, tau: float = 0.5, n_perm: int = 64,
         col = b.column("sh")
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         id_chunks.append(b.column("doc_id").to_numpy(zero_copy_only=False))
-        val_chunks.append(col.values.to_numpy(zero_copy_only=False))
         off = col.offsets.to_numpy(zero_copy_only=False)
+        # offsets need not start at 0 on a sliced array — re-base the
+        # values slice so cumsum(lens) below aligns with what we append
+        val_chunks.append(
+            col.values.to_numpy(zero_copy_only=False)[off[0]:off[-1]])
         len_chunks.append(np.diff(off))
     if not id_chunks:
         return ray.data.from_arrow(_EMPTY_PAIRS)

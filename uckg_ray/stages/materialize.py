@@ -767,7 +767,11 @@ def _closure_squaring(base: Dataset, out_schema: pa.Schema,
                     lambda t: uniq(t.drop_columns(["p"])),
                     batch_format="pyarrow"))
 
-    closure = base
+    # distinct the base BEFORE the first fixpoint compare: duplicate
+    # (subj,pred,obj) rows in the input (e.g. the same triple under two
+    # obj_datatype values) would otherwise mask first-round growth
+    # (dups removed == paths added → n_new == n → early, wrong, stop)
+    closure = distinct_triples(base).materialize()
     n = closure.count()
     for _ in range(max_iters):
         paired = (closure.map_batches(tag_for_join(0),

@@ -77,7 +77,7 @@ def attach_wav_payload(docs: Dataset, text_col: str = "text") -> Dataset:
     def attach(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column("doc_id").to_pylist()
-        payload = [wav_bytes(t.encode(), tag=i % 10**16)
+        payload = [wav_bytes((t or "").encode(), tag=i % 10**16)
                    for i, t in zip(ids, texts)]
         n = len(texts)
         return (batch

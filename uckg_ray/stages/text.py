@@ -151,24 +151,24 @@ def winnow_fingerprints(docs: Dataset, *, k: int = 8, w: int = 4,
     def fps(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        carry = (batch.column(carry_col).to_pylist()
-                 if carry_col else None)
         hv, doc_idx = _char_gram_hash_index(texts, k)
-        D, F, C = [], [], []
+        D, F, R = [], [], []
         for row, (i, idx) in enumerate(zip(ids, doc_idx)):
             h = hv[idx]
             ww = min(w, len(h))
             mins = np.unique(
                 np.lib.stride_tricks.sliding_window_view(h, ww).min(axis=1))
             D.extend([i] * len(mins)); F.append(mins)
-            if carry is not None:
-                C.extend([carry[row]] * len(mins))
+            if carry_col:
+                R.extend([row] * len(mins))
         cols = {
             "doc_id": pa.array(D, pa.int64()),
             "fp": pa.array(np.concatenate(F) if F else
                            np.array([], np.uint64), pa.uint64())}
-        if carry is not None:
-            cols[carry_col] = pa.array(C, pa.string())
+        if carry_col:
+            # take on repeat indices preserves the carry column's type
+            cols[carry_col] = batch.column(carry_col).take(
+                pa.array(R, pa.int64()))
         return pa.Table.from_pydict(cols)
 
     return docs.map_batches(fps, batch_format="pyarrow")
@@ -586,8 +586,11 @@ def repetition_stats(docs: Dataset, *, n: int = 3, text_col: str = "text",
                    .agg(n_grams=pl.col("len").sum().cast(pl.Int64),
                         n_distinct_grams=pl.len().cast(pl.Int64),
                         max_gram_count=pl.col("len").max().cast(pl.Int64)))
+        # fill ONLY the gram aggregates (the oracle's COALESCE columns);
+        # a null text keeps n_tokens null on both sides
         out = (base.join(per_doc, on=id_col, how="left")
-               .fill_null(0))
+               .with_columns(pl.col(["n_grams", "n_distinct_grams",
+                                     "max_gram_count"]).fill_null(0)))
         return out.to_arrow().cast(out_schema)
 
     return docs.map_batches(stats, batch_format="pyarrow")
@@ -603,9 +606,11 @@ def token_freq_histogram(docs: Dataset, text_col: str = "text") -> Dataset:
     distinct frequency — tiny."""
     def partial(batch: pa.Table) -> pa.Table:
         import polars as pl
+        # drop_nulls: a null text explodes to one null token row in
+        # polars but unnest(string_split(NULL)) emits nothing in DuckDB
         out = (pl.from_arrow(batch.select([text_col]))
                .select(pl.col(text_col).str.split(" ").alias("tok"))
-               .explode("tok")
+               .explode("tok").drop_nulls("tok")
                .group_by("tok").len())
         return pa.table({
             "tok": out["tok"].to_arrow().cast(pa.string()),
@@ -616,9 +621,10 @@ def token_freq_histogram(docs: Dataset, text_col: str = "text") -> Dataset:
     def ones(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "n" not in batch.column_names:
             return _MID.empty_table()
+        import numpy as np
         return pa.table({
             "freq": batch.column("n"),
-            "one": pa.array([1] * batch.num_rows, pa.int64())})
+            "one": pa.array(np.ones(batch.num_rows, np.int64))})
 
     return (docs.map_batches(partial, batch_format="pyarrow",
                              batch_size=None)

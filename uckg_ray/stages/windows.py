@@ -522,8 +522,17 @@ def event_funnel(events: Dataset,
             "step": pa.array(step_list, pa.string()),
             "n_users": pa.array(counts, pa.int64())})
 
+    # seed a zero row per step so an input with no funnel events still
+    # yields the k-row funnel (matching the SQL oracle's UNION ALL of
+    # scalar counts) — the same empty-input seeding as events_rollup
+    import ray.data
+    seed = ray.data.from_arrow(pa.table({
+        "step_idx": pa.array(range(1, len(step_list) + 1), pa.int64()),
+        "step": pa.array(step_list, pa.string()),
+        "n_users": pa.array([0] * len(step_list), pa.int64())}))
     return (events.select_columns(["user_id", "event_type", "ts"])
             .map_batches(tag, batch_format="pyarrow", batch_size=None)
             .groupby("p").map_groups(funnel_partition, batch_format="pyarrow")
+            .union(seed)
             .groupby(["step_idx", "step"])
             .aggregate(Sum("n_users", alias_name="n_users")))
