@@ -470,6 +470,50 @@ _SUBPROP_SCHEMA = pa.schema([("subj", pa.string()), ("pred", pa.string()),
                              ("obj", pa.string())])
 
 
+def _distinct_on_cols(ds: Dataset, cols: tuple[str, ...],
+                      out_schema: pa.Schema,
+                      num_partitions: int) -> Dataset:
+    """Global distinct on ``cols``: one \\x1f-joined key, explicit hash
+    partition, per-partition vectorized unique — the shared machinery
+    behind the entailment deltas and the closure rounds. The separator
+    byte must not appear in any field (two tuples differing only at a
+    field boundary would collapse into one key) — asserted vectorized,
+    mirroring ``_encode_sort_key``'s NUL check."""
+    import pyarrow.compute as pc
+    key_schema = pa.schema(list(out_schema) + [pa.field("k", pa.string()),
+                                               pa.field("p", pa.int32())])
+
+    def key(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return key_schema.empty_table()
+        arrs = []
+        for c in cols:
+            col = batch.column(c)
+            bad = pc.sum(pc.count_substring(col, "\x1f")).as_py()
+            if bad:
+                raise ValueError(
+                    f"column {c!r} contains the \\x1f key separator "
+                    f"({bad} occurrences) — the joined distinct key "
+                    "would collapse distinct tuples; sanitize upstream")
+            arrs.append(col.combine_chunks()
+                        if isinstance(col, pa.ChunkedArray) else col)
+        k = pc.binary_join_element_wise(*arrs, "\x1f")
+        return _add_hash_partition(batch.append_column("k", k),
+                                   num_partitions, col="k")
+
+    def uniq(part: pa.Table) -> pa.Table:
+        import polars as pl
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        return (pl.from_arrow(part).unique(subset=["k"])
+                .select(list(cols)).to_arrow().cast(out_schema))
+
+    return (ds.map_batches(key, batch_format="pyarrow", batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: uniq(t.drop_columns(["p"])),
+                batch_format="pyarrow"))
+
+
 def entail_subproperties(distinct: Dataset,
                          closure: dict[str, list[str]] | None = None,
                          num_partitions: int = 16) -> Dataset:
@@ -511,25 +555,10 @@ def entail_subproperties(distinct: Dataset,
             {"subj": m["subj"].tolist(), "pred": m["pred"].tolist(),
              "obj": m["obj"].tolist()}, schema=_SUBPROP_SCHEMA)
 
-    def uniq(part: pa.Table) -> pa.Table:
-        df = part.to_pandas().drop_duplicates()
-        return pa.Table.from_pydict(
-            {"subj": df["subj"].tolist(), "pred": df["pred"].tolist(),
-             "obj": df["obj"].tolist()}, schema=_SUBPROP_SCHEMA)
-
-    def key(b: pa.Table) -> pa.Table:
-        cols = [b.column(c).combine_chunks()
-                if isinstance(b.column(c), pa.ChunkedArray) else b.column(c)
-                for c in ("subj", "pred", "obj")]
-        k = pa.compute.binary_join_element_wise(*cols, "\x1f")
-        return _add_hash_partition(b.append_column("k", k), num_partitions,
-                                   col="k")
-
-    parted = (distinct.map_batches(partial, batch_format="pyarrow",
-                                   batch_size=None)
-              .map_batches(key, batch_format="pyarrow", batch_size=None))
-    return parted.groupby("p").map_groups(
-        lambda t: uniq(t.drop_columns(["p", "k"])), batch_format="pyarrow")
+    return _distinct_on_cols(
+        distinct.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None),
+        ("subj", "pred", "obj"), _SUBPROP_SCHEMA, num_partitions)
 
 
 def entail_owl(distinct: Dataset,
@@ -739,33 +768,8 @@ def _closure_squaring(base: Dataset, out_schema: pa.Schema,
         return out.to_arrow().cast(out_schema)
 
     def distinct_triples(ds: Dataset) -> Dataset:
-        key_schema = pa.schema(
-            list(out_schema) + [pa.field("k", pa.string()),
-                                pa.field("p", pa.int32())])
-
-        def key(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return key_schema.empty_table()
-            cols = [batch.column(c).combine_chunks()
-                    if isinstance(batch.column(c), pa.ChunkedArray)
-                    else batch.column(c) for c in ("subj", "pred", "obj")]
-            k = pc.binary_join_element_wise(*cols, "\x1f")
-            return _add_hash_partition(batch.append_column("k", k),
-                                       num_partitions, col="k")
-
-        def uniq(part: pa.Table) -> pa.Table:
-            import polars as pl
-            if part.num_rows == 0:
-                return out_schema.empty_table()
-            return (pl.from_arrow(part).unique(subset=["k"])
-                    .select(["subj", "pred", "obj"]).to_arrow()
-                    .cast(out_schema))
-
-        return (ds.map_batches(key, batch_format="pyarrow",
-                               batch_size=None)
-                .groupby("p").map_groups(
-                    lambda t: uniq(t.drop_columns(["p"])),
-                    batch_format="pyarrow"))
+        return _distinct_on_cols(ds, ("subj", "pred", "obj"), out_schema,
+                                 num_partitions)
 
     # distinct the base BEFORE the first fixpoint compare: duplicate
     # (subj,pred,obj) rows in the input (e.g. the same triple under two
