@@ -191,6 +191,14 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank_int(_distinct_edges_cached(sf_dir))
 
 
+def _q_kg_func_violations(sf_dir: str):
+    """owl:FunctionalProperty consistency audit: subjects with more
+    than one distinct value under a functional predicate (uco2.ttl's
+    asserted axioms + the graft's publishedDateTime/summary)."""
+    from uckg_ray.stages.materialize import functional_violations
+    return functional_violations(_distinct_edges_cached(sf_dir))
+
+
 def _q_kg_degree_topk(sf_dir: str):
     """Graph query over the materialized KG: top-20 subjects by
     out-degree (ties → min subj)."""
@@ -936,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fp_overlap": _q_fp_overlap,
         "events_funnel": _q_events_funnel,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_func_violations": _q_kg_func_violations,
         # -- never driver-sampled through r04 (VERDICT r4 ask #1) --
         "customers_no_big_order": _q_customers_no_big_order,
         "customers_with_big_order": _q_customers_with_big_order,
@@ -1695,6 +1704,16 @@ edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)}))
 SELECT subj, pred, string_agg(DISTINCT obj, ';;' ORDER BY obj) AS vals
 FROM edges WHERE obj_is_literal GROUP BY subj, pred""",
+        "kg_func_violations": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+f AS (SELECT DISTINCT subj, pred, obj FROM edges WHERE pred IN (
+  'http://purl.org/cyber/ucohasMACAddress',
+  'http://purl.org/cyber/ucohasTerms',
+  'http://purl.org/cyber/uco#publishedDateTime',
+  'http://purl.org/cyber/uco#summary'))
+SELECT subj, pred, CAST(count(*) AS BIGINT) AS n_values
+FROM f GROUP BY 1, 2 HAVING count(*) > 1""",
         # fixed-point PageRank: each iteration is a MATERIALIZED CTE
         # (non-materialized chains re-evaluate prefixes exponentially);
         # SUM over BIGINT is HUGEINT in DuckDB — `//` stays exact on it

@@ -199,3 +199,22 @@ def test_entail_owl_squaring_duplicate_base_rows(ray_session):
                                inverse=[], symmetric=[], transitive=["t"],
                                driver_max_pairs=0).take_all()}
     assert got == {("a", "t", "c")}
+
+
+def test_functional_violations(ray_session):
+    """Only subjects with >1 DISTINCT value under a functional predicate
+    are reported; duplicate datatype variants of one value don't count."""
+    import ray.data
+
+    from uckg_ray.stages.materialize import functional_violations
+    edges = pa.table({
+        "subj": ["v1", "v1", "v1", "v2", "v2", "v3"],
+        "pred": ["fp", "fp", "other", "fp", "fp", "fp"],
+        "obj": ["a", "b", "c", "x", "x", "y"],
+        "obj_is_literal": [True] * 6,
+        # v2 carries the SAME value under two datatypes → not a violation
+        "obj_datatype": ["", "", "", "xsd:string", "xsd:anyURI", ""]})
+    rows = functional_violations(ray.data.from_arrow(edges),
+                                 functional=["fp"]).take_all()
+    assert [(r["subj"], r["pred"], r["n_values"])
+            for r in rows] == [("v1", "fp", 2)]

@@ -809,3 +809,53 @@ def union_edge_sources(*sources: Dataset | pa.Table) -> Dataset:
     if len(ds_list) > 1:
         out = out.union(*ds_list[1:])
     return out
+
+
+_FUNC_VIOL_SCHEMA = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                               ("n_values", pa.int64())])
+
+
+def functional_violations(distinct: Dataset,
+                          functional: list[str] | None = None,
+                          num_partitions: int = 16) -> Dataset:
+    """``owl:FunctionalProperty`` consistency audit: subjects carrying
+    MORE than one distinct value under a functional predicate — the
+    inconsistency a DL reasoner (the reference's optional HermiT pass)
+    would surface as a sameAs collision, reported here as a data-quality
+    table instead of a reasoner abort. Output: (subj, pred, n_values)
+    with n_values ≥ 2.
+
+    Shape: Arrow pre-filter to the (tiny) axiom-predicate slice, the
+    shared keyed global distinct on (subj, pred, obj), a (subj, pred)
+    Count groupby, then the ≥2 filter — the only data-scale exchange is
+    the distinct, and it moves the axiom slice only."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+    from uckg_ray.tbox import TBOX_FUNCTIONAL
+
+    preds = pa.array(sorted(functional if functional is not None
+                            else TBOX_FUNCTIONAL))
+    _SLICE = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                        ("obj", pa.string())])
+
+    def axiom_slice(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("pred"), value_set=preds))
+        return pa.table({"subj": t.column("subj").cast(pa.string()),
+                         "pred": t.column("pred").cast(pa.string()),
+                         "obj": t.column("obj").cast(pa.string())})
+
+    def keep_violations(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_values" not in b.column_names:
+            return _FUNC_VIOL_SCHEMA.empty_table()
+        return (b.filter(pc.greater(b.column("n_values"), 1))
+                .cast(_FUNC_VIOL_SCHEMA))
+
+    sliced = distinct.map_batches(axiom_slice, batch_format="pyarrow",
+                                  batch_size=None)
+    uniq = _distinct_on_cols(sliced, ("subj", "pred", "obj"), _SLICE,
+                             num_partitions)
+    return (uniq.groupby(["subj", "pred"])
+            .aggregate(Count(alias_name="n_values"))
+            .map_batches(keep_violations, batch_format="pyarrow",
+                         batch_size=None))

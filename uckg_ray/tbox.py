@@ -431,3 +431,18 @@ def subprop_closure() -> dict[str, list[str]]:
     rdfs:subPropertyOf closure) — same fixpoint as ``tbox_closure``
     over the property axiom table."""
     return tbox_closure(TBOX_SUBPROP)
+
+
+# owl:FunctionalProperty — a subject may carry at most ONE value; more
+# is an inconsistency a DL reasoner would surface via sameAs collision.
+# uco2.ttl asserts two (ucohasMACAddress uco2.ttl:175,466, ucohasTerms
+# :294 — neither predicate is emitted by this engine's templates,
+# so they audit clean by construction); the graft adds the two emitted
+# predicates whose duplication IS the interesting data-quality signal:
+# a CVE mentioned at different timestamps / with different summaries.
+TBOX_FUNCTIONAL: list[str] = [
+    _U.replace("#", "") + "hasMACAddress",   # http://purl.org/cyber/uco…
+    _U.replace("#", "") + "hasTerms",
+    _U + "publishedDateTime",
+    _U + "summary",
+]
