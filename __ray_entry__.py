@@ -191,6 +191,14 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank_int(_distinct_edges_cached(sf_dir))
 
 
+def _q_kg_equiv_entailed(sf_dir: str):
+    """owl:equivalentClass entailment over the snapshot's named class
+    equivalences (cap:Weakness ≡ uco#CWE, the Observable group, …):
+    the mutual rdf:type memberships a reasoner would add."""
+    from uckg_ray.stages.materialize import entail_equivalent_classes
+    return entail_equivalent_classes(_distinct_edges_cached(sf_dir))
+
+
 def _q_kg_func_violations(sf_dir: str):
     """owl:FunctionalProperty consistency audit: subjects with more
     than one distinct value under a functional predicate (uco2.ttl's
@@ -945,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "kg_pagerank": _q_kg_pagerank,
         "kg_func_violations": _q_kg_func_violations,
+        "kg_equiv_entailed": _q_kg_equiv_entailed,
         # -- never driver-sampled through r04 (VERDICT r4 ask #1) --
         "customers_no_big_order": _q_customers_no_big_order,
         "customers_with_big_order": _q_customers_with_big_order,
@@ -1694,6 +1703,12 @@ def oracle_sql() -> dict[str, str]:
     en = ", ".join(f"'{w}'" for w in STOP_EN)
     de = ", ".join(f"'{w}'" for w in STOP_DE)
     fr = ", ".join(f"'{w}'" for w in STOP_FR)
+    from uckg_ray.tbox import equivalence_groups
+    eq_vals = ",\n  ".join(
+        f"('{c}', '{d}')"
+        for c, others in sorted(equivalence_groups().items())
+        for d in others)
+    rdft = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     return {
         "kg_mentions": f"SELECT * FROM ({_mentions_cte(p)})",
         "kg_edges": _sql_kg_edges(p),
@@ -1704,6 +1719,16 @@ edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)}))
 SELECT subj, pred, string_agg(DISTINCT obj, ';;' ORDER BY obj) AS vals
 FROM edges WHERE obj_is_literal GROUP BY subj, pred""",
+        "kg_equiv_entailed": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+eq(c, d) AS (VALUES
+  {eq_vals}),
+ent AS (SELECT DISTINCT e.subj, '{rdft}' AS pred, eq.d AS obj
+        FROM edges e JOIN eq ON eq.c = e.obj
+        WHERE e.pred = '{rdft}')
+SELECT subj, pred, obj FROM ent
+EXCEPT SELECT subj, pred, obj FROM edges WHERE pred = '{rdft}'""",
         "kg_func_violations": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

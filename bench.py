@@ -159,7 +159,8 @@ def run_bench() -> dict:
                  "embed_centroids", "q5_region_volume", "top_terms",
                  "kg_owl_entailed", "doc_repetition", "zipf_histogram",
                  "ngram_contamination", "multimodal_decode", "fp_overlap",
-                 "events_funnel", "kg_pagerank", "kg_func_violations"):
+                 "events_funnel", "kg_pagerank", "kg_func_violations",
+                 "kg_equiv_entailed"):
         timed(name, q[name])
     ray.shutdown()
 

@@ -218,3 +218,24 @@ def test_functional_violations(ray_session):
                                  functional=["fp"]).take_all()
     assert [(r["subj"], r["pred"], r["n_values"])
             for r in rows] == [("v1", "fp", 2)]
+
+
+def test_entail_equivalent_classes(ray_session):
+    """Named-equivalence groups entail mutual rdf:type membership,
+    closed over multi-way groups, minus asserted assertions."""
+    import ray.data
+
+    from uckg_ray.namespaces import RDF_TYPE
+    from uckg_ray.stages.materialize import entail_equivalent_classes
+    edges = pa.table({
+        "subj": ["x", "y", "y"],
+        "pred": [RDF_TYPE] * 3,
+        "obj": ["A", "B", "C"],
+        "obj_is_literal": [False] * 3,
+        "obj_datatype": [""] * 3})
+    groups = {"A": ["B", "C"], "B": ["A", "C"], "C": ["A", "B"]}
+    got = {(r["subj"], r["obj"])
+           for r in entail_equivalent_classes(
+               ray.data.from_arrow(edges), groups=groups).take_all()}
+    # x:A entails x:B, x:C; y asserts B AND C so only y:A is new
+    assert got == {("x", "B"), ("x", "C"), ("y", "A")}

@@ -514,6 +514,52 @@ def _distinct_on_cols(ds: Dataset, cols: tuple[str, ...],
                 batch_format="pyarrow"))
 
 
+def _subtract_on_cols(left: Dataset, right: Dataset, cols: tuple[str, ...],
+                      out_schema: pa.Schema,
+                      num_partitions: int) -> Dataset:
+    """Distinct set difference ``left − right`` on ``cols``: both sides
+    tag a \\x1f-joined key + side marker, ONE key-hash co-partition, a
+    per-partition vectorized anti-filter. Equal keys land in one
+    partition, so the in-partition subtraction is global."""
+    import pyarrow.compute as pc
+    tagged_schema = pa.schema(
+        list(out_schema) + [pa.field("k", pa.string()),
+                            pa.field("side", pa.int8()),
+                            pa.field("p", pa.int32())])
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:   # schema-less empty upstream block
+                return tagged_schema.empty_table()
+            arrs = [batch.column(c).combine_chunks()
+                    if isinstance(batch.column(c), pa.ChunkedArray)
+                    else batch.column(c) for c in cols]
+            k = pc.binary_join_element_wise(*arrs, "\x1f")
+            t = batch.append_column("k", k).append_column(
+                "side", pa.array(np.full(batch.num_rows, side, np.int8)))
+            return _add_hash_partition(t, num_partitions, col="k")
+        return f
+
+    def minus(part: pa.Table) -> pa.Table:
+        import polars as pl
+        if part.num_rows == 0 or "side" not in part.column_names:
+            return out_schema.empty_table()
+        df = pl.from_arrow(part)
+        right_keys = df.filter(pl.col("side") == 1)["k"]
+        out = (df.filter(pl.col("side") == 0)
+               .unique(subset=["k"])
+               .filter(~pl.col("k").is_in(right_keys))
+               .select(list(cols)))
+        return out.to_arrow().cast(out_schema)
+
+    both = (left.map_batches(tag(0), batch_format="pyarrow",
+                             batch_size=None)
+            .union(right.map_batches(tag(1), batch_format="pyarrow",
+                                     batch_size=None)))
+    return both.groupby("p").map_groups(
+        lambda t: minus(t.drop_columns(["p"])), batch_format="pyarrow")
+
+
 def entail_subproperties(distinct: Dataset,
                          closure: dict[str, list[str]] | None = None,
                          num_partitions: int = 16) -> Dataset:
@@ -658,45 +704,11 @@ def entail_owl(distinct: Dataset,
              b.column("pred").cast(pa.string()),
              b.column("obj").cast(pa.string())], schema=out_schema)
 
-    tagged_schema = pa.schema(
-        list(out_schema) + [pa.field("k", pa.string()),
-                            pa.field("side", pa.int8()),
-                            pa.field("p", pa.int32())])
-
-    def tag(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:   # schema-less empty upstream block
-                return tagged_schema.empty_table()
-            cols = [batch.column(c).combine_chunks()
-                    if isinstance(batch.column(c), pa.ChunkedArray)
-                    else batch.column(c) for c in ("subj", "pred", "obj")]
-            k = pc.binary_join_element_wise(*cols, "\x1f")
-            t = batch.append_column("k", k).append_column(
-                "side", pa.array(np.full(batch.num_rows, side, np.int8)))
-            return _add_hash_partition(t, num_partitions, col="k")
-        return f
-
-    def minus(part: pa.Table) -> pa.Table:
-        import polars as pl
-        if part.num_rows == 0 or "side" not in part.column_names:
-            return out_schema.empty_table()
-        df = pl.from_arrow(part)
-        asserted_keys = df.filter(pl.col("side") == 1)["k"]
-        out = (df.filter(pl.col("side") == 0)
-               .unique(subset=["k"])
-               .filter(~pl.col("k").is_in(asserted_keys))
-               .select(["subj", "pred", "obj"]))
-        return out.to_arrow().cast(out_schema)
-
-    both = (entailed.map_batches(tag(0), batch_format="pyarrow",
-                                 batch_size=None)
-            .union(distinct.map_batches(asserted_slice,
-                                        batch_format="pyarrow",
-                                        batch_size=None)
-                   .map_batches(tag(1), batch_format="pyarrow",
-                                batch_size=None)))
-    return both.groupby("p").map_groups(
-        lambda t: minus(t.drop_columns(["p"])), batch_format="pyarrow")
+    return _subtract_on_cols(
+        entailed,
+        distinct.map_batches(asserted_slice, batch_format="pyarrow",
+                             batch_size=None),
+        ("subj", "pred", "obj"), out_schema, num_partitions)
 
 
 def _closure_driver(base: Dataset, out_schema: pa.Schema) -> pa.Table:
@@ -859,3 +871,62 @@ def functional_violations(distinct: Dataset,
             .aggregate(Count(alias_name="n_values"))
             .map_batches(keep_violations, batch_format="pyarrow",
                          batch_size=None))
+
+
+def entail_equivalent_classes(distinct: Dataset,
+                              groups: dict[str, list[str]] | None = None,
+                              num_partitions: int = 16) -> Dataset:
+    """``owl:equivalentClass`` entailment over the snapshot's NAMED
+    class equivalences (uco2.ttl:576-608 — cap:Weakness ≡ ucoCWE,
+    the three-way Observable group, ucoAttack ≡ ucoIncident; the
+    bnode owl:Restriction equivalences are OWL-DL, documented out of
+    scope): every ``rdf:type C`` assertion entails ``rdf:type D`` for
+    each other member D of C's equivalence group, minus what the edge
+    stream already asserts. Shape: stateless broadcast map over the
+    (tiny) group dictionary → the shared keyed distinct → the shared
+    keyed subtraction — identical scale posture to entail_owl."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from uckg_ray.namespaces import RDF_TYPE
+    from uckg_ray.tbox import equivalence_groups
+
+    groups = equivalence_groups() if groups is None else groups
+    member_set = pa.array(sorted(groups))
+    out_schema = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                            ("obj", pa.string())])
+
+    def entail(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.equal(batch.column("pred"), RDF_TYPE),
+            pc.is_in(batch.column("obj"), value_set=member_set)))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(t.select(["subj", "obj"]))
+              .with_columns(pl.col("obj").replace_strict(
+                  old=list(groups), new=list(groups.values()),
+                  return_dtype=pl.List(pl.String)).alias("others"))
+              .explode("others"))
+        return pa.table({
+            "subj": df["subj"].to_arrow().cast(pa.string()),
+            "pred": pa.array([RDF_TYPE] * df.height, pa.string()),
+            "obj": df["others"].to_arrow().cast(pa.string())})
+
+    def asserted_slice(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.equal(batch.column("pred"), RDF_TYPE),
+            pc.is_in(batch.column("obj"), value_set=member_set)))
+        return pa.Table.from_arrays(
+            [t.column("subj").cast(pa.string()),
+             t.column("pred").cast(pa.string()),
+             t.column("obj").cast(pa.string())], schema=out_schema)
+
+    entailed = _distinct_on_cols(
+        distinct.map_batches(entail, batch_format="pyarrow",
+                             batch_size=None),
+        ("subj", "pred", "obj"), out_schema, num_partitions)
+    return _subtract_on_cols(
+        entailed,
+        distinct.map_batches(asserted_slice, batch_format="pyarrow",
+                             batch_size=None),
+        ("subj", "pred", "obj"), out_schema, num_partitions)

@@ -446,3 +446,46 @@ TBOX_FUNCTIONAL: list[str] = [
     _U + "publishedDateTime",
     _U + "summary",
 ]
+
+
+# owl:equivalentClass — the snapshot's NAMED-class equivalences
+# (uco2.ttl:576-608; prefixes cap:=capec.mitre.org/capec_v1#,
+# cbx:=cybox.mitre.org/cybox_v1#). The restriction-class equivalences
+# on ucoAttack (owl:Restriction bnodes) are OWL-DL and stay out of
+# scope; the named pairs entail mutual rdf:type membership, with
+# equivalence GROUPS formed by closure (cap:Observable ≡ cbx:Observable
+# ≡ ucoObservable is one three-way group).
+_CAP = "http://capec.mitre.org/capec_v1#"
+_CBX = "http://cybox.mitre.org/cybox_v1#"
+TBOX_EQUIVALENT: list[tuple[str, str]] = [
+    (_CAP + "Indicator", _U + "Indicator"),     # uco2.ttl:577
+    (_CAP + "Observable", _CBX + "Observable"),  # uco2.ttl:583
+    (_CAP + "Weakness", _U + "CWE"),             # uco2.ttl:588
+    (_CBX + "Observable", _U + "Observable"),    # uco2.ttl:593
+    (_U + "Attack", _U + "Incident"),            # uco2.ttl:606
+]
+
+
+def equivalence_groups(pairs: list[tuple[str, str]] | None = None
+                       ) -> dict[str, list[str]]:
+    """class → sorted OTHER members of its equivalence group (the
+    union-find closure of the named owl:equivalentClass pairs)."""
+    pairs = TBOX_EQUIVALENT if pairs is None else pairs
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[str, set[str]] = {}
+    for x in list(parent):
+        groups.setdefault(find(x), set()).add(x)
+    return {c: sorted(g - {c})
+            for g in groups.values() if len(g) > 1 for c in g}
