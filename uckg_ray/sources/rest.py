@@ -94,8 +94,14 @@ def collect_paged(fetch: Fetch, out_dir: str, *, page_size: int = 2000,
     tests assert the schedule without waiting. ``max_pages`` bounds one
     run (operational batching) without marking the feed finished.
     """
+    import glob
+
     sleep = sleep or (lambda _s: None)
     os.makedirs(os.path.join(out_dir, "pages"), exist_ok=True)
+    # bound crash-orphaned partial writes: any .page-*.tmp is from a
+    # run that died mid-write and its page will be refetched anyway
+    for orphan in glob.glob(os.path.join(out_dir, ".page-*.tmp")):
+        os.unlink(orphan)
     meta = read_collect_meta(out_dir)
     result = CollectorResult(finished=bool(meta.get("init_finished")),
                              pages_fetched=0, records_fetched=0,

@@ -470,15 +470,39 @@ _SUBPROP_SCHEMA = pa.schema([("subj", pa.string()), ("pred", pa.string()),
                              ("obj", pa.string())])
 
 
+def _joined_key_arrays(batch: pa.Table, cols: tuple[str, ...]) -> list:
+    """Validated column arrays for a \\x1f-joined tuple key: rejects
+    nulls (they'd null the whole key and collapse distinct null-bearing
+    tuples — same rule as ``_encode_sort_key``) and embedded separator
+    bytes (two tuples differing only at a field boundary would collapse
+    into one key)."""
+    import pyarrow.compute as pc
+    arrs = []
+    for c in cols:
+        col = batch.column(c)
+        if col.null_count:
+            raise ValueError(
+                f"column {c!r} contains {col.null_count} nulls — the "
+                "joined tuple key would be null and collapse distinct "
+                "null-bearing rows; normalize nulls upstream "
+                "(this engine emits '' not null)")
+        bad = pc.sum(pc.count_substring(col, "\x1f")).as_py()
+        if bad:
+            raise ValueError(
+                f"column {c!r} contains the \\x1f key separator "
+                f"({bad} occurrences) — the joined tuple key "
+                "would collapse distinct tuples; sanitize upstream")
+        arrs.append(col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray) else col)
+    return arrs
+
+
 def _distinct_on_cols(ds: Dataset, cols: tuple[str, ...],
                       out_schema: pa.Schema,
                       num_partitions: int) -> Dataset:
     """Global distinct on ``cols``: one \\x1f-joined key, explicit hash
     partition, per-partition vectorized unique — the shared machinery
-    behind the entailment deltas and the closure rounds. The separator
-    byte must not appear in any field (two tuples differing only at a
-    field boundary would collapse into one key) — asserted vectorized,
-    mirroring ``_encode_sort_key``'s NUL check."""
+    behind the entailment deltas and the closure rounds."""
     import pyarrow.compute as pc
     key_schema = pa.schema(list(out_schema) + [pa.field("k", pa.string()),
                                                pa.field("p", pa.int32())])
@@ -486,18 +510,8 @@ def _distinct_on_cols(ds: Dataset, cols: tuple[str, ...],
     def key(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return key_schema.empty_table()
-        arrs = []
-        for c in cols:
-            col = batch.column(c)
-            bad = pc.sum(pc.count_substring(col, "\x1f")).as_py()
-            if bad:
-                raise ValueError(
-                    f"column {c!r} contains the \\x1f key separator "
-                    f"({bad} occurrences) — the joined distinct key "
-                    "would collapse distinct tuples; sanitize upstream")
-            arrs.append(col.combine_chunks()
-                        if isinstance(col, pa.ChunkedArray) else col)
-        k = pc.binary_join_element_wise(*arrs, "\x1f")
+        k = pc.binary_join_element_wise(
+            *_joined_key_arrays(batch, cols), "\x1f")
         return _add_hash_partition(batch.append_column("k", k),
                                    num_partitions, col="k")
 
@@ -520,7 +534,10 @@ def _subtract_on_cols(left: Dataset, right: Dataset, cols: tuple[str, ...],
     """Distinct set difference ``left − right`` on ``cols``: both sides
     tag a \\x1f-joined key + side marker, ONE key-hash co-partition, a
     per-partition vectorized anti-filter. Equal keys land in one
-    partition, so the in-partition subtraction is global."""
+    partition, so the in-partition subtraction is global. Both sides
+    pass the shared key validation (nulls / embedded separator raise —
+    a right-side field containing \\x1f could otherwise silently cancel
+    a real left-side tuple)."""
     import pyarrow.compute as pc
     tagged_schema = pa.schema(
         list(out_schema) + [pa.field("k", pa.string()),
@@ -531,10 +548,8 @@ def _subtract_on_cols(left: Dataset, right: Dataset, cols: tuple[str, ...],
         def f(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:   # schema-less empty upstream block
                 return tagged_schema.empty_table()
-            arrs = [batch.column(c).combine_chunks()
-                    if isinstance(batch.column(c), pa.ChunkedArray)
-                    else batch.column(c) for c in cols]
-            k = pc.binary_join_element_wise(*arrs, "\x1f")
+            k = pc.binary_join_element_wise(
+                *_joined_key_arrays(batch, cols), "\x1f")
             t = batch.append_column("k", k).append_column(
                 "side", pa.array(np.full(batch.num_rows, side, np.int8)))
             return _add_hash_partition(t, num_partitions, col="k")
@@ -921,12 +936,11 @@ def entail_equivalent_classes(distinct: Dataset,
              t.column("pred").cast(pa.string()),
              t.column("obj").cast(pa.string())], schema=out_schema)
 
-    entailed = _distinct_on_cols(
+    # no pre-distinct: _subtract_on_cols already uniques the left side
+    # inside its global key co-partition (same as entail_owl's feed)
+    return _subtract_on_cols(
         distinct.map_batches(entail, batch_format="pyarrow",
                              batch_size=None),
-        ("subj", "pred", "obj"), out_schema, num_partitions)
-    return _subtract_on_cols(
-        entailed,
         distinct.map_batches(asserted_slice, batch_format="pyarrow",
                              batch_size=None),
         ("subj", "pred", "obj"), out_schema, num_partitions)
