@@ -938,6 +938,14 @@ def _q_multimodal_decode(sf_dir: str):
     return decode_wav(attach_wav_payload(_table(sf_dir, "documents")))
 
 
+def _q_audio_features(sf_dir: str):
+    """Integer audio features over DECODED PCM bytes (chunk-walked, not
+    the payload): Σcode, Σcode², max — the oracle re-derives every byte
+    via hex-sliced blob arithmetic, checking actual sample values."""
+    from uckg_ray.stages.multimodal import attach_wav_payload, decode_wav_stats
+    return decode_wav_stats(attach_wav_payload(_table(sf_dir, "documents")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters for evidence: the driver's correctness gate
     # samples the FIRST 50 entries (r03/r04 both checked the identical
@@ -954,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_func_violations": _q_kg_func_violations,
         "kg_equiv_entailed": _q_kg_equiv_entailed,
+        "audio_features": _q_audio_features,
         # -- never driver-sampled through r04 (VERDICT r4 ask #1) --
         "customers_no_big_order": _q_customers_no_big_order,
         "customers_with_big_order": _q_customers_with_big_order,
@@ -2095,6 +2104,25 @@ SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
        count(*) AS n_events,
        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
 FROM s GROUP BY user_id, sid""",
+        # byte-exact audio oracle: the decoded PCM stream IS the utf-8
+        # bytes of text, re-derived in SQL by slicing hex(encode(text))
+        # two chars at a time and casting each '0x..' pair — every
+        # decoded sample value is checked, not just a digest
+        "audio_features": """
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+s AS (SELECT doc_id,
+             CAST(('0x' || substr(hx, CAST(2*i - 1 AS INT), 2)) AS BIGINT)
+               AS code
+      FROM b, unnest(range(1, length(hx)//2 + 1)) u(i)),
+agg AS (SELECT doc_id, CAST(sum(code) AS BIGINT) AS sum_code,
+               CAST(sum(code*code) AS BIGINT) AS sum_code_sq,
+               CAST(max(code) AS BIGINT) AS max_code
+        FROM s GROUP BY doc_id)
+SELECT b.doc_id, CAST(length(b.hx) // 2 AS BIGINT) AS n_samples,
+       COALESCE(a.sum_code, 0) AS sum_code,
+       COALESCE(a.sum_code_sq, 0) AS sum_code_sq,
+       COALESCE(a.max_code, 0) AS max_code
+FROM b LEFT JOIN agg a USING (doc_id)""",
         "multimodal_decode": """
 SELECT doc_id, CAST(1 AS BIGINT) AS n_channels,
        CAST(16000 AS BIGINT) AS sample_rate,

@@ -160,7 +160,7 @@ def run_bench() -> dict:
                  "kg_owl_entailed", "doc_repetition", "zipf_histogram",
                  "ngram_contamination", "multimodal_decode", "fp_overlap",
                  "events_funnel", "kg_pagerank", "kg_func_violations",
-                 "kg_equiv_entailed"):
+                 "kg_equiv_entailed", "audio_features"):
         timed(name, q[name])
     ray.shutdown()
 

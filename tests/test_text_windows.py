@@ -408,3 +408,21 @@ def test_event_funnel_empty_input_yields_zero_rows(ray_session):
     rows = {(r["step_idx"], r["step"]): r["n_users"]
             for r in event_funnel(ds).take_all()}
     assert rows == {(1, "view"): 0, (2, "click"): 0, (3, "purchase"): 0}
+
+
+def test_wav_sample_stats(ray_session):
+    """Integer features computed over the DECODED data bytes: the LIST
+    chunk and pad byte never leak in; empty data reports zeros."""
+    import ray.data
+    from uckg_ray.stages.multimodal import attach_wav_payload, decode_wav_stats
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["abc", ""]}))
+    rows = {r["doc_id"]: r
+            for r in decode_wav_stats(attach_wav_payload(ds),
+                                      concurrency=1).take_all()}
+    a, b, c = 97, 98, 99
+    assert (rows[0]["n_samples"], rows[0]["sum_code"],
+            rows[0]["sum_code_sq"], rows[0]["max_code"]) == (
+        3, a + b + c, a*a + b*b + c*c, c)
+    assert (rows[1]["n_samples"], rows[1]["sum_code"],
+            rows[1]["max_code"]) == (0, 0, 0)
