@@ -426,3 +426,33 @@ def test_wav_sample_stats(ray_session):
         3, a + b + c, a*a + b*b + c*c, c)
     assert (rows[1]["n_samples"], rows[1]["sum_code"],
             rows[1]["max_code"]) == (0, 0, 0)
+
+
+def test_ppm_resizer(ray_session):
+    """2x box-downsample: floor mean per 2x2 block per channel; odd
+    trailing columns crop; output re-encodes as a parseable P6."""
+    import ray.data
+    from uckg_ray.stages.multimodal import PpmDecoder, PpmResizer, ppm_bytes
+    # 4x2 image: each 2x2 block has channel values (c, c+3, c+12, c+15)
+    px = bytes(range(24))
+    small, w2, h2 = PpmResizer(factor=2).resize(ppm_bytes(px, 4, 2))
+    assert (w2, h2) == (2, 1)
+    f = PpmDecoder.parse(small)
+    assert (f["width"], f["height"]) == (2, 1)
+    _, _, _, out_px = PpmDecoder.walk(small)
+    # block mean floor: (0+3+12+15)//4 = 7 for R of the first block, etc.
+    assert list(out_px) == [7, 8, 9, 13, 14, 15]
+    # composes as a Dataset stage: resize → decode over a real payload
+    df = pd.DataFrame({"doc_id": [0]})
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "payload": pa.array([ppm_bytes(bytes(range(48)), 4, 4)],
+                            pa.binary())}))
+    rows = (ds.map_batches(PpmResizer, batch_format="pyarrow",
+                           concurrency=1)
+            .map_batches(PpmDecoder, batch_format="pyarrow",
+                         concurrency=1).take_all())
+    assert rows[0]["width"] == 2 and rows[0]["height"] == 2
+    # sub-block images resize to an empty 0x0 image
+    tiny, w0, h0 = PpmResizer(factor=4).resize(ppm_bytes(bytes(3), 1, 1))
+    assert (w0, h0) == (0, 0) and PpmDecoder.parse(tiny)["n_pixels"] == 0

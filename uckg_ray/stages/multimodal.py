@@ -165,7 +165,9 @@ class PpmDecoder:
         self.strict = strict
 
     @staticmethod
-    def parse(p: bytes) -> dict:
+    def walk(p: bytes) -> tuple[int, int, int, bytes]:
+        """Parse a binary-PPM header (magic, comment skipping, dims,
+        maxval) and return (width, height, maxval, pixel bytes)."""
         if p[:2] != b"P6":
             raise ValueError("not a binary PPM payload")
         pos, fields = 2, []
@@ -187,6 +189,11 @@ class PpmDecoder:
         pixels = p[pos:pos + width * height * 3]
         if len(pixels) != width * height * 3:
             raise ValueError("truncated pixel data")
+        return width, height, maxval, pixels
+
+    @staticmethod
+    def parse(p: bytes) -> dict:
+        width, height, _maxval, pixels = PpmDecoder.walk(p)
         arr = np.frombuffer(pixels, np.uint8)
         return {"width": width, "height": height,
                 "n_pixels": width * height,
@@ -327,3 +334,53 @@ def decode_wav_stats(docs_with_payload: Dataset, *, concurrency=(1, 4),
     return docs_with_payload.map_batches(
         WavSampleStats, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+class PpmResizer:
+    """Actor-pool image RESIZE stage: decode P6 → integer ``factor``×
+    box-downsample (floor mean of each factor×factor block per channel;
+    trailing rows/columns that don't fill a block are truncated, the
+    standard crop-to-multiple convention) → re-encode as P6. Output
+    rows keep the payload column (now the resized image) plus the new
+    dims, so the stage composes with PpmDecoder / further resizes.
+    An image smaller than one block resizes to an empty 0×0 image."""
+
+    def __init__(self, factor: int = 2, strict: bool = True):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+        self.strict = strict
+
+    def resize(self, p: bytes) -> tuple[bytes, int, int]:
+        w, h, maxval, pixels = PpmDecoder.walk(p)
+        f = self.factor
+        w2, h2 = w // f, h // f
+        arr = (np.frombuffer(pixels, np.uint8)
+               .reshape(h, w, 3)[:h2 * f, :w2 * f]
+               .astype(np.uint32))
+        if w2 == 0 or h2 == 0:
+            small = b""
+        else:
+            small = (arr.reshape(h2, f, w2, f, 3).sum(axis=(1, 3))
+                     // (f * f)).astype(np.uint8).tobytes()
+        return ppm_bytes(small, w2, h2, maxval=maxval), w2, h2
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = {"doc_id": [], "payload": [], "width": [], "height": []}
+        for did, p in zip(ids, batch.column("payload").to_pylist()):
+            try:
+                small, w2, h2 = self.resize(p or b"")
+            except ValueError:
+                if self.strict:
+                    raise
+                small, w2, h2 = None, None, None
+            out["doc_id"].append(did)
+            out["payload"].append(small)
+            out["width"].append(w2)
+            out["height"].append(h2)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "payload": pa.array(out["payload"], pa.binary()),
+            "width": pa.array(out["width"], pa.int64()),
+            "height": pa.array(out["height"], pa.int64())})
