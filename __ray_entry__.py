@@ -199,6 +199,14 @@ def _q_kg_equiv_entailed(sf_dir: str):
     return entail_equivalent_classes(_distinct_edges_cached(sf_dir))
 
 
+def _q_kg_restriction_types(sf_dir: str):
+    """owl:minQualifiedCardinality-1 restriction classification (the
+    snapshot's one OWL-DL class expression, uco2.ttl:605-616, plus the
+    graft axiom over the emitted hasCPE predicate)."""
+    from uckg_ray.stages.materialize import entail_min1_restrictions
+    return entail_min1_restrictions(_distinct_edges_cached(sf_dir))
+
+
 def _q_kg_func_violations(sf_dir: str):
     """owl:FunctionalProperty consistency audit: subjects with more
     than one distinct value under a functional predicate (uco2.ttl's
@@ -963,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_func_violations": _q_kg_func_violations,
         "kg_equiv_entailed": _q_kg_equiv_entailed,
         "audio_features": _q_audio_features,
+        "kg_restriction_types": _q_kg_restriction_types,
         # -- never driver-sampled through r04 (VERDICT r4 ask #1) --
         "customers_no_big_order": _q_customers_no_big_order,
         "customers_with_big_order": _q_customers_with_big_order,
@@ -1728,6 +1737,20 @@ edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)}))
 SELECT subj, pred, string_agg(DISTINCT obj, ';;' ORDER BY obj) AS vals
 FROM edges WHERE obj_is_literal GROUP BY subj, pred""",
+        "kg_restriction_types": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+rx(prop, cls) AS (VALUES
+  ('http://purl.org/cyber/ucohasConsequence',
+   'http://purl.org/cyber/uco#Attack'),
+  ('http://purl.org/cyber/ucohasMeans',
+   'http://purl.org/cyber/uco#Attack'),
+  ('http://example.com/ucoex#hasCPE',
+   'http://example.com/ucoex#ConfiguredProduct')),
+ent AS (SELECT DISTINCT e.subj, '{rdft}' AS pred, rx.cls AS obj
+        FROM edges e JOIN rx ON rx.prop = e.pred)
+SELECT subj, pred, obj FROM ent
+EXCEPT SELECT subj, pred, obj FROM edges WHERE pred = '{rdft}'""",
         "kg_equiv_entailed": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

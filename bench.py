@@ -160,7 +160,8 @@ def run_bench() -> dict:
                  "kg_owl_entailed", "doc_repetition", "zipf_histogram",
                  "ngram_contamination", "multimodal_decode", "fp_overlap",
                  "events_funnel", "kg_pagerank", "kg_func_violations",
-                 "kg_equiv_entailed", "audio_features"):
+                 "kg_equiv_entailed", "audio_features",
+                 "kg_restriction_types"):
         timed(name, q[name])
     ray.shutdown()
 

@@ -239,3 +239,24 @@ def test_entail_equivalent_classes(ray_session):
                ray.data.from_arrow(edges), groups=groups).take_all()}
     # x:A entails x:B, x:C; y asserts B AND C so only y:A is new
     assert got == {("x", "B"), ("x", "C"), ("y", "A")}
+
+
+def test_entail_min1_restrictions(ray_session):
+    """min-cardinality-1 restriction classification: a subject with one
+    edge under the restriction property gets the class; already-typed
+    subjects are subtracted; other predicates classify nothing."""
+    import ray.data
+
+    from uckg_ray.namespaces import RDF_TYPE
+    from uckg_ray.stages.materialize import entail_min1_restrictions
+    edges = pa.table({
+        "subj": ["a", "a", "b", "b", "c"],
+        "pred": ["hasX", "hasX", "hasX", RDF_TYPE, "other"],
+        "obj": ["o1", "o2", "o3", "Cls", "o4"],
+        "obj_is_literal": [False] * 5,
+        "obj_datatype": [""] * 5})
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in entail_min1_restrictions(
+               ray.data.from_arrow(edges),
+               restrictions=[("hasX", "Cls")]).take_all()}
+    assert got == {("a", RDF_TYPE, "Cls")}   # b already asserted; c no hasX

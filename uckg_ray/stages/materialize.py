@@ -944,3 +944,59 @@ def entail_equivalent_classes(distinct: Dataset,
         distinct.map_batches(asserted_slice, batch_format="pyarrow",
                              batch_size=None),
         ("subj", "pred", "obj"), out_schema, num_partitions)
+
+
+def entail_min1_restrictions(distinct: Dataset,
+                             restrictions: list[tuple[str, str]] | None = None,
+                             num_partitions: int = 16) -> Dataset:
+    """``owl:minQualifiedCardinality 1`` restriction classification —
+    the one OWL-DL class-expression construct the snapshot uses
+    (uco2.ttl:605-616, ucoAttack ≡ [≥1 ucohasConsequence] ≡
+    [≥1 ucohasMeans]): every subject with at least one edge under the
+    restriction property is typed into the class, minus what the
+    stream already asserts. Shape: Arrow pre-filter to the (tiny)
+    restriction-property slice, block-local distinct subjects, the
+    shared keyed distinct, the shared keyed subtraction."""
+    import pyarrow.compute as pc
+
+    from uckg_ray.namespaces import RDF_TYPE
+    from uckg_ray.tbox import TBOX_MIN1_RESTRICTIONS
+
+    restrictions = (TBOX_MIN1_RESTRICTIONS if restrictions is None
+                    else restrictions)
+    prop_to_class = dict(restrictions)
+    props = pa.array(sorted(prop_to_class))
+    classes = pa.array(sorted(set(prop_to_class.values())))
+    out_schema = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                            ("obj", pa.string())])
+
+    def entail(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        t = batch.filter(pc.is_in(batch.column("pred"), value_set=props))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(t.select(["subj", "pred"]))
+              .unique()
+              .with_columns(pl.col("pred").replace_strict(
+                  old=list(prop_to_class),
+                  new=list(prop_to_class.values())).alias("cls")))
+        return pa.table({
+            "subj": df["subj"].to_arrow().cast(pa.string()),
+            "pred": pa.array([RDF_TYPE] * df.height, pa.string()),
+            "obj": df["cls"].to_arrow().cast(pa.string())})
+
+    def asserted_slice(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.equal(batch.column("pred"), RDF_TYPE),
+            pc.is_in(batch.column("obj"), value_set=classes)))
+        return pa.Table.from_arrays(
+            [t.column("subj").cast(pa.string()),
+             t.column("pred").cast(pa.string()),
+             t.column("obj").cast(pa.string())], schema=out_schema)
+
+    return _subtract_on_cols(
+        distinct.map_batches(entail, batch_format="pyarrow",
+                             batch_size=None),
+        distinct.map_batches(asserted_slice, batch_format="pyarrow",
+                             batch_size=None),
+        ("subj", "pred", "obj"), out_schema, num_partitions)

@@ -489,3 +489,21 @@ def equivalence_groups(pairs: list[tuple[str, str]] | None = None
         groups.setdefault(find(x), set()).add(x)
     return {c: sorted(g - {c})
             for g in groups.values() if len(g) > 1 for c in g}
+
+
+# owl:Restriction / owl:minQualifiedCardinality 1 — the ONE OWL-DL
+# class-expression construct the snapshot actually uses (uco2.ttl:
+# 605-616: ucoAttack ≡ [≥1 ucohasConsequence] ≡ [≥1 ucohasMeans]):
+# any individual with at least one edge under the property is
+# classified into the class. The snapshot pair is kept verbatim (the
+# engine's templates never emit those predicates, so they classify
+# nothing on the fixture — correct, not dead: a user template emitting
+# hasConsequence inherits the rule); the graft adds the analogous
+# axiom over an emitted predicate, same convention as TBOX_SUBPROP's
+# CVSS addition: a vulnerability with ≥1 CPE configuration is a
+# configured product.
+TBOX_MIN1_RESTRICTIONS: list[tuple[str, str]] = [
+    (_U.replace("#", "") + "hasConsequence", _U + "Attack"),
+    (_U.replace("#", "") + "hasMeans", _U + "Attack"),
+    (_X + "hasCPE", _X + "ConfiguredProduct"),
+]
