@@ -1740,15 +1740,22 @@ FROM edges WHERE obj_is_literal GROUP BY subj, pred""",
         "kg_restriction_types": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),
-rx(prop, cls) AS (VALUES
-  ('http://purl.org/cyber/ucohasConsequence',
+rx(prop, oncls, cls) AS (VALUES
+  ('http://purl.org/cyber/uco#hasConsequence',
+   'http://purl.org/cyber/uco#Consequence',
    'http://purl.org/cyber/uco#Attack'),
-  ('http://purl.org/cyber/ucohasMeans',
+  ('http://purl.org/cyber/uco#hasMeans',
+   'http://purl.org/cyber/uco#Means',
    'http://purl.org/cyber/uco#Attack'),
   ('http://example.com/ucoex#hasCPE',
+   'http://example.com/ucoex#CPE',
    'http://example.com/ucoex#ConfiguredProduct')),
+typed AS (SELECT subj AS node, obj AS tcls FROM edges
+          WHERE pred = '{rdft}'),
 ent AS (SELECT DISTINCT e.subj, '{rdft}' AS pred, rx.cls AS obj
-        FROM edges e JOIN rx ON rx.prop = e.pred)
+        FROM edges e
+        JOIN rx ON rx.prop = e.pred
+        JOIN typed t ON t.node = e.obj AND t.tcls = rx.oncls)
 SELECT subj, pred, obj FROM ent
 EXCEPT SELECT subj, pred, obj FROM edges WHERE pred = '{rdft}'""",
         "kg_equiv_entailed": f"""WITH {_kg_ctes(p)},

@@ -242,21 +242,40 @@ def test_entail_equivalent_classes(ray_session):
 
 
 def test_entail_min1_restrictions(ray_session):
-    """min-cardinality-1 restriction classification: a subject with one
-    edge under the restriction property gets the class; already-typed
-    subjects are subtracted; other predicates classify nothing."""
+    """QUALIFIED min-cardinality-1 classification: the object must be
+    typed into the owl:onClass qualifier; already-typed subjects are
+    subtracted; unqualified objects and other predicates classify
+    nothing; duplicate properties across axioms both fire."""
     import ray.data
 
     from uckg_ray.namespaces import RDF_TYPE
     from uckg_ray.stages.materialize import entail_min1_restrictions
     edges = pa.table({
-        "subj": ["a", "a", "b", "b", "c"],
-        "pred": ["hasX", "hasX", "hasX", RDF_TYPE, "other"],
-        "obj": ["o1", "o2", "o3", "Cls", "o4"],
-        "obj_is_literal": [False] * 5,
-        "obj_datatype": [""] * 5})
+        "subj": ["a",    "a",    "b",    "b",      "c",     "o1",
+                 "o3",   "o9"],
+        "pred": ["hasX", "hasX", "hasX", RDF_TYPE, "other", RDF_TYPE,
+                 RDF_TYPE, RDF_TYPE],
+        "obj":  ["o1",   "o2",   "o3",   "Cls",    "o9",    "Q",
+                 "Q",    "Q2"],
+        "obj_is_literal": [False] * 8,
+        "obj_datatype": [""] * 8})
     got = {(r["subj"], r["pred"], r["obj"])
            for r in entail_min1_restrictions(
                ray.data.from_arrow(edges),
-               restrictions=[("hasX", "Cls")]).take_all()}
-    assert got == {("a", RDF_TYPE, "Cls")}   # b already asserted; c no hasX
+               restrictions=[("hasX", "Q", "Cls"),
+                             ("hasX", "Q2", "Cls2")]).take_all()}
+    # a: o1 typed Q → Cls (o2 untyped contributes nothing);
+    # b: o3 typed Q → Cls but b already asserts Cls → subtracted;
+    # c: wrong predicate; the Q2 axiom never fires (no hasX→Q2 object)
+    assert got == {("a", RDF_TYPE, "Cls")}
+    # duplicate-property axiom fires when its qualifier matches
+    edges2 = pa.table({
+        "subj": ["x", "y"], "pred": ["hasX", RDF_TYPE],
+        "obj": ["y", "Q2"],
+        "obj_is_literal": [False] * 2, "obj_datatype": [""] * 2})
+    got2 = {(r["subj"], r["obj"])
+            for r in entail_min1_restrictions(
+                ray.data.from_arrow(edges2),
+                restrictions=[("hasX", "Q", "Cls"),
+                              ("hasX", "Q2", "Cls2")]).take_all()}
+    assert got2 == {("x", "Cls2")}

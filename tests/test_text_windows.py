@@ -443,7 +443,6 @@ def test_ppm_resizer(ray_session):
     # block mean floor: (0+3+12+15)//4 = 7 for R of the first block, etc.
     assert list(out_px) == [7, 8, 9, 13, 14, 15]
     # composes as a Dataset stage: resize → decode over a real payload
-    df = pd.DataFrame({"doc_id": [0]})
     ds = ray.data.from_arrow(pa.table({
         "doc_id": pa.array([0], pa.int64()),
         "payload": pa.array([ppm_bytes(bytes(range(48)), 4, 4)],
@@ -456,3 +455,22 @@ def test_ppm_resizer(ray_session):
     # sub-block images resize to an empty 0x0 image
     tiny, w0, h0 = PpmResizer(factor=4).resize(ppm_bytes(bytes(3), 1, 1))
     assert (w0, h0) == (0, 0) and PpmDecoder.parse(tiny)["n_pixels"] == 0
+
+
+def test_wav_sample_stats_rejects_non_8bit_mono(ray_session):
+    """Code statistics are an 8-bit-mono contract: 16-bit payloads
+    raise in strict mode and yield a null row in lenient mode."""
+    import pytest
+    import ray.data
+    from uckg_ray.stages.multimodal import WavSampleStats, wav_bytes
+    p16 = wav_bytes(bytes(range(8)), channels=2, bits=16)
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "payload": pa.array([p16], pa.binary())})
+    with pytest.raises(Exception):
+        ray.data.from_arrow(tbl).map_batches(
+            WavSampleStats, batch_format="pyarrow",
+            concurrency=1).take_all()
+    r = ray.data.from_arrow(tbl).map_batches(
+        WavSampleStats, fn_constructor_kwargs={"strict": False},
+        batch_format="pyarrow", concurrency=1).take_all()[0]
+    assert r["n_samples"] is None and r["sum_code"] is None

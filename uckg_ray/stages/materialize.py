@@ -927,36 +927,61 @@ def entail_equivalent_classes(distinct: Dataset,
             "pred": pa.array([RDF_TYPE] * df.height, pa.string()),
             "obj": df["others"].to_arrow().cast(pa.string())})
 
-    def asserted_slice(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.and_(
-            pc.equal(batch.column("pred"), RDF_TYPE),
-            pc.is_in(batch.column("obj"), value_set=member_set)))
-        return pa.Table.from_arrays(
-            [t.column("subj").cast(pa.string()),
-             t.column("pred").cast(pa.string()),
-             t.column("obj").cast(pa.string())], schema=out_schema)
-
     # no pre-distinct: _subtract_on_cols already uniques the left side
     # inside its global key co-partition (same as entail_owl's feed)
     return _subtract_on_cols(
         distinct.map_batches(entail, batch_format="pyarrow",
                              batch_size=None),
-        distinct.map_batches(asserted_slice, batch_format="pyarrow",
-                             batch_size=None),
+        distinct.map_batches(_asserted_type_slice(member_set),
+                             batch_format="pyarrow", batch_size=None),
         ("subj", "pred", "obj"), out_schema, num_partitions)
 
 
-def entail_min1_restrictions(distinct: Dataset,
-                             restrictions: list[tuple[str, str]] | None = None,
-                             num_partitions: int = 16) -> Dataset:
-    """``owl:minQualifiedCardinality 1`` restriction classification —
-    the one OWL-DL class-expression construct the snapshot uses
-    (uco2.ttl:605-616, ucoAttack ≡ [≥1 ucohasConsequence] ≡
-    [≥1 ucohasMeans]): every subject with at least one edge under the
-    restriction property is typed into the class, minus what the
-    stream already asserts. Shape: Arrow pre-filter to the (tiny)
-    restriction-property slice, block-local distinct subjects, the
-    shared keyed distinct, the shared keyed subtraction."""
+_ENT3_SCHEMA = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                          ("obj", pa.string())])
+
+
+def _asserted_type_slice(classes: pa.Array):
+    """map_batches fn factory: the (subj, rdf:type, obj ∈ classes)
+    slice of an edge stream cast to the 3-column entailment schema —
+    the shared subtraction side of the equivalence / restriction
+    entailments."""
+    import pyarrow.compute as pc
+
+    from uckg_ray.namespaces import RDF_TYPE
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.equal(batch.column("pred"), RDF_TYPE),
+            pc.is_in(batch.column("obj"), value_set=classes)))
+        return pa.Table.from_arrays(
+            [t.column("subj").cast(pa.string()),
+             t.column("pred").cast(pa.string()),
+             t.column("obj").cast(pa.string())], schema=_ENT3_SCHEMA)
+    return f
+
+
+def entail_min1_restrictions(
+        distinct: Dataset,
+        restrictions: list[tuple[str, str, str]] | None = None,
+        num_partitions: int = 16) -> Dataset:
+    """QUALIFIED ``owl:minQualifiedCardinality 1`` restriction
+    classification — the one OWL-DL class-expression construct the
+    snapshot uses (uco2.ttl:605-616, ucoAttack ≡ [≥1 ucohasConsequence
+    . ucoConsequence] ≡ [≥1 ucohasMeans . ucoMeans]). Axioms are
+    (property, on_class, cls) triples: ``x`` is typed ``cls`` iff some
+    ``(x, property, y)`` edge exists with ``(y, rdf:type, on_class)``
+    asserted — the ``owl:onClass`` qualifier is honored (qualification
+    reads ASSERTED types; chaining INFERRED object types would need a
+    fixpoint with the other entailment rules, documented scope). The
+    result subtracts asserted types.
+
+    Shape: two tiny Arrow pre-filters (the restriction-property edge
+    slice; the rdf:type slice over the on_classes), ONE key-hash
+    co-partition on the edge OBJECT vs the typed node, a per-partition
+    polars join through the (property, on_class, cls) axiom frame
+    (duplicate properties across axioms are fine — the join fans out),
+    then the shared keyed subtraction."""
     import pyarrow.compute as pc
 
     from uckg_ray.namespaces import RDF_TYPE
@@ -964,39 +989,75 @@ def entail_min1_restrictions(distinct: Dataset,
 
     restrictions = (TBOX_MIN1_RESTRICTIONS if restrictions is None
                     else restrictions)
-    prop_to_class = dict(restrictions)
-    props = pa.array(sorted(prop_to_class))
-    classes = pa.array(sorted(set(prop_to_class.values())))
-    out_schema = pa.schema([("subj", pa.string()), ("pred", pa.string()),
-                            ("obj", pa.string())])
+    props = pa.array(sorted({p for p, _, _ in restrictions}))
+    on_classes = pa.array(sorted({o for _, o, _ in restrictions}))
+    classes = pa.array(sorted({c for _, _, c in restrictions}))
+    ax_rows = ([p for p, _, _ in restrictions],
+               [o for _, o, _ in restrictions],
+               [c for _, _, c in restrictions])
 
-    def entail(batch: pa.Table) -> pa.Table:
-        import polars as pl
+    _TAG = pa.schema([("key", pa.string()), ("side", pa.int8()),
+                      ("subj", pa.string()), ("pred", pa.string()),
+                      ("tcls", pa.string())])
+
+    def tag_cand(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.is_in(batch.column("pred"), value_set=props))
         if t.num_rows == 0:
-            return out_schema.empty_table()
-        df = (pl.from_arrow(t.select(["subj", "pred"]))
-              .unique()
-              .with_columns(pl.col("pred").replace_strict(
-                  old=list(prop_to_class),
-                  new=list(prop_to_class.values())).alias("cls")))
-        return pa.table({
-            "subj": df["subj"].to_arrow().cast(pa.string()),
-            "pred": pa.array([RDF_TYPE] * df.height, pa.string()),
-            "obj": df["cls"].to_arrow().cast(pa.string())})
+            return _add_hash_partition(_TAG.empty_table(),
+                                       num_partitions, "key")
+        tt = pa.table({
+            "key": t.column("obj").cast(pa.string()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8)),
+            "subj": t.column("subj").cast(pa.string()),
+            "pred": t.column("pred").cast(pa.string()),
+            "tcls": pa.nulls(t.num_rows, pa.string())})
+        return _add_hash_partition(tt, num_partitions, "key")
 
-    def asserted_slice(batch: pa.Table) -> pa.Table:
+    def tag_typed(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.and_(
             pc.equal(batch.column("pred"), RDF_TYPE),
-            pc.is_in(batch.column("obj"), value_set=classes)))
-        return pa.Table.from_arrays(
-            [t.column("subj").cast(pa.string()),
-             t.column("pred").cast(pa.string()),
-             t.column("obj").cast(pa.string())], schema=out_schema)
+            pc.is_in(batch.column("obj"), value_set=on_classes)))
+        if t.num_rows == 0:
+            return _add_hash_partition(_TAG.empty_table(),
+                                       num_partitions, "key")
+        tt = pa.table({
+            "key": t.column("subj").cast(pa.string()),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+            "subj": pa.nulls(t.num_rows, pa.string()),
+            "pred": pa.nulls(t.num_rows, pa.string()),
+            "tcls": t.column("obj").cast(pa.string())})
+        return _add_hash_partition(tt, num_partitions, "key")
 
+    def classify(part: pa.Table) -> pa.Table:
+        import polars as pl
+        if part.num_rows == 0:
+            return _ENT3_SCHEMA.empty_table()
+        df = pl.from_arrow(part.select(["key", "side", "subj", "pred",
+                                        "tcls"]))
+        cand = (df.filter(pl.col("side") == 0)
+                .select("key", "subj", "pred"))
+        typed = (df.filter(pl.col("side") == 1)
+                 .select("key", "tcls").unique())
+        if cand.height == 0 or typed.height == 0:
+            return _ENT3_SCHEMA.empty_table()
+        ax = pl.DataFrame({"pred": ax_rows[0], "tcls": ax_rows[1],
+                           "cls": ax_rows[2]})
+        j = (cand.join(typed, on="key")
+             .join(ax, on=["pred", "tcls"])
+             .select("subj", "cls").unique())
+        return pa.table({
+            "subj": j["subj"].to_arrow().cast(pa.string()),
+            "pred": pa.array([RDF_TYPE] * j.height, pa.string()),
+            "obj": j["cls"].to_arrow().cast(pa.string())})
+
+    entailed = (distinct.map_batches(tag_cand, batch_format="pyarrow",
+                                     batch_size=None)
+                .union(distinct.map_batches(tag_typed,
+                                            batch_format="pyarrow",
+                                            batch_size=None))
+                .groupby("p").map_groups(classify, batch_format="pyarrow"))
     return _subtract_on_cols(
-        distinct.map_batches(entail, batch_format="pyarrow",
-                             batch_size=None),
-        distinct.map_batches(asserted_slice, batch_format="pyarrow",
-                             batch_size=None),
-        ("subj", "pred", "obj"), out_schema, num_partitions)
+        entailed,
+        distinct.map_batches(_asserted_type_slice(classes),
+                             batch_format="pyarrow", batch_size=None),
+        ("subj", "pred", "obj"), _ENT3_SCHEMA, num_partitions)

@@ -291,10 +291,14 @@ def binary_feature_stats(docs_with_payload: Dataset) -> Dataset:
 
 class WavSampleStats:
     """Actor-pool audio feature extraction over genuinely DECODED PCM
-    sample bytes (chunk-walked via ``WavDecoder.parse``): sample count,
-    integer energy components (Σcode, Σcode², max code — 8-bit unsigned
-    codes), all int64 so a byte-level SQL oracle checks every decoded
-    sample value, not just a digest. Empty sample streams report zeros."""
+    sample bytes (chunk-walked via ``WavDecoder.walk``): sample count,
+    integer energy components (Σcode, Σcode², max code), all int64 so
+    a byte-level SQL oracle checks every decoded sample value, not
+    just a digest. The code statistics are defined for 8-BIT MONO PCM
+    (one byte per sample — anything else would mix frame counts with
+    byte aggregates); other formats raise (strict) or yield a null
+    row, the same contract as a codec mismatch. Empty sample streams
+    report zeros."""
 
     def __init__(self, strict: bool = True):
         self.strict = strict
@@ -306,6 +310,10 @@ class WavSampleStats:
         for did, p in zip(ids, batch.column("payload").to_pylist()):
             try:
                 fmt, data = WavDecoder.walk(p or b"")
+                if fmt[1] != 1 or fmt[5] != 8:
+                    raise ValueError(
+                        "sample code statistics are defined for 8-bit "
+                        f"mono PCM (got {fmt[1]} ch × {fmt[5]} bit)")
             except ValueError:
                 if self.strict:
                     raise
@@ -316,7 +324,7 @@ class WavSampleStats:
                 continue
             arr = np.frombuffer(data, np.uint8).astype(np.int64)
             out["doc_id"].append(did)
-            out["n_samples"].append(len(data) // max(1, fmt[4]))
+            out["n_samples"].append(len(data))
             out["sum_code"].append(int(arr.sum()))
             out["sum_code_sq"].append(int((arr * arr).sum()))
             out["max_code"].append(int(arr.max()) if arr.size else 0)

@@ -493,17 +493,21 @@ def equivalence_groups(pairs: list[tuple[str, str]] | None = None
 
 # owl:Restriction / owl:minQualifiedCardinality 1 — the ONE OWL-DL
 # class-expression construct the snapshot actually uses (uco2.ttl:
-# 605-616: ucoAttack ≡ [≥1 ucohasConsequence] ≡ [≥1 ucohasMeans]):
-# any individual with at least one edge under the property is
-# classified into the class. The snapshot pair is kept verbatim (the
-# engine's templates never emit those predicates, so they classify
-# nothing on the fixture — correct, not dead: a user template emitting
-# hasConsequence inherits the rule); the graft adds the analogous
-# axiom over an emitted predicate, same convention as TBOX_SUBPROP's
-# CVSS addition: a vulnerability with ≥1 CPE configuration is a
-# configured product.
-TBOX_MIN1_RESTRICTIONS: list[tuple[str, str]] = [
-    (_U.replace("#", "") + "hasConsequence", _U + "Attack"),
-    (_U.replace("#", "") + "hasMeans", _U + "Attack"),
-    (_X + "hasCPE", _X + "ConfiguredProduct"),
+# 605-616: ucoAttack ≡ [≥1 ucohasConsequence . ucoConsequence] ≡
+# [≥1 ucohasMeans . ucoMeans]): an individual with at least one edge
+# under the property WHOSE OBJECT IS TYPED into the owl:onClass
+# qualifier is classified into the class. Triples are
+# (property, on_class, class); property IRIs follow the engine's
+# uco# convention like every other axiom table (snapshot
+# `ucohasConsequence` = uco#hasConsequence — TBOX_DOMAIN precedent).
+# The snapshot pair classifies nothing on the fixture (the engine's
+# templates never emit those predicates — a user template that does
+# inherits the rule); the graft adds the analogous axiom over an
+# emitted predicate, same convention as TBOX_SUBPROP's CVSS addition:
+# a vulnerability with ≥1 typed CPE configuration is a configured
+# product.
+TBOX_MIN1_RESTRICTIONS: list[tuple[str, str, str]] = [
+    (_U + "hasConsequence", _U + "Consequence", _U + "Attack"),
+    (_U + "hasMeans", _U + "Means", _U + "Attack"),
+    (_X + "hasCPE", _X + "CPE", _X + "ConfiguredProduct"),
 ]
