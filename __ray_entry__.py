@@ -477,11 +477,24 @@ def _q_ann_ivf_topk(sf_dir: str):
     parameterized so a larger deployment regenerates matching SQL."""
     from uckg_ray.stages.similarity import IntegerIVF, ivf_topk
     Q, qids = _load_queries(sf_dir)
+    ivf = IntegerIVF(*_ivf_train_sample(sf_dir),
+                     n_centroids=16, n_iters=8)
+    return ivf_topk(_table(sf_dir, "embeddings"), Q, qids, ivf,
+                    k=10, n_probe=4)
+
+
+def _ivf_train_sample(sf_dir: str, stride: int = 2):
+    """Streamed, hard-bounded IVF training sample: the ``vec_id %
+    stride`` filter applies per record batch (never a full-table driver
+    materialization), and past 65536 sampled rows the read aborts with
+    instructions to raise the stride — the SQL-oracle contract pins the
+    stride, and the ``_ivf_sql_parts(stride=...)`` generator is
+    parameterized so a larger deployment regenerates matching SQL."""
     pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
     chunks, id_chunks, n_sample = [], [], 0
     for rb in pf.iter_batches(columns=["vec_id", "embedding"]):
         ids = rb.column(0).to_numpy(zero_copy_only=False)
-        keep = ids % 2 == 0
+        keep = ids % stride == 0
         t = pa.Table.from_batches([rb]).filter(pa.array(keep))
         if t.num_rows:
             col = t.column("embedding").combine_chunks()
@@ -491,15 +504,24 @@ def _q_ann_ivf_topk(sf_dir: str):
                              .to_numpy(zero_copy_only=False))
             n_sample += t.num_rows
         if n_sample > 65536:
-            raise ValueError("ann_ivf_topk: stride-2 training sample "
+            raise ValueError(f"IVF stride-{stride} training sample "
                              "exceeds 65536 rows — raise the stride and "
                              "regenerate the oracle via "
-                             "_sql_ann_ivf_topk(stride=...)")
-    train = np.concatenate(chunks)
-    train_ids = np.concatenate(id_chunks)
-    ivf = IntegerIVF(train, train_ids, n_centroids=16, n_iters=8)
-    return ivf_topk(_table(sf_dir, "embeddings"), Q, qids, ivf,
-                    k=10, n_probe=4)
+                             "_ivf_sql_parts(stride=...)")
+    return np.concatenate(chunks), np.concatenate(id_chunks)
+
+
+def _q_embed_semdedup(sf_dir: str):
+    """SemDeDup over the embedding table: integer-exact IVF clusters
+    (the blocking step) + in-cluster exact cosine ≥ 45/100 against any
+    smaller-id member (the keep-lowest-id representative rule). The
+    DuckDB oracle replays k-means training, full-table assignment and
+    the cross-multiplied HUGEINT threshold bit-for-bit."""
+    from uckg_ray.stages.similarity import IntegerIVF, semantic_dedup
+    ivf = IntegerIVF(*_ivf_train_sample(sf_dir),
+                     n_centroids=16, n_iters=8)
+    return semantic_dedup(_table(sf_dir, "embeddings"), ivf,
+                          tau_num=45, tau_den=100)
 
 
 def _q_doc_winnow(sf_dir: str):
@@ -963,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # head or tail, stays covered by tools/check_oracle.py and pytest.
     return {
         # -- new in round 5 (driver samples the head) --
+        "embed_semdedup": _q_embed_semdedup,
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
         "fp_overlap": _q_fp_overlap,
@@ -1481,14 +1504,15 @@ r AS (SELECT qid, nid, row_number() OVER (
 SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r WHERE rk <= 10"""
 
 
-def _sql_ann_ivf_topk(dim: int = 64, k_cent: int = 16, n_iters: int = 8,
-                      n_probe: int = 4, stride: int = 2) -> str:
-    """Replays IntegerIVF exactly in SQL: quantize → k-means init on the
-    k smallest training vec_ids → unrolled Lloyd iterations with integer
-    squared-L2 assignment (ties → lowest cid) and sign-safe
-    floor-division centroid means (empty clusters keep their centroid)
-    → full-table assignment → union of per-query n_probe buckets →
-    exact cosine rescore (the proven-exact ann_cosine ranking)."""
+def _ivf_sql_parts(dim: int = 64, k_cent: int = 16, n_iters: int = 8,
+                   stride: int = 2) -> list[str]:
+    """Shared IntegerIVF replay CTEs (used by ann_ivf_topk AND
+    embed_semdedup): quantize → k-means init on the k smallest training
+    vec_ids → unrolled Lloyd iterations with integer squared-L2
+    assignment (ties → lowest cid) and sign-safe floor-division centroid
+    means (empty clusters keep their centroid) → full-table assignment
+    ``asg(vec_id, cid)``. Exposes ``e/qe/asg`` for the caller's query
+    parts."""
 
     # integer squared-L2 via |a|² + |b|² − 2·a·b: list_inner_product on
     # the quantized BIGINT lists returns integer-valued doubles, and
@@ -1530,8 +1554,22 @@ c{i + 1} AS MATERIALIZED (SELECT cid, qv, list_inner_product(qv, qv) AS nn FROM 
          row_number() OVER (PARTITION BY q.vec_id
                             ORDER BY {d2('q.qv', 'q.nn', 'c.qv', 'c.nn')},
                                      c.cid) AS rk
-  FROM qe q, {cf} c) WHERE rk = 1),
-qq AS (SELECT vec_id AS qid, emb, qv, nn FROM qe WHERE vec_id < 10),
+  FROM qe q, {cf} c) WHERE rk = 1)""")
+    return parts
+
+
+def _sql_ann_ivf_topk(dim: int = 64, k_cent: int = 16, n_iters: int = 8,
+                      n_probe: int = 4, stride: int = 2) -> str:
+    """IVF ANN oracle: the shared IntegerIVF replay (``_ivf_sql_parts``)
+    → union of per-query n_probe buckets → exact cosine rescore (the
+    proven-exact ann_cosine ranking)."""
+
+    def d2(a: str, an: str, b: str, bn: str) -> str:
+        return f"({an} + {bn} - 2 * list_inner_product({a}, {b}))"
+
+    cf = f"c{n_iters}"
+    parts = _ivf_sql_parts(dim, k_cent, n_iters, stride)
+    parts.append(f"""qq AS (SELECT vec_id AS qid, emb, qv, nn FROM qe WHERE vec_id < 10),
 probes AS (SELECT DISTINCT cid FROM (
   SELECT q.qid, c.cid,
          row_number() OVER (PARTITION BY q.qid
@@ -1549,6 +1587,32 @@ r AS (SELECT qid, nid, row_number() OVER (
     return ("WITH " + ",\n".join(parts)
             + "\nSELECT qid AS query_id, nid AS neighbor_id, rk AS rank "
               "FROM r WHERE rk <= 10")
+
+
+def _sql_embed_semdedup(dim: int = 64, k_cent: int = 16, n_iters: int = 8,
+                        stride: int = 2, tau_num: int = 45,
+                        tau_den: int = 100) -> str:
+    """SemDeDup oracle: the shared IntegerIVF replay assigns every
+    vector a cluster, then the cross-multiplied HUGEINT cosine predicate
+    (``tau_den²·dot² ≥ tau_num²·|a|²·|b|² AND dot > 0`` on the quantized
+    int64 vectors — dot/norms are integer-valued doubles ≪ 2⁵³, so the
+    HUGEINT casts are exact) marks a vector duplicate iff some
+    same-cluster vector with a smaller id passes."""
+    t2n, t2d = tau_num * tau_num, tau_den * tau_den
+    parts = _ivf_sql_parts(dim, k_cent, n_iters, stride)
+    parts.append(f"""v AS MATERIALIZED (
+  SELECT q.vec_id, q.qv, q.nn, a.cid
+  FROM qe q JOIN asg a ON a.vec_id = q.vec_id),
+pr AS (SELECT DISTINCT b.vec_id AS idb
+       FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       WHERE list_inner_product(a.qv, b.qv) > 0
+         AND {t2d} * CAST(list_inner_product(a.qv, b.qv) AS HUGEINT)
+                   * CAST(list_inner_product(a.qv, b.qv) AS HUGEINT)
+             >= {t2n} * CAST(a.nn AS HUGEINT) * CAST(b.nn AS HUGEINT))""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT v.vec_id, v.cid, CAST(CASE WHEN v.vec_id IN "
+              "(SELECT idb FROM pr) THEN 1 ELSE 0 END AS BIGINT) AS is_dup "
+              "FROM v")
 
 
 def _sql_kg_types_inferred(p) -> str:
@@ -2066,6 +2130,7 @@ r AS (SELECT qid, nid, row_number() OVER (
 SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r WHERE rk <= 10""",
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
+        "embed_semdedup": _sql_embed_semdedup(),
         "embed_neardup": _SQL_EMBED_NEARDUP,
         # the LSH path verifies every candidate with exact cosine, and the
         # 24×5 banding measures full recall at tau=0.45 on the driver

@@ -125,3 +125,42 @@ def test_integer_ivf_exact_and_bounded(ray_session):
     assert hits >= 10  # >= 2/3 recall with 4 of 8 buckets probed
     with pytest.raises(ValueError):
         IntegerIVF(np.zeros((65537, 4)), np.arange(65537), n_centroids=4)
+
+
+def test_semantic_dedup_marks_in_cluster_neardups(ray_session):
+    """SemDeDup: a near-identical pair landing in the same IVF cluster
+    marks the LARGER id duplicate; orthogonal vectors stay kept; the
+    integer threshold predicate matches a float oracle away from the
+    boundary; cluster-size guard aborts loudly."""
+    import pytest
+
+    from uckg_ray.stages.similarity import IntegerIVF, semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    # plant two exact-duplicate pairs (ids 40/41 dup 0/1) and one
+    # near-miss (id 42 ~ vector 2 but rotated well below tau)
+    M = np.vstack([base, base[0], base[1],
+                   np.roll(base[2], 1)]).astype(np.float32)
+    ids = np.arange(len(M), dtype=np.int64)
+    ivf = IntegerIVF(M.astype(np.float64), ids, n_centroids=4, n_iters=4)
+    ds = _emb_ds(ray_session, M, ids)
+    out = {r["vec_id"]: (r["cid"], r["is_dup"])
+           for r in semantic_dedup(ds, ivf, tau_num=95,
+                                   tau_den=100).take_all()}
+    assert len(out) == len(M)
+    assert out[40][1] == 1 and out[41][1] == 1     # exact dups flagged
+    assert out[0][1] == 0 and out[1][1] == 0       # originals kept
+    assert out[0][0] == out[40][0]                  # same cluster
+    # float oracle: is_dup == exists same-cluster smaller-id cos >= tau
+    Q = IntegerIVF.quantize(M.astype(np.float64))
+    G = Q @ Q.T
+    n = np.sqrt(np.diag(G).astype(np.float64))
+    cos = G / (n[:, None] * n[None, :])
+    cid = np.array([out[i][0] for i in ids])
+    for j in ids:
+        want = int(any(cid[i] == cid[j] and cos[i, j] >= 0.95
+                       for i in range(j)))
+        assert out[j][1] == want, j
+    with pytest.raises(ray_session.exceptions.RayTaskError):
+        semantic_dedup(ds, ivf, max_cluster_rows=2).take_all()

@@ -486,3 +486,76 @@ def embedding_centroids(emb: Dataset, *, group_col: str = "label",
             .aggregate(Sum("n", alias_name="n"),
                        Sum("sum_q", alias_name="sum_q"))
             .map_batches(pin, batch_format="pyarrow", batch_size=None))
+
+
+def semantic_dedup(emb: Dataset, ivf: "IntegerIVF", *, tau_num: int = 45,
+                   tau_den: int = 100, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_cluster_rows: int = 200_000) -> Dataset:
+    """SemDeDup-style semantic deduplication: IVF clustering is the
+    blocking step, an exact in-cluster cosine threshold is the verify —
+    the canonical cluster-then-compare layout for embedding dedup at
+    100 TB (pairwise work never crosses a cluster boundary).
+
+    Output ``(vec_id, cid, is_dup)``: ``is_dup = 1`` iff some
+    SAME-CLUSTER vector with a smaller id has cosine ≥
+    ``tau_num/tau_den`` — the keep-lowest-id representative rule, the
+    deterministic twin of SemDeDup's keep-farthest-from-centroid.
+
+    Integer-exact: vectors quantize to int64 (the ``IntegerIVF``
+    contract), and the threshold is the cross-multiplied predicate
+    ``tau_den²·dot² ≥ tau_num²·|a|²·|b|² AND dot > 0`` evaluated in
+    arbitrary-precision Python ints on the float-prefiltered candidate
+    pairs (near-dups only — tiny), so the HUGEINT SQL oracle matches
+    value-hashes bit-for-bit.
+
+    Scale shape: one bucket-keyed exchange total; each cluster is one
+    task (the SemDeDup cost model — ``n_centroids`` grows with the
+    corpus so clusters stay bounded, and a cluster above
+    ``max_cluster_rows`` aborts loudly rather than OOMing a worker)."""
+    tau_f = tau_num / tau_den
+
+    def _empty() -> pa.Table:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cid": pa.array([], pa.int64()),
+                         "is_dup": pa.array([], pa.int64())})
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty()
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: cluster of {n} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows} — raise the IVF "
+                "n_centroids so in-cluster pairwise work stays bounded")
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = _emb_matrix(t, vec_col)[order]
+        Q = IntegerIVF.quantize(M)
+        G = Q @ Q.T          # exact: |entry| ≤ dim·10¹² ≪ 2⁶³
+        na = np.diag(G).astype(np.float64)
+        # float64 prefilter with a safety margin (cos from exact-integer
+        # dot/norms carries ~1e-16 relative error), then the exact
+        # integer predicate confirms each survivor
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cosf = G / np.sqrt(na[:, None] * na[None, :])
+        iu, ju = np.triu_indices(n, k=1)
+        cand = np.nonzero(cosf[iu, ju] >= tau_f - 1e-6)[0]
+        dup = np.zeros(n, dtype=bool)
+        t2n, t2d = tau_num * tau_num, tau_den * tau_den
+        for c in cand:
+            i, j = int(iu[c]), int(ju[c])
+            d = int(G[i, j])
+            if d > 0 and t2d * d * d >= t2n * int(G[i, i]) * int(G[j, j]):
+                dup[j] = True           # ids ascend ⇒ j is the larger id
+        cid = t.column("bucket").to_numpy(zero_copy_only=False)[order]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cid": pa.array(cid, pa.int64()),
+                         "is_dup": pa.array(dup.astype(np.int64),
+                                            pa.int64())})
+
+    bucketed = emb.map_batches(ivf.assign_batch, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(
+        per_cluster, batch_format="pyarrow")
