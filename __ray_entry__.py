@@ -191,6 +191,18 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank_int(_distinct_edges_cached(sf_dir))
 
 
+def _q_kg_bfs_levels(sf_dir: str):
+    """Multi-source BFS radius from the CAPEC attack-pattern nodes:
+    minimum directed hop count over the relationship graph (rdf:type
+    hub edges excluded), capped at 3 hops — the reachability audit a
+    KG curator runs after linking a new source. Oracle: recursive-CTE
+    min-level BFS."""
+    from uckg_ray import namespaces as ns
+    from uckg_ray.stages.graph import bfs_levels
+    return bfs_levels(_distinct_edges_cached(sf_dir),
+                      ns.UCOEX + "CAPEC", max_hops=3)
+
+
 def _q_kg_equiv_entailed(sf_dir: str):
     """owl:equivalentClass entailment over the snapshot's named class
     equivalences (cap:Weakness ≡ uco#CWE, the Observable group, …):
@@ -986,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new in round 5 (driver samples the head) --
         "embed_semdedup": _q_embed_semdedup,
+        "kg_bfs_levels": _q_kg_bfs_levels,
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
         "fp_overlap": _q_fp_overlap,
@@ -1871,6 +1884,22 @@ r3 AS MATERIALIZED (
     FROM le JOIN r2 r ON r.node = le.subj JOIN deg d ON d.subj = le.subj
     GROUP BY le.obj) s USING (node))
 SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""",
+        # recursive-CTE min-level BFS: UNION (not ALL) dedups
+        # (node, lvl) pairs so the recursion terminates at the hop cap;
+        # MIN collapses multi-path reachability to the hop distance
+        "kg_bfs_levels": f"""WITH RECURSIVE {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+links AS (SELECT DISTINCT subj, obj FROM edges
+          WHERE NOT obj_is_literal AND pred <> '{rdft}'),
+seeds AS (SELECT DISTINCT subj AS node FROM edges
+          WHERE pred = '{rdft}' AND obj = '{ns.UCOEX}CAPEC'),
+bfs(node, lvl) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT l.obj, b.lvl + 1 FROM bfs b JOIN links l ON l.subj = b.node
+  WHERE b.lvl < 3)
+SELECT node, CAST(MIN(lvl) AS BIGINT) AS lvl FROM bfs GROUP BY node""",
         "kg_degree_topk": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

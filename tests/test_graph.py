@@ -43,3 +43,35 @@ def test_triangles_duplicate_edges_collapse(ray_session):
     got = [(r["a"], r["b"], r["c"])
            for r in triangles(_edges_ds(ray_session, rows)).take_all()]
     assert got == [("a", "b", "c")]  # multi-pred parallel edges dedupe
+
+
+def test_bfs_levels_min_hop_and_exclusions(ray_session):
+    """BFS assigns the MINIMUM directed hop count from the seed-typed
+    nodes; rdf:type / literal edges never expand; the hop cap holds;
+    unreachable nodes are absent."""
+    from uckg_ray.stages.graph import bfs_levels
+    P = "http://x/rel"
+    T = "http://x/Seed"
+    rows = [
+        ("s1", ns.RDF_TYPE, T, False), ("s2", ns.RDF_TYPE, T, False),
+        # s1 -> a -> b -> c -> d (d is beyond the 3-hop cap)
+        ("s1", P, "a", False), ("a", P, "b", False),
+        ("b", P, "c", False), ("c", P, "d", False),
+        # s2 -> b gives b a SHORTER path (lvl 1, not 2)
+        ("s2", P, "b", False),
+        # back-edge into a seed: seed stays lvl 0
+        ("a", P, "s2", False),
+        # literal and rdf:type objects never become frontier nodes
+        ("s1", P, "lit", True), ("x", ns.RDF_TYPE, "y", False),
+        # unreachable component
+        ("u", P, "v", False),
+    ]
+    got = {r["node"]: r["lvl"]
+           for r in bfs_levels(_edges_ds(ray_session, rows), T,
+                               max_hops=3).take_all()}
+    assert got == {"s1": 0, "s2": 0, "a": 1, "b": 1, "c": 2, "d": 3}
+    # tighter cap prunes the tail
+    got2 = {r["node"]: r["lvl"]
+            for r in bfs_levels(_edges_ds(ray_session, rows), T,
+                                max_hops=1).take_all()}
+    assert got2 == {"s1": 0, "s2": 0, "a": 1, "b": 1}
