@@ -756,6 +756,33 @@ def _q_events_rollup(sf_dir: str):
     return rollup_counts(_table(sf_dir, "events"))
 
 
+def _q_normalize_text(sf_dir: str):
+    """Unicode normalization pass (lower → NFC → whitespace collapse →
+    trim). The synthetic documents are pure ASCII, so the query seeds
+    deterministic non-ASCII — a DECOMPOSED accent (E+U+0301), composed
+    diacritics, mixed case, tab/space runs — into a derived view
+    mirrored exactly by the SQL oracle; the check exercises real
+    composition and case mapping, not an ASCII no-op."""
+    from uckg_ray.stages.text import normalize_text
+
+    def seed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out = []
+        for i, t in zip(ids, b.column("text").to_pylist()):
+            s = t
+            if i % 5 == 0:
+                s += " CafE\u0301 NA\u00cfVE"  # E+combining acute; composed I-diaeresis
+            if i % 3 == 0:
+                s += "  Multi   SPACE\tand\ttabs "
+            out.append(s)
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    docs = _table(sf_dir, "documents").map_batches(
+        seed, batch_format="pyarrow")
+    return normalize_text(docs)
+
+
 def _q_scrub_pii(sf_dir: str):
     """PII redaction pass: emails / IPv4s / SSNs / phone numbers →
     typed tokens, per-type counts on the original text. The synthetic
@@ -999,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 5 (driver samples the head) --
         "embed_semdedup": _q_embed_semdedup,
         "kg_bfs_levels": _q_kg_bfs_levels,
+        "normalize_text": _q_normalize_text,
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
         "fp_overlap": _q_fp_overlap,
@@ -1434,6 +1462,29 @@ def _sql_kg_edges(p) -> str:
     return (f"WITH {_kg_ctes(p)} "
             f"SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype "
             f"FROM ({_edges_union(p)})")
+
+
+def _sql_normalize_text() -> str:
+    """normalize_text oracle: the same seeded derived view (decomposed
+    accent via chr(769), composed diacritics, tab/space runs), then
+    ``nfc_normalize(lower(x))`` — lower FIRST, matching the engine (both
+    engines' lowercase maps can emit decomposed sequences; NFC must run
+    last) — and the identical RE2 whitespace collapse/trim."""
+    return """
+WITH d AS (SELECT doc_id, text
+  || CASE WHEN doc_id % 5 = 0 THEN ' CafE' || chr(769) || ' NAÏVE'
+     ELSE '' END
+  || CASE WHEN doc_id % 3 = 0
+     THEN '  Multi   SPACE' || chr(9) || 'and' || chr(9) || 'tabs '
+     ELSE '' END AS text FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(nfc_normalize(lower(text)),
+                                     '\\s+', ' ', 'g'),
+                      '^ | $', '', 'g') AS norm_text,
+       CAST(length(regexp_replace(regexp_replace(
+              nfc_normalize(lower(text)), '\\s+', ' ', 'g'),
+              '^ | $', '', 'g')) AS BIGINT) AS n_chars
+FROM d"""
 
 
 def _sql_scrub_pii() -> str:
@@ -2374,6 +2425,7 @@ FROM events GROUP BY CUBE(event_type, user_id)""",
         # patterns + replacement ORDER from uckg_ray.stages.text
         # .PII_PATTERNS (explicit [0-9]: Rust \d is Unicode, RE2's isn't)
         "scrub_pii": _sql_scrub_pii(),
+        "normalize_text": _sql_normalize_text(),
         "chunk_documents": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id, toks, len(toks) AS n,

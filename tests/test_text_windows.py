@@ -474,3 +474,27 @@ def test_wav_sample_stats_rejects_non_8bit_mono(ray_session):
         WavSampleStats, fn_constructor_kwargs={"strict": False},
         batch_format="pyarrow", concurrency=1).take_all()[0]
     assert r["n_samples"] is None and r["sum_code"] is None
+
+
+def test_normalize_text_composition_and_whitespace(ray_session):
+    """lower → NFC → whitespace collapse → trim; decomposed accents
+    compose, codepoint counts follow the normalized form."""
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.text import normalize_text
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["  Hello\t WORLD  ",
+                 "CafÉ and café",   # decomposed + composed
+                 "NAÏVE",
+                 ""]}))
+    got = {r["doc_id"]: (r["norm_text"], r["n_chars"])
+           for r in normalize_text(docs).take_all()}
+    assert got[1] == ("hello world", 11)
+    # both spellings normalize to the SAME composed bytes
+    assert got[2] == ("café and café", 13)
+    assert got[2][0].count("é") == 2 and "́" not in got[2][0]
+    assert got[3] == ("naïve", 5)
+    assert got[4] == ("", 0)

@@ -703,3 +703,43 @@ def top_terms_per_group(docs: Dataset, *, k: int = 10,
     return (counts.map_batches(local_top, batch_format="pyarrow",
                                batch_size=None)
             .groupby(group_col).map_groups(merge, batch_format="pandas"))
+
+
+def normalize_text(docs: Dataset, text_col: str = "text",
+                   id_col: str = "doc_id") -> Dataset:
+    """Canonical text normalization — the first pass of an LM data
+    pipeline so downstream dedup/fingerprint operators see one spelling
+    per string: Unicode full lowercase → NFC composition → whitespace
+    runs collapsed to one space → leading/trailing space stripped.
+    Output: (doc_id, norm_text, n_chars — post-normalization codepoint
+    count).
+
+    All-Rust per batch (polars ``to_lowercase`` / ``str.normalize`` /
+    regex ``replace_all``), stateless and shuffle-free. Parity notes,
+    pinned by the DuckDB oracle (``nfc_normalize(lower(x))``): the
+    lower→NFC order matters (both engines' lowercase maps can emit
+    decomposed sequences); pyarrow 16's ``utf8_normalize`` does NOT
+    compose (e+U+0301 stays decomposed) — hence polars, not Arrow, for
+    the NFC step; Rust gives U+0130 (İ) the full mapping i+U+0307 while
+    DuckDB gives the simple mapping — Turkic dotted capitals are the
+    one documented divergence."""
+    import polars as pl
+
+    def norm(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        s = pl.from_arrow(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+        out = (pl.DataFrame({"t": s})
+               .select(pl.col("t").str.to_lowercase()
+                       .str.normalize("NFC")
+                       .str.replace_all(r"\s+", " ")
+                       .str.replace_all(r"^ | $", "")
+                       .alias("norm_text"))
+               .with_columns(pl.col("norm_text").str.len_chars()
+                             .cast(pl.Int64).alias("n_chars")))
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "norm_text": out["norm_text"].to_arrow().cast(pa.string()),
+            "n_chars": out["n_chars"].to_arrow()})
+
+    return docs.map_batches(norm, batch_format="pyarrow")
