@@ -203,6 +203,16 @@ def _q_kg_bfs_levels(sf_dir: str):
                       ns.UCOEX + "CAPEC", max_hops=3)
 
 
+def _q_kg_components(sf_dir: str):
+    """Weakness-family clustering: connected components of the
+    undirected ``relatedWeakness`` subgraph (min-IRI component labels)
+    via the distributed min-label CC kernel. Oracle: recursive-CTE
+    union-find, the kg_canonical pattern."""
+    from uckg_ray.stages.graph import predicate_components
+    return predicate_components(_distinct_edges_cached(sf_dir),
+                                UCO + "relatedWeakness")
+
+
 def _q_kg_equiv_entailed(sf_dir: str):
     """owl:equivalentClass entailment over the snapshot's named class
     equivalences (cap:Weakness ≡ uco#CWE, the Observable group, …):
@@ -1026,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 5 (driver samples the head) --
         "embed_semdedup": _q_embed_semdedup,
         "kg_bfs_levels": _q_kg_bfs_levels,
+        "kg_components": _q_kg_components,
         "normalize_text": _q_normalize_text,
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
@@ -1935,6 +1946,19 @@ r3 AS MATERIALIZED (
     FROM le JOIN r2 r ON r.node = le.subj JOIN deg d ON d.subj = le.subj
     GROUP BY le.obj) s USING (node))
 SELECT node, CAST(rank AS BIGINT) AS rank FROM r3""",
+        # recursive-CTE union-find (the kg_canonical pattern) over one
+        # predicate's symmetric closure; MIN collapses labels per node
+        "kg_components": f"""WITH RECURSIVE {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+und AS (SELECT DISTINCT subj AS u, obj AS v FROM edges
+        WHERE pred = '{UCO}relatedWeakness' AND subj <> obj),
+sym AS (SELECT u AS s, v AS d FROM und UNION ALL SELECT v, u FROM und),
+comp(node, label) AS (
+  SELECT DISTINCT s, s FROM sym
+  UNION
+  SELECT e.d, c.label FROM comp c JOIN sym e ON e.s = c.node)
+SELECT node, min(label) AS comp FROM comp GROUP BY node""",
         # recursive-CTE min-level BFS: UNION (not ALL) dedups
         # (node, lvl) pairs so the recursion terminates at the hop cap;
         # MIN collapses multi-path reachability to the hop distance

@@ -75,3 +75,22 @@ def test_bfs_levels_min_hop_and_exclusions(ray_session):
             for r in bfs_levels(_edges_ds(ray_session, rows), T,
                                 max_hops=1).take_all()}
     assert got2 == {"s1": 0, "s2": 0, "a": 1, "b": 1}
+
+
+def test_predicate_components(ray_session):
+    """CC restricted to ONE predicate: other predicates never merge
+    components; labels are the component-minimum node id; direction is
+    ignored; self-loops contribute nothing."""
+    from uckg_ray.stages.graph import predicate_components
+    P, Q = "http://x/rel", "http://x/other"
+    rows = [
+        ("b", P, "a", False), ("b", P, "c", False),   # {a,b,c} -> a
+        ("e", P, "d", False),                          # {d,e}   -> d
+        ("c", Q, "d", False),                          # Q must NOT merge
+        ("f", P, "f", False),                          # self-loop ignored
+        ("a", ns.RDF_TYPE, "T", False),
+    ]
+    got = {r["node"]: r["comp"]
+           for r in predicate_components(
+               _edges_ds(ray_session, rows), P).take_all()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}

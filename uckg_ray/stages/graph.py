@@ -587,3 +587,36 @@ def bfs_levels(edges: Dataset, seed_type_iri: str, *, max_hops: int = 3,
         visited = visited.union(new).materialize()
         frontier = new
     return visited
+
+
+def predicate_components(edges: Dataset, pred_iri: str, *,
+                         max_iters: int = 64,
+                         num_partitions: int = 16) -> Dataset:
+    """Connected components of ONE predicate's undirected subgraph —
+    ``(node, comp)`` with ``comp`` = the component's minimum node IRI.
+    The KG-curation use: cluster CWEs by ``relatedWeakness`` into
+    weakness families (the full relationship graph is one giant
+    component and carries no cluster signal; a single predicate's
+    subgraph does).
+
+    Reuses the distributed min-label CC kernel (explicit hash-partition
+    rounds, vectorized per-partition min-merges, fingerprint early
+    exit — ``canonicalize.connected_components``); ``max_iters`` bounds
+    label flooding at the subgraph diameter. Isolated nodes (no edge
+    with this predicate) are absent by definition."""
+    from uckg_ray.stages.canonicalize import connected_components
+
+    def filt(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b.column("pred"), pred_iri),
+                       pc.not_equal(b.column("subj"), b.column("obj")))
+        t = b.filter(keep)
+        return pa.table({"u": t.column("subj"), "v": t.column("obj")})
+
+    pairs = edges.map_batches(filt, batch_format="pyarrow",
+                              batch_size=None)
+    cc = connected_components(pairs, "u", "v", max_iters=max_iters,
+                              num_partitions=num_partitions)
+    return cc.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "comp": b.column("label")}),
+        batch_format="pyarrow")
