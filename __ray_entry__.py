@@ -766,6 +766,26 @@ def _q_events_rollup(sf_dir: str):
     return rollup_counts(_table(sf_dir, "events"))
 
 
+def _q_dedup_delta(sf_dir: str):
+    """Incremental-ingest dedup: the 'new batch' is a derived re-crawl
+    view of the documents table (even ids: case/punctuation-mangled
+    copies — normalized-fingerprint-invariant, so they are KNOWN; odd
+    ids: a novel token appended, so they are NEW), checked against the
+    full corpus. The SQL oracle mirrors the seed exactly."""
+    from uckg_ray.stages.dedup import corpus_delta_dedup
+
+    def seed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out = [f"{t.upper()}!!!  " if i % 2 == 0 else f"{t} novel{i}"
+               for i, t in zip(ids, b.column("text").to_pylist())]
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    new_batch = _table(sf_dir, "documents").map_batches(
+        seed, batch_format="pyarrow")
+    return corpus_delta_dedup(new_batch, _table(sf_dir, "documents"))
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode normalization pass (lower → NFC → whitespace collapse →
     trim). The synthetic documents are pure ASCII, so the query seeds
@@ -1038,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_levels": _q_kg_bfs_levels,
         "kg_components": _q_kg_components,
         "normalize_text": _q_normalize_text,
+        "dedup_delta": _q_dedup_delta,
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
         "fp_overlap": _q_fp_overlap,
@@ -2450,6 +2471,17 @@ FROM events GROUP BY CUBE(event_type, user_id)""",
         # .PII_PATTERNS (explicit [0-9]: Rust \d is Unicode, RE2's isn't)
         "scrub_pii": _sql_scrub_pii(),
         "normalize_text": _sql_normalize_text(),
+        "dedup_delta": (
+            """WITH nd AS (SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN upper(text) || '!!!  '
+       ELSE text || ' novel' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents),
+nf AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint FROM nd),
+cp AS (SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint FROM documents)
+SELECT nf.doc_id, nf.fingerprint,
+       CAST(CASE WHEN cp.fingerprint IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_known
+FROM nf LEFT JOIN cp USING (fingerprint)"""),
         "chunk_documents": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id, toks, len(toks) AS n,

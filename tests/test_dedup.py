@@ -218,3 +218,25 @@ def test_neardup_canonical_docs(ray_session):
     got = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in rows}
     assert got == {0: (0, False), 1: (0, True), 2: (0, True),
                    3: (3, False), 4: (3, True), 5: (5, False)}
+
+
+def test_corpus_delta_dedup(ray_session):
+    """New-batch docs are known iff their NORMALIZED fingerprint exists
+    in the corpus (case/punct/whitespace-invariant); novel text is new;
+    corpus duplicates don't double-mark."""
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.dedup import corpus_delta_dedup
+
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["hello world", "hello world", "rare document"]}))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": ["  HELLO,   world!! ",     # normalizes to corpus text
+                 "rare DOCUMENT",           # case-invariant match
+                 "genuinely novel text"]}))
+    got = {r["doc_id"]: r["is_known"]
+           for r in corpus_delta_dedup(new, corpus).take_all()}
+    assert got == {10: 1, 11: 1, 12: 0}
