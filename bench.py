@@ -161,7 +161,9 @@ def run_bench() -> dict:
                  "ngram_contamination", "multimodal_decode", "fp_overlap",
                  "events_funnel", "kg_pagerank", "kg_func_violations",
                  "kg_equiv_entailed", "audio_features",
-                 "kg_restriction_types"):
+                 "kg_restriction_types", "embed_semdedup",
+                 "kg_bfs_levels", "normalize_text", "kg_components",
+                 "dedup_delta"):
         timed(name, q[name])
     ray.shutdown()
 
