@@ -707,6 +707,14 @@ def _q_events_running(sf_dir: str):
     return running_aggregates(_table(sf_dir, "events"))
 
 
+def _q_events_trimmed(sf_dir: str):
+    """Outlier-trimmed per-type sum: quantile_disc [p10, p90] window
+    bounds and the integer-cent sum/count inside them — one histogram
+    scan distributed-side, a two-pass join in the oracle."""
+    from uckg_ray.stages.relational import grouped_trimmed_sum
+    return grouped_trimmed_sum(_table(sf_dir, "events"))
+
+
 def _q_events_quantiles(sf_dir: str):
     """Exact per-type value quantiles via the distributed histogram."""
     from uckg_ray.stages.relational import grouped_quantiles
@@ -1059,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "normalize_text": _q_normalize_text,
         "dedup_delta": _q_dedup_delta,
+        "events_trimmed": _q_events_trimmed,
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
         "fp_overlap": _q_fp_overlap,
@@ -2372,6 +2381,19 @@ SELECT event_id, user_id,
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         # quantile_disc picks index max(0, ceil(q*n)-1) of the sorted
         # multiset — the engine's histogram selection mirrors it exactly
+        "events_trimmed": """
+WITH e AS (SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+b AS (SELECT event_type, count(*) AS n_total,
+        CAST(quantile_disc(c, 0.1) AS BIGINT) AS lo_c100,
+        CAST(quantile_disc(c, 0.9) AS BIGINT) AS hi_c100
+      FROM e GROUP BY event_type)
+SELECT b.event_type, b.n_total, b.lo_c100, b.hi_c100,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(e.c) AS BIGINT) AS sum_kept_c100
+FROM b JOIN e ON e.event_type = b.event_type
+             AND e.c BETWEEN b.lo_c100 AND b.hi_c100
+GROUP BY 1, 2, 3, 4""",
         "events_quantiles": """
 WITH e AS (SELECT event_type,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)

@@ -571,3 +571,40 @@ def test_kg_extraction_from_jsonl_source(ray_session, tmp_path):
     want = edge_set(ray.data.read_parquet(src))
     got = edge_set(read_transcripts(jl_paths))
     assert got == want and len(want) > 100
+
+
+def test_grouped_trimmed_sum_duckdb_parity(ray_session):
+    """Trimmed-window aggregate == the two-pass quantile_disc-bounded
+    SQL on tie-heavy data; single-value groups keep everything."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from uckg_ray.stages.relational import grouped_trimmed_sum
+    df = _random_events(n=4000, seed=31)
+    df["value"] = (df["value"] % 5).round(2)
+    df = pd.concat([df, pd.DataFrame(
+        {"event_type": ["solo"], "user_id": [1], "value": [7.25],
+         "ts": [df["ts"].iloc[0]]})], ignore_index=True)
+    out = {r["event_type"]: r for r in grouped_trimmed_sum(
+        ray.data.from_pandas(df)).take_all()}
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute("""
+        WITH e AS (SELECT event_type,
+                   CAST(floor(value*100+0.5) AS BIGINT) AS c FROM events),
+        b AS (SELECT event_type, count(*) AS n_total,
+                quantile_disc(c, 0.1) AS lo, quantile_disc(c, 0.9) AS hi
+              FROM e GROUP BY event_type)
+        SELECT b.event_type, b.n_total, b.lo, b.hi,
+               count(*), CAST(sum(e.c) AS BIGINT)
+        FROM b JOIN e ON e.event_type = b.event_type
+                     AND e.c BETWEEN b.lo AND b.hi
+        GROUP BY 1, 2, 3, 4""").fetchall()
+    assert len(out) == len(ref)
+    for et, n_total, lo, hi, n_kept, s in ref:
+        r = out[et]
+        assert (r["n_total"], r["lo_c100"], r["hi_c100"],
+                r["n_kept"], r["sum_kept_c100"]) == (n_total, lo, hi,
+                                                     n_kept, s)
+    assert out["solo"]["n_kept"] == 1 and \
+        out["solo"]["sum_kept_c100"] == 725

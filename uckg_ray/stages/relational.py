@@ -168,6 +168,51 @@ def grouped_quantiles(events: Dataset, *, group_col: str = "event_type",
             .groupby(group_col).map_groups(pick, batch_format="pandas"))
 
 
+def grouped_trimmed_sum(events: Dataset, *, group_col: str = "event_type",
+                        value_col: str = "value",
+                        q_lo: float = 0.1, q_hi: float = 0.9) -> Dataset:
+    """Robust (winsor-window) aggregate: per group, the quantile_disc
+    bounds [p(q_lo), p(q_hi)] and the count + integer-cent sum of the
+    values inside them — the outlier-trimmed statistic a curation
+    pipeline reports instead of a skew-dominated mean. Output:
+    (group, n_total, lo_c100, hi_c100, n_kept, sum_kept_c100).
+
+    Scale shape: identical to ``grouped_quantiles`` — the shared
+    ``_cent_histogram`` combiner bounds shuffle volume by value
+    cardinality × #groups; bounds AND the trimmed sum both come from
+    one scan of the per-group sorted histogram (the raw events are
+    never re-read, unlike the SQL oracle's two-pass join)."""
+    import pandas as pd
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 **{nm: pd.Series([], dtype="int64")
+                                    for nm in ("n_total", "lo_c100",
+                                               "hi_c100", "n_kept",
+                                               "sum_kept_c100")}})
+        g = g.sort_values("c", ignore_index=True)
+        cnt = g["n"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        total = int(cum[-1])
+        vals = g["c"].to_numpy(np.int64)
+        bounds = []
+        for q in (q_lo, q_hi):
+            idx = max(0, math.ceil(q * total) - 1)
+            bounds.append(int(vals[np.searchsorted(cum, idx,
+                                                   side="right")]))
+        lo, hi = bounds
+        keep = (vals >= lo) & (vals <= hi)
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]], "n_total": [total],
+            "lo_c100": [lo], "hi_c100": [hi],
+            "n_kept": [int(cnt[keep].sum())],
+            "sum_kept_c100": [int((vals[keep] * cnt[keep]).sum())]})
+
+    return (_cent_histogram(events, group_col, value_col)
+            .groupby(group_col).map_groups(pick, batch_format="pandas"))
+
+
 def distinct_count_per_key(events: Dataset, *, key_col: str = "user_id",
                            value_col: str = "event_type") -> Dataset:
     """(key, n_events, n_distinct) — exact COUNT(*) + COUNT(DISTINCT v)
