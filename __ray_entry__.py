@@ -404,6 +404,21 @@ def _q_kg_turn_stats(sf_dir: str):
     return m.groupby(["conv_id", "ent_type"]).aggregate(Count(alias_name="n"))
 
 
+def _q_sft_pairs(sf_dir: str):
+    """Instruction-tuning pair extraction: user turn + immediately
+    following assistant turn per conversation, with whitespace token
+    counts. One conv_id co-partition; in-partition Rust equi-join."""
+    import ray
+    import ray.data
+    from uckg_ray.stages.text import sft_pairs
+    n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    turns = ray.data.read_parquet(
+        _tdir(sf_dir), columns=["conv_id", "turn_idx", "role", "text"],
+        override_num_blocks=n_cpus)
+    return sft_pairs(turns)
+
+
 def _q_transcript_turns(sf_dir: str):
     def h(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -1068,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "dedup_delta": _q_dedup_delta,
         "events_trimmed": _q_events_trimmed,
+        "sft_pairs": _q_sft_pairs,
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
         "fp_overlap": _q_fp_overlap,
@@ -2062,6 +2078,14 @@ JOIN read_parquet('{p['AN']}') n ON n.ID = r.target_id AND n.kind = r.target_typ
 WHERE r.source_id IS NOT NULL""",
         "kg_turn_stats": (f"SELECT conv_id, ent_type, count(*) AS n FROM "
                           f"({_mentions_cte(p)}) GROUP BY conv_id, ent_type"),
+        "sft_pairs": f"""
+SELECT u.conv_id, u.turn_idx, u.text AS prompt, a.text AS response,
+       CAST(len(string_split(u.text, ' ')) AS BIGINT) AS prompt_tokens,
+       CAST(len(string_split(a.text, ' ')) AS BIGINT) AS response_tokens
+FROM read_parquet('{p['T']}') u
+JOIN read_parquet('{p['T']}') a
+  ON a.conv_id = u.conv_id AND a.turn_idx = u.turn_idx + 1
+WHERE u.role = 'user' AND a.role = 'assistant'""",
         "transcript_turns": (f"SELECT conv_id, turn_idx, md5(text) AS text_md5 "
                              f"FROM read_parquet('{p['T']}')"),
         "dedup_exact": ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "

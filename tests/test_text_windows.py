@@ -498,3 +498,35 @@ def test_normalize_text_composition_and_whitespace(ray_session):
     assert got[2][0].count("é") == 2 and "́" not in got[2][0]
     assert got[3] == ("naïve", 5)
     assert got[4] == ("", 0)
+
+
+def test_sft_pairs_adjacent_user_assistant_only(ray_session):
+    """Pairs form ONLY for user→assistant at consecutive turn_idx in
+    the SAME conversation; token counts follow the literal-space rule
+    (empty string = 1 token)."""
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.text import sft_pairs
+
+    rows = [
+        # c1: u0→a1 pairs; a1→u2 doesn't; u2→t3(tool) doesn't; u4→a5 pairs
+        ("c1", 0, "user", "hi there"), ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "user", "run it"), ("c1", 3, "tool", "ok"),
+        ("c1", 4, "user", ""), ("c1", 5, "assistant", "a b  c"),
+        # c2: adjacency must not cross conversations (c1 idx4 ↛ c2 idx5)
+        ("c2", 5, "assistant", "orphan"),
+        ("c2", 7, "user", "q"), ("c2", 8, "assistant", "r"),
+    ]
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows]}))
+    got = {(r["conv_id"], r["turn_idx"]):
+           (r["prompt"], r["response"], r["prompt_tokens"],
+            r["response_tokens"]) for r in sft_pairs(turns).take_all()}
+    assert got == {
+        ("c1", 0): ("hi there", "hello", 2, 1),
+        ("c1", 4): ("", "a b  c", 1, 4),
+        ("c2", 7): ("q", "r", 1, 1)}

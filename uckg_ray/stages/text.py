@@ -743,3 +743,70 @@ def normalize_text(docs: Dataset, text_col: str = "text",
             "n_chars": out["n_chars"].to_arrow()})
 
     return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def sft_pairs(turns: Dataset, *, num_partitions: int | None = None
+              ) -> Dataset:
+    """SFT training-pair extraction from conversation transcripts:
+    every user turn immediately followed (``turn_idx + 1``, same
+    conversation) by an assistant turn becomes one (prompt, response)
+    pair with whitespace token counts for both sides — the
+    instruction-tuning dataset builder over raw agent logs. Output:
+    (conv_id, turn_idx, prompt, response, prompt_tokens,
+    response_tokens).
+
+    Scale shape: pairs never cross conversations, so ONE hash-partition
+    exchange on conv_id co-locates each conversation and the pairing is
+    a vectorized in-partition polars equi-join on (conv_id,
+    turn_idx + 1); token counts are the all-Rust literal-space rule
+    shared with ``token_counts_by``. Conversations are bounded (turns
+    per conv, not corpus-sized), so no intra-key salting is needed."""
+    import polars as pl
+
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    _OUT = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("prompt", pa.string()), ("response", pa.string()),
+        ("prompt_tokens", pa.int64()), ("response_tokens", pa.int64())])
+
+    if num_partitions is None:
+        import ray
+        num_partitions = max(16, int(ray.cluster_resources()
+                                     .get("CPU", 16))
+                             if ray.is_initialized() else 16)
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select(["conv_id", "turn_idx", "role", "text"])
+        return _add_hash_partition(t, num_partitions, "conv_id")
+
+    def pair(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        df = pl.from_arrow(part.select(
+            ["conv_id", "turn_idx", "role", "text"]))
+        ntok = (pl.col("text").str.count_matches(" ", literal=True) + 1) \
+            .cast(pl.Int64)
+        u = (df.filter(pl.col("role") == "user")
+             .select("conv_id", "turn_idx",
+                     prompt="text", prompt_tokens=ntok))
+        a = (df.filter(pl.col("role") == "assistant")
+             .select("conv_id",
+                     (pl.col("turn_idx") - 1).alias("turn_idx"),
+                     response="text", response_tokens=ntok))
+        j = u.join(a, on=["conv_id", "turn_idx"], how="inner")
+        return pa.table({
+            "conv_id": j["conv_id"].to_arrow().cast(pa.string()),
+            "turn_idx": j["turn_idx"].to_arrow().cast(pa.int32()),
+            "prompt": j["prompt"].to_arrow().cast(pa.string()),
+            "response": j["response"].to_arrow().cast(pa.string()),
+            "prompt_tokens": j["prompt_tokens"].to_arrow()
+                              .cast(pa.int64()),
+            "response_tokens": j["response_tokens"].to_arrow()
+                                .cast(pa.int64())})
+
+    return (turns.map_batches(tag, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: pair(t.drop_columns(["p"])),
+                batch_format="pyarrow"))
