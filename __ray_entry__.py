@@ -730,6 +730,13 @@ def _q_events_trimmed(sf_dir: str):
     return grouped_trimmed_sum(_table(sf_dir, "events"))
 
 
+def _q_events_pct_rank(sf_dir: str):
+    """Per-row group-relative rank (score calibration): n_lt / n_group
+    integers per event vs its type's value distribution."""
+    from uckg_ray.stages.relational import grouped_percentile_rank
+    return grouped_percentile_rank(_table(sf_dir, "events"))
+
+
 def _q_events_quantiles(sf_dir: str):
     """Exact per-type value quantiles via the distributed histogram."""
     from uckg_ray.stages.relational import grouped_quantiles
@@ -1084,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_delta": _q_dedup_delta,
         "events_trimmed": _q_events_trimmed,
         "sft_pairs": _q_sft_pairs,
+        "events_pct_rank": _q_events_pct_rank,
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
         "fp_overlap": _q_fp_overlap,
@@ -2405,6 +2413,14 @@ SELECT event_id, user_id,
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         # quantile_disc picks index max(0, ceil(q*n)-1) of the sorted
         # multiset — the engine's histogram selection mirrors it exactly
+        "events_pct_rank": """
+WITH e AS (SELECT event_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c100 FROM events)
+SELECT event_id, event_type, c100,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY c100) - 1
+            AS BIGINT) AS n_lt,
+       CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_group
+FROM e""",
         "events_trimmed": """
 WITH e AS (SELECT event_type,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),

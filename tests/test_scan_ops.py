@@ -608,3 +608,29 @@ def test_grouped_trimmed_sum_duckdb_parity(ray_session):
                                                      n_kept, s)
     assert out["solo"]["n_kept"] == 1 and \
         out["solo"]["sum_kept_c100"] == 725
+
+
+def test_grouped_percentile_rank_matches_window(ray_session):
+    """n_lt == rank()-1 (ties share the strictly-smaller count) and
+    n_group == the partition size, checked against DuckDB windows on
+    tie-heavy data."""
+    import duckdb
+    import ray.data
+    from uckg_ray.stages.relational import grouped_percentile_rank
+    df = _random_events(n=3000, seed=41)
+    df["value"] = (df["value"] % 2).round(1)   # heavy ties
+    out = {r["event_id"]: (r["event_type"], r["c100"], r["n_lt"],
+                           r["n_group"])
+           for r in grouped_percentile_rank(
+               ray.data.from_pandas(df)).take_all()}
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.execute("""
+        WITH e AS (SELECT event_id, event_type,
+                   CAST(floor(value*100+0.5) AS BIGINT) AS c FROM events)
+        SELECT event_id, event_type, c,
+               rank() OVER (PARTITION BY event_type ORDER BY c) - 1,
+               count(*) OVER (PARTITION BY event_type) FROM e""").fetchall()
+    assert len(out) == len(ref)
+    for eid, et, c, n_lt, n_group in ref:
+        assert out[eid] == (et, c, n_lt, n_group)

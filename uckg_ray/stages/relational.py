@@ -674,3 +674,107 @@ def q5_local_supplier_volume(lineitem: Dataset, orders: Dataset,
     return (j.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("n_name")
             .aggregate(Sum("revenue_c100", alias_name="revenue_c100")))
+
+
+def grouped_percentile_rank(events: Dataset, *,
+                            group_col: str = "event_type",
+                            value_col: str = "value",
+                            id_col: str = "event_id",
+                            num_partitions: int | None = None) -> Dataset:
+    """Per-row group-relative rank — the score-calibration transform
+    (normalize a quality score against its source's distribution before
+    cross-source filtering). For every row: ``n_lt`` = count of
+    same-group rows with a strictly smaller integer-cent value
+    (≡ ``rank() OVER (PARTITION BY g ORDER BY c) - 1``) and ``n_group``
+    = the group size; the consumer forms n_lt/n_group at any precision.
+    Output: (id, group, c100, n_lt, n_group) — all-integer, hash-exact.
+
+    Scale shape: the group distribution reduces to the shared
+    ``_cent_histogram`` (shuffle bounded by value cardinality × #groups,
+    never row count); a per-group prefix scan turns it into a
+    (group, cent → n_lt, n_group) lookup; then ONE group-hash
+    co-partition joins rows to their lookup slice in-partition. The raw
+    rows shuffle once; nothing is driver-side or O(rows) broadcast."""
+    import pandas as pd
+    import polars as pl
+
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    if num_partitions is None:
+        import ray
+        num_partitions = max(16, int(ray.cluster_resources()
+                                     .get("CPU", 16))
+                             if ray.is_initialized() else 16)
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64"),
+                                 "n_lt": pd.Series([], dtype="int64"),
+                                 "n_group": pd.Series([], dtype="int64")})
+        g = g.sort_values("c", ignore_index=True)
+        n = g["n"].to_numpy(np.int64)
+        cum = n.cumsum()
+        return pd.DataFrame({group_col: g[group_col],
+                             "c": g["c"].to_numpy(np.int64),
+                             "n_lt": cum - n,
+                             "n_group": int(cum[-1])})
+
+    lut = (_cent_histogram(events, group_col, value_col)
+           .groupby(group_col).map_groups(prefix, batch_format="pandas"))
+
+    _OUT = pa.schema([(id_col, pa.int64()), (group_col, pa.string()),
+                      ("c100", pa.int64()), ("n_lt", pa.int64()),
+                      ("n_group", pa.int64())])
+    _K = pa.schema([(group_col, pa.string()), ("c", pa.int64()),
+                    ("side", pa.int8()), (id_col, pa.int64()),
+                    ("n_lt", pa.int64()), ("n_group", pa.int64())])
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        _no_nulls(b, group_col, "percentile_rank")
+        t = pa.table({
+            group_col: b.column(group_col).cast(pa.string()),
+            "c": pa.array(_cents(b.column(value_col)), pa.int64()),
+            "side": pa.array(np.zeros(b.num_rows, np.int8)),
+            id_col: b.column(id_col).cast(pa.int64()),
+            "n_lt": pa.nulls(b.num_rows, pa.int64()),
+            "n_group": pa.nulls(b.num_rows, pa.int64())})
+        return _add_hash_partition(t, num_partitions, group_col)
+
+    def tag_lut(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or group_col not in b.column_names:
+            return _add_hash_partition(_K.empty_table(), num_partitions,
+                                       group_col)
+        t = pa.table({
+            group_col: b.column(group_col).cast(pa.string()),
+            "c": b.column("c").cast(pa.int64()),
+            "side": pa.array(np.ones(b.num_rows, np.int8)),
+            id_col: pa.nulls(b.num_rows, pa.int64()),
+            "n_lt": b.column("n_lt").cast(pa.int64()),
+            "n_group": b.column("n_group").cast(pa.int64())})
+        return _add_hash_partition(t, num_partitions, group_col)
+
+    def attach(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        df = pl.from_arrow(part.select(
+            [group_col, "c", "side", id_col, "n_lt", "n_group"]))
+        rows = (df.filter(pl.col("side") == 0)
+                .select(group_col, "c", id_col))
+        lu = (df.filter(pl.col("side") == 1)
+              .select(group_col, "c", "n_lt", "n_group"))
+        # every row's (group, cent) exists in the lut by construction
+        j = rows.join(lu, on=[group_col, "c"], how="inner")
+        return pa.table({
+            id_col: j[id_col].to_arrow().cast(pa.int64()),
+            group_col: j[group_col].to_arrow().cast(pa.string()),
+            "c100": j["c"].to_arrow().cast(pa.int64()),
+            "n_lt": j["n_lt"].to_arrow().cast(pa.int64()),
+            "n_group": j["n_group"].to_arrow().cast(pa.int64())})
+
+    tagged = (events.map_batches(tag_rows, batch_format="pyarrow",
+                                 batch_size=None)
+              .union(lut.map_batches(tag_lut, batch_format="pyarrow",
+                                     batch_size=None)))
+    return tagged.groupby("p").map_groups(
+        lambda t: attach(t.drop_columns(["p"])), batch_format="pyarrow")
