@@ -404,6 +404,14 @@ def _q_kg_turn_stats(sf_dir: str):
     return m.groupby(["conv_id", "ent_type"]).aggregate(Count(alias_name="n"))
 
 
+def _q_conv_stats(sf_dir: str):
+    """Per-conversation profile (turn/role/token counts + duration):
+    block-local Rust partials, one Sum/Min/Max groupby — text never
+    shuffles."""
+    from uckg_ray.stages.text import conversation_stats
+    return conversation_stats(_rd_turns(sf_dir))
+
+
 def _q_sft_pairs(sf_dir: str):
     """Instruction-tuning pair extraction: user turn + immediately
     following assistant turn per conversation, with whitespace token
@@ -1092,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trimmed": _q_events_trimmed,
         "sft_pairs": _q_sft_pairs,
         "events_pct_rank": _q_events_pct_rank,
+        "conv_stats": _q_conv_stats,
         "doc_repetition": _q_doc_repetition,
         "zipf_histogram": _q_zipf_histogram,
         "fp_overlap": _q_fp_overlap,
@@ -2086,6 +2095,17 @@ JOIN read_parquet('{p['AN']}') n ON n.ID = r.target_id AND n.kind = r.target_typ
 WHERE r.source_id IS NOT NULL""",
         "kg_turn_stats": (f"SELECT conv_id, ent_type, count(*) AS n FROM "
                           f"({_mentions_cte(p)}) GROUP BY conv_id, ent_type"),
+        "conv_stats": f"""
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       date_diff('us', min(ts), max(ts)) AS duration_us
+FROM read_parquet('{p['T']}') GROUP BY conv_id""",
         "sft_pairs": f"""
 SELECT u.conv_id, u.turn_idx, u.text AS prompt, a.text AS response,
        CAST(len(string_split(u.text, ' ')) AS BIGINT) AS prompt_tokens,

@@ -163,7 +163,8 @@ def run_bench() -> dict:
                  "kg_equiv_entailed", "audio_features",
                  "kg_restriction_types", "embed_semdedup",
                  "kg_bfs_levels", "normalize_text", "kg_components",
-                 "dedup_delta", "events_trimmed", "sft_pairs", "events_pct_rank"):
+                 "dedup_delta", "events_trimmed", "sft_pairs", "events_pct_rank",
+                 "conv_stats"):
         timed(name, q[name])
     ray.shutdown()
 

@@ -530,3 +530,34 @@ def test_sft_pairs_adjacent_user_assistant_only(ray_session):
         ("c1", 0): ("hi there", "hello", 2, 1),
         ("c1", 4): ("", "a b  c", 1, 4),
         ("c2", 7): ("q", "r", 1, 1)}
+
+
+def test_conversation_stats(ray_session):
+    """Role counts, literal-space token totals and microsecond duration
+    per conversation; single-turn conv has duration 0."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.text import conversation_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    us = datetime.timedelta(microseconds=1)
+    rows = [
+        ("c1", "user", "a b", t0),
+        ("c1", "assistant", "x", t0 + 1500 * us),
+        ("c1", "tool", "", t0 + 700 * us),
+        ("c2", "system", "lone turn here", t0)]
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": [r[0] for r in rows],
+        "role": [r[1] for r in rows],
+        "text": [r[2] for r in rows],
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us"))}))
+    got = {r["conv_id"]: r for r in conversation_stats(turns).take_all()}
+    c1 = got["c1"]
+    assert (c1["n_turns"], c1["n_user"], c1["n_assistant"], c1["n_tool"],
+            c1["n_tokens"], c1["duration_us"]) == (3, 1, 1, 1, 4, 1500)
+    c2 = got["c2"]
+    assert (c2["n_turns"], c2["n_user"], c2["n_tokens"],
+            c2["duration_us"]) == (1, 0, 3, 0)

@@ -6,6 +6,7 @@ the DuckDB oracle can match value-hashes exactly (no float formatting).
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Sum
@@ -810,3 +811,74 @@ def sft_pairs(turns: Dataset, *, num_partitions: int | None = None
             .groupby("p").map_groups(
                 lambda t: pair(t.drop_columns(["p"])),
                 batch_format="pyarrow"))
+
+
+def conversation_stats(turns: Dataset) -> Dataset:
+    """Per-conversation profile over the transcript table — the
+    conversation-level quality/length accounting an agent-log curation
+    pipeline filters on before pair extraction: turn counts (total and
+    per role), whitespace token total, and wall-clock duration in
+    microseconds (last ts − first ts). Output: (conv_id, n_turns,
+    n_user, n_assistant, n_tool, n_tokens, duration_us).
+
+    Scale shape: one all-Rust block-local partial per batch (group_by
+    conv_id inside the block), then a single Sum/Min/Max groupby whose
+    shuffle moves one row per (conv_id × block) — never the text."""
+    import polars as pl
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["conv_id", "role", "text", "ts"]))
+        out = (df.group_by("conv_id")
+               .agg(pl.len().cast(pl.Int64).alias("n_turns"),
+                    (pl.col("role") == "user").sum().cast(pl.Int64)
+                    .alias("n_user"),
+                    (pl.col("role") == "assistant").sum().cast(pl.Int64)
+                    .alias("n_assistant"),
+                    (pl.col("role") == "tool").sum().cast(pl.Int64)
+                    .alias("n_tool"),
+                    (pl.col("text").str.count_matches(" ", literal=True)
+                     + 1).cast(pl.Int64).sum().alias("n_tokens"),
+                    pl.col("ts").min().alias("ts_min"),
+                    pl.col("ts").max().alias("ts_max")))
+        t = out.to_arrow()
+        return pa.table({
+            "conv_id": t.column("conv_id").cast(pa.string()),
+            "n_turns": t.column("n_turns"),
+            "n_user": t.column("n_user"),
+            "n_assistant": t.column("n_assistant"),
+            "n_tool": t.column("n_tool"),
+            "n_tokens": t.column("n_tokens"),
+            "ts_min": t.column("ts_min").cast(pa.timestamp("us"))
+                       .cast(pa.int64()),
+            "ts_max": t.column("ts_max").cast(pa.timestamp("us"))
+                       .cast(pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "conv_id" not in b.column_names:
+            return pa.schema(
+                [("conv_id", pa.string())] +
+                [(c, pa.int64()) for c in
+                 ("n_turns", "n_user", "n_assistant", "n_tool",
+                  "n_tokens", "duration_us")]).empty_table()
+        dur = pc.subtract(b.column("ts_max"), b.column("ts_min"))
+        return pa.table({
+            "conv_id": b.column("conv_id").cast(pa.string()),
+            **{c: b.column(c).cast(pa.int64()) for c in
+               ("n_turns", "n_user", "n_assistant", "n_tool",
+                "n_tokens")},
+            "duration_us": dur.cast(pa.int64())})
+
+    return (turns.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("conv_id")
+            .aggregate(Sum("n_turns", alias_name="n_turns"),
+                       Sum("n_user", alias_name="n_user"),
+                       Sum("n_assistant", alias_name="n_assistant"),
+                       Sum("n_tool", alias_name="n_tool"),
+                       Sum("n_tokens", alias_name="n_tokens"),
+                       Min("ts_min", alias_name="ts_min"),
+                       Max("ts_max", alias_name="ts_max"))
+            .map_batches(finish, batch_format="pyarrow",
+                         batch_size=None))
