@@ -49,15 +49,18 @@ def _rd(path):
     return ray.data.read_parquet(path)
 
 
-def _rd_turns(sf_dir: str):
+def _rd_turns(sf_dir: str, columns: list[str] | None = None):
     """Transcript read with block-count control (~1 block per core):
     bigger blocks make the downstream dedup combiner collapse more and
-    cut per-task scheduling overhead."""
+    cut per-task scheduling overhead. Pass ``columns`` to prune the
+    read to what the query projects — pruning happens at the parquet
+    row groups, not after."""
     import ray
     import ray.data
     n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    return ray.data.read_parquet(_tdir(sf_dir), override_num_blocks=n_cpus)
+    return ray.data.read_parquet(_tdir(sf_dir), columns=columns,
+                                 override_num_blocks=n_cpus)
 
 
 def _table(sf_dir: str, name: str):
@@ -409,22 +412,17 @@ def _q_conv_stats(sf_dir: str):
     block-local Rust partials, one Sum/Min/Max groupby — text never
     shuffles."""
     from uckg_ray.stages.text import conversation_stats
-    return conversation_stats(_rd_turns(sf_dir))
+    return conversation_stats(
+        _rd_turns(sf_dir, columns=["conv_id", "role", "text", "ts"]))
 
 
 def _q_sft_pairs(sf_dir: str):
     """Instruction-tuning pair extraction: user turn + immediately
     following assistant turn per conversation, with whitespace token
     counts. One conv_id co-partition; in-partition Rust equi-join."""
-    import ray
-    import ray.data
     from uckg_ray.stages.text import sft_pairs
-    n_cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    turns = ray.data.read_parquet(
-        _tdir(sf_dir), columns=["conv_id", "turn_idx", "role", "text"],
-        override_num_blocks=n_cpus)
-    return sft_pairs(turns)
+    return sft_pairs(_rd_turns(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text"]))
 
 
 def _q_transcript_turns(sf_dir: str):
@@ -1543,7 +1541,9 @@ def _sql_normalize_text() -> str:
     accent via chr(769), composed diacritics, tab/space runs), then
     ``nfc_normalize(lower(x))`` — lower FIRST, matching the engine (both
     engines' lowercase maps can emit decomposed sequences; NFC must run
-    last) — and the identical RE2 whitespace collapse/trim."""
+    last) — and the identical EXPLICIT-ASCII whitespace class (never
+    ``\\s``: Rust-regex ``\\s`` is Unicode, RE2's is ASCII — they
+    diverge on NBSP/U+2009/U+3000)."""
     return """
 WITH d AS (SELECT doc_id, text
   || CASE WHEN doc_id % 5 = 0 THEN ' CafE' || chr(769) || ' NAÏVE'
@@ -1553,10 +1553,10 @@ WITH d AS (SELECT doc_id, text
      ELSE '' END AS text FROM documents)
 SELECT doc_id,
        regexp_replace(regexp_replace(nfc_normalize(lower(text)),
-                                     '\\s+', ' ', 'g'),
+                                     '[\t\n\x0B\f\r ]+', ' ', 'g'),
                       '^ | $', '', 'g') AS norm_text,
        CAST(length(regexp_replace(regexp_replace(
-              nfc_normalize(lower(text)), '\\s+', ' ', 'g'),
+              nfc_normalize(lower(text)), '[\t\n\x0B\f\r ]+', ' ', 'g'),
               '^ | $', '', 'g')) AS BIGINT) AS n_chars
 FROM d"""
 

@@ -164,3 +164,29 @@ def test_semantic_dedup_marks_in_cluster_neardups(ray_session):
         assert out[j][1] == want, j
     with pytest.raises(ray_session.exceptions.RayTaskError):
         semantic_dedup(ds, ivf, max_cluster_rows=2).take_all()
+
+
+def test_semantic_dedup_row_blocking_identity(ray_session, monkeypatch):
+    """Shrinking PAIR_BLOCK_ELEMS so every cluster spans many row
+    blocks must not change a single is_dup bit — the blocked Gram pass
+    is a pure memory-shape change."""
+    from uckg_ray.stages import similarity as sim
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 6)).astype(np.float32)
+    M = np.vstack([base, base[:5]]).astype(np.float32)  # 5 exact dups
+    ids = np.arange(len(M), dtype=np.int64)
+    ivf = sim.IntegerIVF(M.astype(np.float64), ids, n_centroids=2,
+                         n_iters=3)
+    ds = _emb_ds(ray_session, M, ids)
+    one_block = sorted(
+        (r["vec_id"], r["cid"], r["is_dup"])
+        for r in sim.semantic_dedup(ds, ivf, tau_num=95,
+                                    tau_den=100).take_all())
+    monkeypatch.setattr(sim, "PAIR_BLOCK_ELEMS", 64)  # ~2-row blocks
+    many_blocks = sorted(
+        (r["vec_id"], r["cid"], r["is_dup"])
+        for r in sim.semantic_dedup(ds, ivf, tau_num=95,
+                                    tau_den=100).take_all())
+    assert one_block == many_blocks
+    assert sum(d for _, _, d in one_block) >= 5

@@ -500,6 +500,34 @@ def test_normalize_text_composition_and_whitespace(ray_session):
     assert got[4] == ("", 0)
 
 
+def test_normalize_text_nbsp_parity_with_duckdb(ray_session):
+    """The whitespace class is EXPLICIT ASCII on both engines: Unicode
+    whitespace (NBSP, thin space, ideographic space) must survive
+    un-collapsed identically in the Ray path and the DuckDB kernel the
+    oracle uses — a Rust-regex \\s here would silently diverge."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.text import normalize_text
+
+    texts = ["A  B", "x y", "w　 \tz", "a   b"]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": texts}))
+    got = {r["doc_id"]: (r["norm_text"], r["n_chars"])
+           for r in normalize_text(docs).take_all()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want, = con.execute(
+            "SELECT regexp_replace(regexp_replace(nfc_normalize("
+            "lower(?)), '[\t\n\x0B\f\r ]+', ' ', 'g'),"
+            " '^ | $', '', 'g')", [t]).fetchone()
+        assert got[i] == (want, len(want)), (i, t)
+    assert " " in got[0][0] and " " in got[1][0]
+    assert "　" in got[2][0]
+
+
 def test_sft_pairs_adjacent_user_assistant_only(ray_session):
     """Pairs form ONLY for user→assistant at consecutive turn_idx in
     the SAME conversation; token counts follow the literal-space rule

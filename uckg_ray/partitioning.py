@@ -13,6 +13,18 @@ KNUTH = 2654435761            # Knuth multiplicative hash constant
 GOLDEN64 = 0x9E3779B97F4A7C15  # 64-bit golden-ratio constant
 
 
+def default_partitions() -> int:
+    """Default exchange width for the explicit co-partition operators:
+    one partition per cluster CPU, floored at 16 so small clusters (and
+    the un-initialized import path) still get enough partitions for
+    skew-spreading. Single definition — graph/text/relational stages
+    all size their exchanges through this, so a tuning change (cap,
+    multiplier) lands everywhere at once."""
+    import ray
+    return max(16, int(ray.cluster_resources().get("CPU", 16))
+               if ray.is_initialized() else 16)
+
+
 def key_bucket_partition_ids(u: np.ndarray, bk: np.ndarray,
                              n_parts: int) -> np.ndarray:
     """(key, time-bucket) → int32 partition id."""

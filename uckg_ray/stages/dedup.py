@@ -66,6 +66,11 @@ def exact_dedup(docs: Dataset, text_col: str = "text",
 
 
 def normalize_text(t: str) -> str:
+    """Fingerprint canonicalization: lowercase, STRIP everything
+    outside [a-z0-9 ], collapse/trim spaces. Deliberately lossier than
+    ``stages.text.normalize_text`` (the user-facing Unicode NFC
+    normalizer, which strips NOTHING) — the dedup_* / curation /
+    delta-dedup SQL oracles pin THIS exact form; do not unify them."""
     return _SPACE_RX.sub(" ", _NORM_RX.sub("", t.lower())).strip()
 
 
@@ -1195,9 +1200,10 @@ def corpus_delta_dedup(new_docs: Dataset, corpus: Dataset, *,
                        text_col: str = "text", id_col: str = "doc_id",
                        num_partitions: int = 32) -> Dataset:
     """Incremental-ingest dedup: mark each NEW document whose normalized
-    fingerprint (md5 of the ``normalize_text`` form — case / punctuation
-    / whitespace invariant) already exists anywhere in the EXISTING
-    corpus. Output ``(doc_id, fingerprint, is_known)`` over the new
+    fingerprint (md5 of the ``dedup.normalize_text`` form — case /
+    punctuation / whitespace invariant; NOT the NFC
+    ``stages.text.normalize_text``) already exists anywhere in the
+    EXISTING corpus. Output ``(doc_id, fingerprint, is_known)`` over the new
     batch — the daily-delta filter a 100 TB corpus runs before paying
     for near-dup analysis of re-crawled documents.
 

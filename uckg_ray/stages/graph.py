@@ -43,9 +43,8 @@ _TRI_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string()),
 
 
 def _default_partitions() -> int:
-    import ray
-    return max(16, int(ray.cluster_resources().get("CPU", 16))
-               if ray.is_initialized() else 16)
+    from uckg_ray.partitioning import default_partitions
+    return default_partitions()
 
 
 def _cc(col):

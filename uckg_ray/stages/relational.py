@@ -701,10 +701,8 @@ def grouped_percentile_rank(events: Dataset, *,
     from uckg_ray.stages.materialize import _add_hash_partition
 
     if num_partitions is None:
-        import ray
-        num_partitions = max(16, int(ray.cluster_resources()
-                                     .get("CPU", 16))
-                             if ray.is_initialized() else 16)
+        from uckg_ray.partitioning import default_partitions
+        num_partitions = default_partitions()
 
     def prefix(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:

@@ -488,6 +488,13 @@ def embedding_centroids(emb: Dataset, *, group_col: str = "label",
             .map_batches(pin, batch_format="pyarrow", batch_size=None))
 
 
+# Gram-entry budget per pairwise row-block in semantic_dedup: the two
+# transient block matrices are PAIR_BLOCK_ELEMS×8 bytes each (~33 MB),
+# independent of cluster size. Module-level so tests can shrink it to
+# force the multi-block path on small fixtures.
+PAIR_BLOCK_ELEMS = 1 << 22
+
+
 def semantic_dedup(emb: Dataset, ivf: "IntegerIVF", *, tau_num: int = 45,
                    tau_den: int = 100, id_col: str = "vec_id",
                    vec_col: str = "embedding",
@@ -511,8 +518,11 @@ def semantic_dedup(emb: Dataset, ivf: "IntegerIVF", *, tau_num: int = 45,
 
     Scale shape: one bucket-keyed exchange total; each cluster is one
     task (the SemDeDup cost model — ``n_centroids`` grows with the
-    corpus so clusters stay bounded, and a cluster above
-    ``max_cluster_rows`` aborts loudly rather than OOMing a worker)."""
+    corpus so clusters stay bounded). The pairwise pass is ROW-BLOCKED
+    (each block holds ~2²² Gram entries ≈ 33 MB int64 + 33 MB float64,
+    regardless of cluster size), so memory stays flat in ``n``;
+    ``max_cluster_rows`` bounds the single-task O(n²·dim) COMPUTE time
+    of a pathologically skewed cluster and aborts loudly past it."""
     tau_f = tau_num / tau_den
 
     def _empty() -> pa.Table:
@@ -534,22 +544,29 @@ def semantic_dedup(emb: Dataset, ivf: "IntegerIVF", *, tau_num: int = 45,
         ids = ids[order]
         M = _emb_matrix(t, vec_col)[order]
         Q = IntegerIVF.quantize(M)
-        G = Q @ Q.T          # exact: |entry| ≤ dim·10¹² ≪ 2⁶³
-        na = np.diag(G).astype(np.float64)
-        # float64 prefilter with a safety margin (cos from exact-integer
-        # dot/norms carries ~1e-16 relative error), then the exact
-        # integer predicate confirms each survivor
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cosf = G / np.sqrt(na[:, None] * na[None, :])
-        iu, ju = np.triu_indices(n, k=1)
-        cand = np.nonzero(cosf[iu, ju] >= tau_f - 1e-6)[0]
+        nn = (Q * Q).sum(axis=1)        # exact: ≤ dim·10¹² ≪ 2⁶³
+        naf = nn.astype(np.float64)
         dup = np.zeros(n, dtype=bool)
         t2n, t2d = tau_num * tau_num, tau_den * tau_den
-        for c in cand:
-            i, j = int(iu[c]), int(ju[c])
-            d = int(G[i, j])
-            if d > 0 and t2d * d * d >= t2n * int(G[i, i]) * int(G[j, j]):
-                dup[j] = True           # ids ascend ⇒ j is the larger id
+        # row-blocked Gram: each block is ~2²² entries, so memory is
+        # O(block·n) however big the cluster; float64 prefilter with a
+        # safety margin (cos from exact-integer dot/norms carries
+        # ~1e-16 relative error), then the exact integer predicate
+        # confirms each survivor
+        blk = max(1, PAIR_BLOCK_ELEMS // max(n, 1))
+        for a in range(0, n, blk):
+            b = min(a + blk, n)
+            Gb = Q[a:b] @ Q.T           # exact: |entry| ≤ dim·10¹²
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cosf = Gb / np.sqrt(naf[a:b, None] * naf[None, :])
+            # only j > global row index (ids ascend ⇒ j is larger id)
+            cosf[:, :b] [np.tril_indices(b - a, k=a, m=b)] = -np.inf
+            bi, bj = np.nonzero(cosf >= tau_f - 1e-6)
+            for i, j in zip(bi.tolist(), bj.tolist()):
+                gi = a + i
+                d = int(Gb[i, j])
+                if d > 0 and t2d * d * d >= t2n * int(nn[gi]) * int(nn[j]):
+                    dup[j] = True
         cid = t.column("bucket").to_numpy(zero_copy_only=False)[order]
         return pa.table({"vec_id": pa.array(ids, pa.int64()),
                          "cid": pa.array(cid, pa.int64()),

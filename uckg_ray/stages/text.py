@@ -733,7 +733,11 @@ def normalize_text(docs: Dataset, text_col: str = "text",
         out = (pl.DataFrame({"t": s})
                .select(pl.col("t").str.to_lowercase()
                        .str.normalize("NFC")
-                       .str.replace_all(r"\s+", " ")
+                       # explicit ASCII class, NOT \s: Rust-regex \s is
+                       # Unicode (NBSP, U+2009, …) while RE2's is ASCII
+                       # — same trap scrub_pii avoids with [0-9]; the
+                       # oracle uses this identical class
+                       .str.replace_all(r"[\t\n\x0B\f\r ]+", " ")
                        .str.replace_all(r"^ | $", "")
                        .alias("norm_text"))
                .with_columns(pl.col("norm_text").str.len_chars()
@@ -772,10 +776,8 @@ def sft_pairs(turns: Dataset, *, num_partitions: int | None = None
         ("prompt_tokens", pa.int64()), ("response_tokens", pa.int64())])
 
     if num_partitions is None:
-        import ray
-        num_partitions = max(16, int(ray.cluster_resources()
-                                     .get("CPU", 16))
-                             if ray.is_initialized() else 16)
+        from uckg_ray.partitioning import default_partitions
+        num_partitions = default_partitions()
 
     def tag(b: pa.Table) -> pa.Table:
         t = b.select(["conv_id", "turn_idx", "role", "text"])
