@@ -923,6 +923,21 @@ def _q_events_funnel(sf_dir: str):
     return event_funnel(_table(sf_dir, "events"))
 
 
+def _q_events_retention(sf_dir: str):
+    """Retention-cohort matrix: users cohorted by first-event day;
+    (cohort_day, day_offset) → distinct active users. Exact integer
+    epoch days; one user co-partition + one tiny Sum groupby."""
+    from uckg_ray.stages.windows import retention_cohorts
+    return retention_cohorts(_table(sf_dir, "events"))
+
+
+def _q_kg_clustering(sf_dir: str):
+    """Per-node local clustering components (tri_cnt, wedge_cnt) over
+    the undirected relationship graph, degree ≥ 2 nodes."""
+    from uckg_ray.stages.graph import clustering_counts
+    return clustering_counts(_distinct_edges_cached(sf_dir))
+
+
 def _q_fp_overlap(sf_dir: str):
     """Cross-source winnow-fingerprint overlap matrix: distinct shared
     fingerprints per source pair (corpus-mixing contamination audit)."""
@@ -1135,6 +1150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal_decode,
         # -- new in round 5 --
         "kg_owl_entailed": _q_kg_owl_entailed,
+        "events_retention": _q_events_retention,
+        "kg_clustering": _q_kg_clustering,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2065,6 +2082,28 @@ und AS (SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
 SELECT e1.u AS a, e1.v AS b, e2.v AS c
 FROM und e1 JOIN und e2 ON e2.u = e1.v
 JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""",
+        # same und graph as kg_triangles; per-node triangle count vs
+        # wedge capacity d*(d-1)/2, exact BIGINTs (`//` stays integral)
+        "kg_clustering": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+und AS (SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+        FROM edges WHERE NOT obj_is_literal
+          AND pred <> '{ns.RDF_TYPE}' AND subj <> obj),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1 JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+tn AS (SELECT node, count(*) AS tri_cnt FROM (
+         SELECT a AS node FROM tri UNION ALL
+         SELECT b FROM tri UNION ALL
+         SELECT c FROM tri) GROUP BY node),
+deg AS (SELECT node, count(*) AS d FROM (
+         SELECT u AS node FROM und UNION ALL
+         SELECT v FROM und) GROUP BY node)
+SELECT deg.node,
+       CAST(COALESCE(tn.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+       CAST(deg.d * (deg.d - 1) // 2 AS BIGINT) AS wedge_cnt
+FROM deg LEFT JOIN tn USING (node) WHERE deg.d >= 2""",
         "kg_cpe_link": f"""WITH {_kg_ctes(p)}
 SELECT c.conv_id, c.turn_idx, c.id AS cpeName, d.cpeNameId,
        d.lm AS lastModified,
@@ -2276,6 +2315,17 @@ UNION ALL SELECT CAST(2 AS BIGINT), 'click',
        CAST((SELECT count(*) FROM s2) AS BIGINT)
 UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
        CAST((SELECT count(*) FROM s3) AS BIGINT)""",
+        # integer epoch days both sides: engine ts_us // 86400e6 ==
+        # datediff from the epoch for positive timestamps
+        "events_retention": """
+WITH a AS (SELECT DISTINCT user_id,
+        datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+     FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2""",
         # same winnow CTE chain as doc_winnow, joined back to source;
         # fs is DISTINCT (source, fp) so count(*) counts shared fps
         "fp_overlap": """

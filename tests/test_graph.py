@@ -94,3 +94,26 @@ def test_predicate_components(ray_session):
            for r in predicate_components(
                _edges_ds(ray_session, rows), P).take_all()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_clustering_counts(ray_session):
+    """tri_cnt counts the triangles each node sits in; wedge_cnt is
+    d*(d-1)/2 of the undirected dedup'd degree; degree-1 nodes and
+    literal/type/self-loop edges are excluded."""
+    from uckg_ray.stages.graph import clustering_counts
+    P = "http://x/rel"
+    rows = [
+        # triangle a-b-c, plus pendant a-d (a has deg 3)
+        ("a", P, "b", False), ("b", P, "c", False), ("c", P, "a", False),
+        ("a", P, "d", False),
+        # parallel/reversed duplicate collapses in the und distinct
+        ("b", P, "a", False),
+        # excluded: dangling pair, literal, self-loop, type edges
+        ("e", P, "f", False), ("a", P, "lit", True),
+        ("g", P, "g", False), ("a", ns.RDF_TYPE, "T", False),
+    ]
+    got = {r["node"]: (r["tri_cnt"], r["wedge_cnt"])
+           for r in clustering_counts(_edges_ds(ray_session, rows),
+                                      num_partitions=3).take_all()}
+    # degrees: a=3 (b,c,d), b=2, c=2, d=1, e=1, f=1
+    assert got == {"a": (1, 3), "b": (1, 1), "c": (1, 1)}

@@ -634,3 +634,44 @@ def test_grouped_percentile_rank_matches_window(ray_session):
     assert len(out) == len(ref)
     for eid, et, c, n_lt, n_group in ref:
         assert out[eid] == (et, c, n_lt, n_group)
+
+
+def test_retention_cohorts_duckdb_parity(ray_session):
+    """Cohort = first-event epoch day; each (cohort, offset) counts
+    DISTINCT active users; multiple events on one day collapse; matches
+    the oracle's datediff arithmetic exactly."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.windows import retention_cohorts
+
+    D = 86_400_000_000  # us per day
+    rows = [  # (user, day, n events that day)
+        (1, 100, 3), (1, 101, 1), (1, 103, 2),
+        (2, 100, 1), (2, 102, 1),
+        (3, 101, 1),
+    ]
+    ts, users = [], []
+    for u, d, n in rows:
+        for i in range(n):
+            users.append(u)
+            ts.append(d * D + i * 1000)
+    t = pa.table({"user_id": pa.array(users, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_type": ["view"] * len(users)})
+    got = sorted((r["cohort_day"], r["day_offset"], r["n_users"])
+                 for r in retention_cohorts(
+                     ray.data.from_arrow(t), num_partitions=3).take_all())
+    assert got == [(100, 0, 2), (100, 1, 1), (100, 2, 1), (100, 3, 1),
+                   (101, 0, 1)]
+    con = duckdb.connect()
+    con.register("events", t)
+    want = sorted(map(tuple, con.execute("""
+WITH a AS (SELECT DISTINCT user_id,
+        datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+     FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+SELECT f.cohort_day, a.day - f.cohort_day, CAST(count(*) AS BIGINT)
+FROM a JOIN f USING (user_id) GROUP BY 1, 2""").fetchall()))
+    assert got == want

@@ -84,10 +84,15 @@ def undirected_pairs(edges: Dataset, num_partitions: int | None = None
                 batch_format="pyarrow"))
 
 
-def triangles(edges: Dataset, num_partitions: int | None = None) -> Dataset:
-    """All (a < b < c) triangles of the undirected relationship graph."""
+def triangles(edges: Dataset, num_partitions: int | None = None,
+              *, und: Dataset | None = None) -> Dataset:
+    """All (a < b < c) triangles of the undirected relationship graph.
+    Pass a pre-materialized ``und`` (from ``undirected_pairs`` with the
+    SAME num_partitions) to share the distinct-pair exchange with other
+    consumers (clustering_counts does)."""
     num_partitions = num_partitions or _default_partitions()
-    und = undirected_pairs(edges, num_partitions).materialize()
+    if und is None:
+        und = undirected_pairs(edges, num_partitions).materialize()
 
     def wedge_rows(batch: pa.Table) -> pa.Table:
         u = _cc(batch.column("u"))
@@ -619,3 +624,72 @@ def predicate_components(edges: Dataset, pred_iri: str, *,
         lambda b: pa.table({"node": b.column("node"),
                             "comp": b.column("label")}),
         batch_format="pyarrow")
+
+
+def clustering_counts(edges: Dataset,
+                      num_partitions: int | None = None) -> Dataset:
+    """Per-node triangle participation and wedge capacity over the
+    undirected relationship graph — the two integer components of the
+    local clustering coefficient ``tri_cnt / wedge_cnt`` (kept as exact
+    BIGINTs so the SQL oracle value-hashes match; the float ratio is a
+    trivial client-side divide). Output: (node, tri_cnt, wedge_cnt) for
+    every node of degree ≥ 2 (wedge_cnt = d·(d−1)/2, always an exact
+    integer).
+
+    Scale shape: ONE materialized distinct-pair set feeds both the
+    triangle enumeration and the degree count (no second distinct
+    exchange); each side collapses to per-block (node, count) partials
+    before a single node-keyed Sum groupby; the wedge arithmetic and
+    the degree filter are a stateless map after the shuffle."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    num_partitions = num_partitions or _default_partitions()
+    und = undirected_pairs(edges, num_partitions).materialize()
+    tris = triangles(edges, num_partitions, und=und)
+
+    _MID = pa.schema([("node", pa.string()), ("tri_cnt", pa.int64()),
+                      ("deg", pa.int64())])
+
+    def count_partial(names: list[str], as_tri: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _MID.empty_table()
+            nodes = pa.concat_arrays(
+                [_cc(batch.column(c)) for c in names])
+            t = (pl.DataFrame({"node": pl.from_arrow(nodes)})
+                 .group_by("node")
+                 .agg(pl.len().cast(pl.Int64).alias("n"))
+                 .to_arrow())
+            n = t.column("n").cast(pa.int64())
+            z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            return pa.table({"node": t.column("node").cast(pa.string()),
+                             "tri_cnt": n if as_tri else z,
+                             "deg": z if as_tri else n})
+        return f
+
+    _OUT = pa.schema([("node", pa.string()), ("tri_cnt", pa.int64()),
+                      ("wedge_cnt", pa.int64())])
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _OUT.empty_table()
+        d = b.column("deg").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = d >= 2
+        t = b.filter(pa.array(keep))
+        d = d[keep]
+        return pa.table({
+            "node": t.column("node").cast(pa.string()),
+            "tri_cnt": t.column("tri_cnt").cast(pa.int64()),
+            "wedge_cnt": pa.array(d * (d - 1) // 2, pa.int64())})
+
+    return (tris.map_batches(count_partial(["a", "b", "c"], True),
+                             batch_format="pyarrow", batch_size=None)
+            .union(und.map_batches(count_partial(["u", "v"], False),
+                                   batch_format="pyarrow",
+                                   batch_size=None))
+            .groupby("node")
+            .aggregate(Sum("tri_cnt", alias_name="tri_cnt"),
+                       Sum("deg", alias_name="deg"))
+            .map_batches(final, batch_format="pyarrow", batch_size=None))

@@ -536,3 +536,80 @@ def event_funnel(events: Dataset,
             .union(seed)
             .groupby(["step_idx", "step"])
             .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def retention_cohorts(events: Dataset, *,
+                      num_partitions: int | None = None) -> Dataset:
+    """Classic retention-cohort matrix over the event stream: users are
+    cohorted by the calendar day of their FIRST event; for every
+    (cohort_day, day_offset) pair the output counts how many cohort
+    members were active exactly ``day_offset`` days after their first
+    day. Days are exact integer epoch days (``ts_us // 86_400e6`` ==
+    DuckDB ``datediff('day', DATE '1970-01-01', CAST(ts AS DATE))`` for
+    the fixture's positive timestamps), so the SQL oracle value-hashes
+    match. Output: (cohort_day, day_offset, n_users).
+
+    Scale shape: blocks collapse to distinct (user, day) rows BEFORE
+    the exchange (the combiner — a user active 1000× one day ships one
+    row); ONE user-keyed hash co-partition lands each user's history
+    whole; per-partition polars derives first day + offsets and
+    collapses to per-(cohort, offset) PARTIAL counts — bounded by
+    active-days², never events — then a tiny Sum groupby merges
+    partitions. Mirrors the funnel's skew posture: a hot user costs
+    O(its distinct days) in one partition, no cross-partition traffic."""
+    import polars as pl
+
+    from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import key_partition_ids
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    US_PER_DAY = 86_400_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = b.column("user_id").to_numpy(zero_copy_only=False)
+        df = (pl.DataFrame({"user_id": users, "day": ts // US_PER_DAY})
+              .unique())                    # block-local distinct
+        u = df["user_id"].to_numpy()
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "day": pa.array(df["day"].to_numpy(), pa.int64()),
+            "p": pa.array(key_partition_ids(u, num_partitions),
+                          pa.int32())})
+
+    _OUT = pa.schema([("cohort_day", pa.int64()),
+                      ("day_offset", pa.int64()),
+                      ("n_users", pa.int64())])
+
+    def part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        df = pl.from_arrow(g.select(["user_id", "day"])).unique()
+        d0 = df.group_by("user_id").agg(pl.col("day").min().alias("d0"))
+        out = (df.join(d0, on="user_id")
+               .group_by([pl.col("d0").alias("cohort_day"),
+                          (pl.col("day") - pl.col("d0"))
+                          .alias("day_offset")])
+               .agg(pl.len().cast(pl.Int64).alias("n_users")))
+        t = out.to_arrow()
+        return pa.table({
+            "cohort_day": t.column("cohort_day").cast(pa.int64()),
+            "day_offset": t.column("day_offset").cast(pa.int64()),
+            "n_users": t.column("n_users").cast(pa.int64())})
+
+    def pin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _OUT.empty_table()
+        return pa.table({
+            "cohort_day": b.column("cohort_day").cast(pa.int64()),
+            "day_offset": b.column("day_offset").cast(pa.int64()),
+            "n_users": b.column("n_users").cast(pa.int64())})
+
+    return (events.select_columns(["user_id", "ts"])
+            .map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby("p").map_groups(part, batch_format="pyarrow")
+            .groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users"))
+            .map_batches(pin, batch_format="pyarrow", batch_size=None))
