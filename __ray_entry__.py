@@ -1096,6 +1096,15 @@ def _q_audio_features(sf_dir: str):
     return decode_wav_stats(attach_wav_payload(_table(sf_dir, "documents")))
 
 
+def _q_bm25_topk(sf_dir: str):
+    """Fixed-point integer BM25 top-10 per retrieval query (k1=1.2,
+    b=0.75 as exact rationals; see stages/text.py:bm25_topk). Two
+    passes: tiny corpus-stats reduce, then vectorized scoring with a
+    block-local top-k partial."""
+    from uckg_ray.stages.text import bm25_topk
+    return bm25_topk(_table(sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters for evidence: the driver's correctness gate
     # samples the FIRST 50 entries (r03/r04 both checked the identical
@@ -1152,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_owl_entailed": _q_kg_owl_entailed,
         "events_retention": _q_events_retention,
         "kg_clustering": _q_kg_clustering,
+        "bm25_topk": _q_bm25_topk,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -1946,6 +1956,11 @@ def oracle_sql() -> dict[str, str]:
         for c, others in sorted(equivalence_groups().items())
         for d in others)
     rdft = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    from uckg_ray.stages.text import BM25_QUERIES
+    bm25_qvals = ", ".join(f"('{q}', '{t}')"
+                           for q, ts in BM25_QUERIES for t in ts)
+    bm25_terms = ", ".join(f"'{t}'"
+                           for _, ts in BM25_QUERIES for t in ts)
     return {
         "kg_mentions": f"SELECT * FROM ({_mentions_cte(p)})",
         "kg_edges": _sql_kg_edges(p),
@@ -2415,6 +2430,32 @@ x AS (SELECT user_id, c,
 SELECT user_id, window_start_us, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(c) AS BIGINT) AS sum_value_c100
 FROM x GROUP BY user_id, window_start_us""",
+        # fixed-point integer BM25 (k1 = 12/10, b = 3/4 folded into the
+        # 22/10/3/9 constants; idf is the order-preserving rational
+        # surrogate ((N-df+1)*1e6)//(df+1)) — every division is integer
+        # floor on positive operands, so the engine score matches
+        # bit-for-bit. Top-10 per query, ties broken by doc_id.
+        "bm25_topk": f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, sum(dl) AS l FROM dl),
+qt(query_id, term) AS (VALUES {bm25_qvals}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({bm25_terms}) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( (((n - df + 1) * 1000000) // (df + 1))
+              * ((22*tf*10000) // (10*tf + 3 + ((9*dl.dl*n) // l)))
+              // 10000 ) AS score
+  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id)
+SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 10""",
         "text_tfidf": """
 WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
            FROM documents),

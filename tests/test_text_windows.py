@@ -589,3 +589,48 @@ def test_conversation_stats(ray_session):
     c2 = got["c2"]
     assert (c2["n_turns"], c2["n_user"], c2["n_tokens"],
             c2["duration_us"]) == (1, 0, 3, 0)
+
+
+def test_bm25_topk(ray_session):
+    """Fixed-point BM25: rarer term dominates (idf), repetition
+    saturates (tf part bounded by k1+1), rank ties break by doc_id —
+    verified against a pure-Python replica of the integer formula."""
+    import ray.data
+
+    from uckg_ray.stages.text import bm25_topk
+
+    docs = [
+        {"doc_id": 0, "text": "rare common common filler filler"},
+        {"doc_id": 1, "text": "common filler pad pad pad"},
+        {"doc_id": 2, "text": "rare rare rare rare pad"},
+        {"doc_id": 3, "text": "unrelated words only here"},
+    ]
+    qs = (("q0", ("rare", "common")),)
+    got = {r["doc_id"]: (r["score"], r["rank"])
+           for r in bm25_topk(ray.data.from_items(docs).repartition(3),
+                              queries=qs, k=3).take_all()}
+
+    # python replica of the documented integer formula
+    texts = {d["doc_id"]: d["text"].split(" ") for d in docs}
+    N = len(texts)
+    L = sum(len(t) for t in texts.values())
+    def df(t): return sum(t in toks for toks in texts.values())
+    def score(d, terms):
+        s = 0
+        for t in terms:
+            tf = texts[d].count(t)
+            if not tf:
+                continue
+            idf = ((N - df(t) + 1) * 1_000_000) // (df(t) + 1)
+            r = (9 * len(texts[d]) * N) // L
+            tfc = (22 * tf * 10_000) // (10 * tf + 3 + r)
+            s += (idf * tfc) // 10_000
+        return s
+    want = sorted(((score(d, qs[0][1]), d) for d in texts
+                   if score(d, qs[0][1]) > 0 or
+                   any(t in texts[d] for t in qs[0][1])),
+                  key=lambda x: (-x[0], x[1]))[:3]
+    assert got == {d: (s, i + 1) for i, (s, d) in enumerate(want)}
+    # tf saturates at k1+1: doc 0 (two distinct terms) outranks doc 2
+    # (one term repeated 4×), and doc 3 (no match) never appears
+    assert got[0][1] == 1 and 3 not in got

@@ -884,3 +884,157 @@ def conversation_stats(turns: Dataset) -> Dataset:
                        Max("ts_max", alias_name="ts_max"))
             .map_batches(finish, batch_format="pyarrow",
                          batch_size=None))
+
+
+# Retrieval queries for the shipped bm25_topk registry entry. Terms are
+# drawn from the synthetic documents vocabulary so every query matches
+# a meaningful slice of the corpus at any scale factor.
+BM25_QUERIES = (
+    ("q_core", ("sort", "merge", "join")),
+    ("q_stream", ("stream", "window", "batch")),
+    ("q_perf", ("slow", "fast")),
+)
+
+# Fixed-point BM25 constants: k1 = 1.2 and b = 0.75 folded into exact
+# integer ratios (22/10 = k1+1, see the derivation in bm25_topk), with
+# two scaling factors so every intermediate stays integer-exact and the
+# DuckDB oracle can reproduce the score bit-for-bit.
+_BM25_IDF_SCALE = 1_000_000
+_BM25_TF_SCALE = 10_000
+
+
+def bm25_topk(docs: Dataset, *, queries=BM25_QUERIES, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """BM25 top-k retrieval over the corpus — the ranking primitive a
+    training-data pipeline uses for decontamination lookups, hard-
+    negative mining and RAG index validation. Scoring is FIXED-POINT
+    integer BM25 (k1 = 1.2, b = 0.75) so the DuckDB oracle is exact:
+
+      idf_fp(t)  = ((N - df + 1) * 1_000_000) // (df + 1)
+                     (rational surrogate of ln((N-df+.5)/(df+.5)),
+                      order-preserving in df — ranking-equivalent)
+      tf part    = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+                 = 22*tf / (10*tf + 3 + 9*dl/avgdl)       [×10]
+        with R   = (9*dl*N) // L   (avgdl = L/N, floored once)
+      tfc_fp     = (22*tf*10_000) // (10*tf + 3 + R)
+      score      = Σ_t (idf_fp * tfc_fp) // 10_000
+
+    Two passes over the pruned (doc_id, text) read — the classic BM25
+    shape: pass 1 reduces per-block partials to the tiny global stats
+    (N docs, L total tokens, df per query term; |terms| rows, driver-
+    combined and closure-broadcast — never a corpus-scale collect);
+    pass 2 scores every matching doc vectorized in polars (split →
+    explode → is_in(term set) → group_by count, all Rust) and keeps a
+    block-local top-k partial, so the final groupby merge sees ≤ k rows
+    per query per block. Output: (query_id, doc_id, score, rank) with
+    ties broken by doc_id ascending.
+
+    Reference analogue: dictionary-gated mention scoring + ranked
+    lookup (`data_collection/cve_collection.py:384-420` is membership
+    + lookup; BM25 is the graded-retrieval generalization a transcript
+    corpus needs)."""
+    import polars as pl
+
+    terms = sorted({t for _, ts in queries for t in ts})
+    term_q = pl.DataFrame({
+        "tok": [t for _, ts in queries for t in ts],
+        "query_id": [q for q, ts in queries for _ in ts]})
+
+    pruned = docs.select_columns([id_col, text_col])
+
+    # -- pass 1: corpus stats (per-block partials → driver combine) --
+    def stats_batch(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        s = pl.from_arrow(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+        toks = pl.DataFrame({"tok": s}).with_columns(
+            pl.col("tok").str.split(" "))
+        n_part = len(s)
+        l_part = int(toks.select(pl.col("tok").list.len().sum()).item()
+                     or 0)
+        df_part = (toks.with_row_index("d").explode("tok")
+                   .filter(pl.col("tok").is_in(terms))
+                   .unique(["d", "tok"])
+                   .group_by("tok").len())
+        d = dict(zip(df_part["tok"].to_list(),
+                     df_part["len"].to_list()))
+        return pa.table({
+            "term": pa.array([""] + terms, pa.string()),
+            "df": pa.array([0] + [int(d.get(t, 0)) for t in terms],
+                           pa.int64()),
+            "n": pa.array([n_part] + [0] * len(terms), pa.int64()),
+            "l": pa.array([l_part] + [0] * len(terms), pa.int64())})
+
+    stats = pruned.map_batches(stats_batch, batch_format="pyarrow",
+                               batch_size=None).take_all()
+    n_docs = sum(r["n"] for r in stats)
+    total_len = max(1, sum(r["l"] for r in stats))
+    df_by_term = {t: 0 for t in terms}
+    for r in stats:
+        if r["term"]:
+            df_by_term[r["term"]] += r["df"]
+    idf_by_term = {t: ((n_docs - df) * _BM25_IDF_SCALE + _BM25_IDF_SCALE)
+                   // (df + 1)
+                   for t, df in df_by_term.items()}
+    term_idf = pl.DataFrame({
+        "tok": terms,
+        "idf": pl.Series([idf_by_term[t] for t in terms],
+                         dtype=pl.Int64)})
+
+    out_schema = pa.schema([("query_id", pa.string()),
+                            (id_col, pa.int64()),
+                            ("score", pa.int64())])
+
+    # -- pass 2: vectorized scoring + block-local top-k partial --
+    def score_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        col = batch.column(text_col)
+        s = pl.from_arrow(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+        ids = pl.from_arrow(batch.column(id_col).cast(pa.int64())
+                            .combine_chunks())
+        toks = pl.DataFrame({"doc_id": ids, "tok": s}).with_columns(
+            pl.col("tok").str.split(" "))
+        dl = toks.select("doc_id",
+                         pl.col("tok").list.len().cast(pl.Int64)
+                         .alias("dl"))
+        tf = (toks.explode("tok")
+              .filter(pl.col("tok").is_in(terms))
+              .group_by("doc_id", "tok").len().rename({"len": "tf"})
+              .with_columns(pl.col("tf").cast(pl.Int64)))
+        if tf.is_empty():
+            return out_schema.empty_table()
+        scored = (tf.join(dl, on="doc_id")
+                  .join(term_q, on="tok")
+                  .join(term_idf, on="tok")
+                  .with_columns(
+                      ((pl.lit(9, pl.Int64) * pl.col("dl") * n_docs)
+                       // total_len).alias("r"))
+                  .with_columns(
+                      ((pl.lit(22, pl.Int64) * pl.col("tf")
+                        * _BM25_TF_SCALE)
+                       // (10 * pl.col("tf") + 3 + pl.col("r")))
+                      .alias("tfc"))
+                  .with_columns(
+                      ((pl.col("idf") * pl.col("tfc")) // _BM25_TF_SCALE)
+                      .alias("tscore"))
+                  .group_by("query_id", "doc_id")
+                  .agg(pl.col("tscore").sum().alias("score"))
+                  .sort(["query_id", "score", "doc_id"],
+                        descending=[False, True, False])
+                  .group_by("query_id", maintain_order=True).head(k))
+        return pa.table({
+            "query_id": scored["query_id"].to_arrow().cast(pa.string()),
+            id_col: scored["doc_id"].to_arrow().cast(pa.int64()),
+            "score": scored["score"].to_arrow().cast(pa.int64())})
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        g = g.sort_values(["score", id_col],
+                          ascending=[False, True]).head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+
+    return (pruned.map_batches(score_batch, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("query_id").map_groups(merge, batch_format="pandas"))
