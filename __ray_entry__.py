@@ -1105,6 +1105,16 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_table(sf_dir, "documents"))
 
 
+def _q_token_shards(sf_dir: str):
+    """Concat-and-chunk sequence packing: global token offset per doc
+    (doc_id order) and the 1024-token training-sequence index it starts
+    in. bucket_size=512 exercises the two-level distributed prefix scan
+    (multi-bucket stitch) at every scale factor."""
+    from uckg_ray.stages.text import pack_token_shards
+    return pack_token_shards(_table(sf_dir, "documents"),
+                             capacity=1024, bucket_size=512)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters for evidence: the driver's correctness gate
     # samples the FIRST 50 entries (r03/r04 both checked the identical
@@ -1162,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "kg_clustering": _q_kg_clustering,
         "bm25_topk": _q_bm25_topk,
+        "token_shards": _q_token_shards,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2456,6 +2467,18 @@ SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY score DESC, doc_id) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= 10""",
+        # concat-and-chunk packing: exclusive running token total in
+        # doc_id order, cut every 1024 tokens (capacity in _q_token_shards)
+        "token_shards": """
+WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents),
+x AS (SELECT doc_id, n_tokens,
+        COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM dl)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(off AS BIGINT) AS token_offset,
+       CAST(off // 1024 AS BIGINT) AS shard_id FROM x""",
         "text_tfidf": """
 WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
            FROM documents),

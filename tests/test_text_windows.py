@@ -634,3 +634,21 @@ def test_bm25_topk(ray_session):
     # tf saturates at k1+1: doc 0 (two distinct terms) outranks doc 2
     # (one term repeated 4×), and doc 3 (no match) never appears
     assert got[0][1] == 1 and 3 not in got
+
+
+def test_pack_token_shards(ray_session):
+    """Concat-and-chunk packing: exclusive prefix offsets in doc_id
+    order survive multi-bucket stitching and shard cuts mid-document."""
+    import ray.data
+
+    from uckg_ray.stages.text import pack_token_shards
+
+    docs = [{"doc_id": i, "text": " ".join(["w"] * n)}
+            for i, n in [(0, 3), (1, 4), (2, 5), (7, 2), (9, 6)]]
+    rows = {r["doc_id"]: (r["n_tokens"], r["token_offset"], r["shard_id"])
+            for r in pack_token_shards(
+                ray.data.from_items(docs).repartition(4),
+                capacity=8, bucket_size=2).take_all()}
+    # offsets: 0,3,7,12,14 — shards of 8 tokens: 0,0,0,1,1
+    assert rows == {0: (3, 0, 0), 1: (4, 3, 0), 2: (5, 7, 0),
+                    7: (2, 12, 1), 9: (6, 14, 1)}

@@ -1038,3 +1038,103 @@ def bm25_topk(docs: Dataset, *, queries=BM25_QUERIES, k: int = 10,
     return (pruned.map_batches(score_batch, batch_format="pyarrow",
                                batch_size=None)
             .groupby("query_id").map_groups(merge, batch_format="pandas"))
+
+
+def pack_token_shards(docs: Dataset, *, capacity: int = 1024,
+                      bucket_size: int = 1 << 20,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> Dataset:
+    """Concat-and-chunk sequence packing — the LM-pretraining step that
+    concatenates the corpus token stream in doc_id order and cuts it
+    into fixed-``capacity`` training sequences. Each document gets its
+    global token offset and the shard (training-sequence index) where
+    it starts:
+
+      token_offset(d) = Σ n_tokens(d') for d' < d   (exclusive prefix)
+      shard_id(d)     = token_offset // capacity
+      offset_in_shard = token_offset %  capacity
+
+    Distributed prefix scan in two passes over the pruned read — the
+    same shape as ``windows.running_aggregates`` but with ONE global
+    key: docs bucket by ``doc_id // bucket_size``; pass 1 reduces each
+    bucket to a single token total (#docs/bucket_size summary rows —
+    with the 1M default, a 10^12-doc corpus stitches 10^6 rows on the
+    driver, the two-level-scan tradeoff documented here); the driver's
+    exclusive cumsum over sorted buckets gives every bucket its base
+    offset; pass 2 re-tokenizes, co-locates each bucket with ONE hash
+    shuffle, and a segmented in-bucket scan adds the broadcast base.
+    No corpus-scale collect, no global sort. Output:
+    (doc_id, n_tokens, token_offset, shard_id)."""
+    import numpy as np
+    import polars as pl
+
+    from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import key_partition_ids
+
+    n_parts = default_num_partitions()
+    pruned = docs.select_columns([id_col, text_col])
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        s = pl.from_arrow(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+        nt = (pl.DataFrame({"t": s})
+              .select(pl.col("t").str.split(" ").list.len()
+                      .cast(pl.Int64).alias("n"))["n"].to_numpy())
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bk = np.floor_divide(ids, bucket_size)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "bucket": pa.array(bk, pa.int64()),
+            "p": pa.array(key_partition_ids(bk, n_parts), pa.int32())})
+
+    # pass 1: per-bucket token totals (tiny: one row per bucket)
+    from ray.data.aggregate import Sum
+    totals = (pruned.map_batches(tokenize, batch_format="pyarrow",
+                                 batch_size=None)
+              .groupby("bucket").aggregate(Sum("n_tokens",
+                                               alias_name="tot"))
+              .take_all())
+    base_by_bucket: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["bucket"]):
+        base_by_bucket[r["bucket"]] = acc
+        acc += r["tot"]
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("n_tokens", pa.int64()),
+        ("token_offset", pa.int64()), ("shard_id", pa.int64())])
+
+    # pass 2: in-bucket segmented exclusive scan + broadcast base
+    def scan(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        import pandas as pd
+        g = part.to_pandas().sort_values(["bucket", id_col],
+                                         ignore_index=True)
+        nt = g["n_tokens"].to_numpy(np.int64)
+        bk = g["bucket"].to_numpy(np.int64)
+        n = len(g)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = bk[1:] != bk[:-1]
+        cs = np.cumsum(nt)
+        excl = cs - nt  # inclusive → exclusive
+        seg_start_excl = excl[brk]  # running total at each bucket start
+        seg = np.cumsum(brk) - 1
+        local = excl - seg_start_excl[seg]
+        base = np.fromiter((base_by_bucket[b] for b in bk[brk]),
+                           np.int64, count=int(brk.sum()))
+        off = local + base[seg]
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "token_offset": pa.array(off, pa.int64()),
+            "shard_id": pa.array(off // capacity, pa.int64())})
+
+    return (pruned.map_batches(tokenize, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: scan(t.drop_columns(["p"])),
+                batch_format="pyarrow"))
