@@ -1115,6 +1115,14 @@ def _q_token_shards(sf_dir: str):
                              capacity=1024, bucket_size=512)
 
 
+def _q_turn_transitions(sf_dir: str):
+    """Role→next-role transition matrix over transcripts (conversation
+    Markov-structure audit); one conv_id co-partition, per-partition
+    ≤|roles|² partials, tiny final Sum."""
+    from uckg_ray.stages.text import turn_transitions
+    return turn_transitions(_rd_turns(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters for evidence: the driver's correctness gate
     # samples the FIRST 50 entries (r03/r04 both checked the identical
@@ -1173,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": _q_kg_clustering,
         "bm25_topk": _q_bm25_topk,
         "token_shards": _q_token_shards,
+        "turn_transitions": _q_turn_transitions,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2181,6 +2190,13 @@ JOIN read_parquet('{p['T']}') a
 WHERE u.role = 'user' AND a.role = 'assistant'""",
         "transcript_turns": (f"SELECT conv_id, turn_idx, md5(text) AS text_md5 "
                              f"FROM read_parquet('{p['T']}')"),
+        "turn_transitions": f"""
+SELECT a.role AS role, b.role AS next_role,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM read_parquet('{p['T']}') a
+JOIN read_parquet('{p['T']}') b
+  ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+GROUP BY a.role, b.role""",
         "dedup_exact": ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
                         "FROM documents GROUP BY md5(text)"),
         "dedup_fingerprint": (

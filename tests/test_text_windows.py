@@ -652,3 +652,26 @@ def test_pack_token_shards(ray_session):
     # offsets: 0,3,7,12,14 — shards of 8 tokens: 0,0,0,1,1
     assert rows == {0: (3, 0, 0), 1: (4, 3, 0), 2: (5, 7, 0),
                     7: (2, 12, 1), 9: (6, 14, 1)}
+
+
+def test_turn_transitions(ray_session):
+    """Adjacent-turn role pairs counted within conversations only."""
+    import ray.data
+
+    from uckg_ray.stages.text import turn_transitions
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant"},
+        {"conv_id": "c1", "turn_idx": 2, "role": "user"},
+        {"conv_id": "c1", "turn_idx": 3, "role": "assistant"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user"},
+        {"conv_id": "c2", "turn_idx": 1, "role": "tool"},
+        # gap in c2: turn 3 has no predecessor at idx 2
+        {"conv_id": "c2", "turn_idx": 3, "role": "assistant"},
+    ]
+    got = {(r["role"], r["next_role"]): r["n_transitions"]
+           for r in turn_transitions(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {("user", "assistant"): 2, ("assistant", "user"): 1,
+                   ("user", "tool"): 1}

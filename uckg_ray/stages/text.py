@@ -1138,3 +1138,57 @@ def pack_token_shards(docs: Dataset, *, capacity: int = 1024,
             .groupby("p").map_groups(
                 lambda t: scan(t.drop_columns(["p"])),
                 batch_format="pyarrow"))
+
+
+def turn_transitions(turns: Dataset, *, num_partitions: int | None = None
+                     ) -> Dataset:
+    """Role-transition matrix over conversation transcripts: how often
+    each role is followed by each other role at the next turn
+    (``turn_idx + 1``, same conversation) — the Markov-structure audit
+    for agent-log corpora (e.g. how often a tool call is answered by
+    the assistant vs. retried). Output: (role, next_role,
+    n_transitions).
+
+    Scale shape: same as ``sft_pairs`` — transitions never cross
+    conversations, so ONE hash-partition exchange on conv_id co-locates
+    each conversation; the adjacency is a vectorized in-partition
+    polars equi-join on (conv_id, turn_idx + 1) and the matrix is
+    pre-reduced per partition (≤ |roles|² rows) before a tiny final Sum
+    groupby. Text never leaves the scan."""
+    import polars as pl
+
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    _OUT = pa.schema([("role", pa.string()), ("next_role", pa.string()),
+                      ("n", pa.int64())])
+
+    if num_partitions is None:
+        from uckg_ray.partitioning import default_partitions
+        num_partitions = default_partitions()
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select(["conv_id", "turn_idx", "role"])
+        return _add_hash_partition(t, num_partitions, "conv_id")
+
+    def count_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        df = pl.from_arrow(part.select(["conv_id", "turn_idx", "role"]))
+        nxt = df.select(
+            "conv_id", (pl.col("turn_idx") - 1).alias("turn_idx"),
+            pl.col("role").alias("next_role"))
+        j = (df.join(nxt, on=["conv_id", "turn_idx"], how="inner")
+             .group_by("role", "next_role").len()
+             .with_columns(pl.col("len").cast(pl.Int64)))
+        return pa.table({
+            "role": j["role"].to_arrow().cast(pa.string()),
+            "next_role": j["next_role"].to_arrow().cast(pa.string()),
+            "n": j["len"].to_arrow()})
+
+    return (turns.map_batches(tag, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: count_part(t.drop_columns(["p"])),
+                batch_format="pyarrow")
+            .groupby(["role", "next_role"])
+            .aggregate(Sum("n", alias_name="n_transitions")))
