@@ -1123,6 +1123,14 @@ def _q_turn_transitions(sf_dir: str):
     return turn_transitions(_rd_turns(sf_dir))
 
 
+def _q_events_mad(sf_dir: str):
+    """Per-event-type exact median + median absolute deviation in
+    integer cents — both picked from ONE cent-histogram shuffle (the
+    deviation histogram is a fold of the value histogram around m)."""
+    from uckg_ray.stages.relational import grouped_mad
+    return grouped_mad(_table(sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters for evidence: the driver's correctness gate
     # samples the FIRST 50 entries (r03/r04 both checked the identical
@@ -1182,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "token_shards": _q_token_shards,
         "turn_transitions": _q_turn_transitions,
+        "events_mad": _q_events_mad,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2592,6 +2601,14 @@ SELECT event_type, count(*) AS n,
        CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_c100,
        CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_c100
 FROM e GROUP BY event_type""",
+        "events_mad": """
+WITH e AS (SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+med AS (SELECT event_type, CAST(quantile_disc(c, 0.5) AS BIGINT) AS m
+        FROM e GROUP BY event_type)
+SELECT e.event_type, count(*) AS n, CAST(min(m) AS BIGINT) AS median_c100,
+       CAST(quantile_disc(abs(c - m), 0.5) AS BIGINT) AS mad_c100
+FROM e JOIN med USING (event_type) GROUP BY e.event_type""",
         "user_event_stats": """
 SELECT user_id, count(*) AS n_events,
        CAST(count(DISTINCT event_type) AS BIGINT) AS n_types

@@ -675,3 +675,38 @@ f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
 SELECT f.cohort_day, a.day - f.cohort_day, CAST(count(*) AS BIGINT)
 FROM a JOIN f USING (user_id) GROUP BY 1, 2""").fetchall()))
     assert got == want
+
+
+def test_grouped_mad_duckdb_parity(ray_session):
+    """grouped_mad's histogram fold == DuckDB's two-pass
+    quantile_disc(abs(c - m), 0.5), including even-count groups and
+    deviation-count collisions (values symmetric around the median)."""
+    import duckdb
+    import ray.data
+
+    from uckg_ray.stages.relational import grouped_mad
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], size=400),
+        "value": np.round(rng.normal(10, 3, size=400), 2)})
+    # symmetric collision group: devs {0,1,1,2,2} fold to shared keys
+    df = pd.concat([df, pd.DataFrame({
+        "event_type": ["s"] * 5,
+        "value": [1.00, 2.00, 3.00, 4.00, 5.00]})], ignore_index=True)
+    got = {r["event_type"]: (r["n"], r["median_c100"], r["mad_c100"])
+           for r in grouped_mad(
+               ray.data.from_pandas(df).repartition(6)).take_all()}
+    con = duckdb.connect()
+    con.register("events", df)
+    want = {t: (n, m, d) for t, n, m, d in con.execute("""
+        WITH e AS (SELECT event_type,
+                   CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events),
+        med AS (SELECT event_type, quantile_disc(c, 0.5) AS m
+                FROM e GROUP BY event_type)
+        SELECT e.event_type, count(*), min(m),
+               quantile_disc(abs(c - m), 0.5)
+        FROM e JOIN med USING (event_type) GROUP BY e.event_type
+        """).fetchall()}
+    assert got == want
+    assert got["s"] == (5, 300, 100)

@@ -168,6 +168,53 @@ def grouped_quantiles(events: Dataset, *, group_col: str = "event_type",
             .groupby(group_col).map_groups(pick, batch_format="pandas"))
 
 
+def grouped_mad(events: Dataset, *, group_col: str = "event_type",
+                value_col: str = "value") -> Dataset:
+    """Robust per-group scale: exact discrete median and median
+    absolute deviation in integer cents. Output: (group, n,
+    median_c100, mad_c100), both picks DuckDB ``quantile_disc(·, 0.5)``
+    semantics (element at max(0, ceil(n/2) - 1) of the sorted
+    multiset).
+
+    Scale shape: BOTH statistics come from ONE pass over the shared
+    ``_cent_histogram`` — the median from the cumulative scan, and the
+    deviation median from folding the same histogram around it
+    (|c - m| with counts re-summed), so the raw events are read once
+    and never re-shuffled; the SQL oracle needs a two-pass join to say
+    the same thing. Shuffle volume stays bounded by value cardinality ×
+    #groups, independent of row count."""
+    import pandas as pd
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 **{nm: pd.Series([], dtype="int64")
+                                    for nm in ("n", "median_c100",
+                                               "mad_c100")}})
+        g = g.sort_values("c", ignore_index=True)
+        cnt = g["n"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        total = int(cum[-1])
+        vals = g["c"].to_numpy(np.int64)
+        idx = max(0, math.ceil(0.5 * total) - 1)
+        m = int(vals[np.searchsorted(cum, idx, side="right")])
+        # fold the histogram around m: |c - m| keyed counts re-summed
+        dev = np.abs(vals - m)
+        order = np.argsort(dev, kind="stable")
+        dv, dc = dev[order], cnt[order]
+        brk = np.ones(len(dv), dtype=bool)
+        brk[1:] = dv[1:] != dv[:-1]
+        dvals = dv[brk]
+        dcum = dc.cumsum()[np.concatenate([brk[1:], [True]])]
+        mad = int(dvals[np.searchsorted(dcum, idx, side="right")])
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "n": [total], "median_c100": [m],
+                             "mad_c100": [mad]})
+
+    return (_cent_histogram(events, group_col, value_col)
+            .groupby(group_col).map_groups(pick, batch_format="pandas"))
+
+
 def grouped_trimmed_sum(events: Dataset, *, group_col: str = "event_type",
                         value_col: str = "value",
                         q_lo: float = 0.1, q_hi: float = 0.9) -> Dataset:
