@@ -1131,6 +1131,14 @@ def _q_events_mad(sf_dir: str):
     return grouped_mad(_table(sf_dir, "events"))
 
 
+def _q_doc_surprisal(sf_dir: str):
+    """Fixed-point corpus-bigram surprisal per document (perplexity
+    proxy, no model): Σ over bigram occurrences of (TB*1000)//count.
+    Bigram vocab co-partitioned by hash, never broadcast."""
+    from uckg_ray.stages.text import doc_surprisal
+    return doc_surprisal(_table(sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters for evidence: the driver's correctness gate
     # samples the FIRST 50 entries (r03/r04 both checked the identical
@@ -1191,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "turn_transitions": _q_turn_transitions,
         "events_mad": _q_events_mad,
+        "doc_surprisal": _q_doc_surprisal,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2430,6 +2439,18 @@ SELECT user_id, date_trunc('hour', ts) AS window_start,
          AS sum_value_c100
 FROM events GROUP BY user_id, date_trunc('hour', ts)""",
         "model_scores": _sql_model_scores(),
+        # fixed-point bigram surprisal: every bigram occurrence adds
+        # (TB*1000)//c — integer floor both sides, docs <2 tokens drop
+        "doc_surprisal": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+              i -> toks[CAST(i AS INT) + 1] || ' ' ||
+                   toks[CAST(i AS INT) + 2])) AS bg FROM t),
+cnt AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+tot AS (SELECT count(*) AS tb FROM big)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((tb * 1000) // c) AS BIGINT) AS surprisal_fp
+FROM big JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id""",
         "ngram_counts": """
 WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
 g AS (SELECT unnest(list_transform(range(len(toks) - 1),

@@ -675,3 +675,24 @@ def test_turn_transitions(ray_session):
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {("user", "assistant"): 2, ("assistant", "user"): 1,
                    ("user", "tool"): 1}
+
+
+def test_doc_surprisal(ray_session):
+    """Rare bigrams score higher than common ones; per-occurrence
+    contributions floor exactly like the SQL oracle."""
+    import ray.data
+
+    from uckg_ray.stages.text import doc_surprisal
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "a b a b"},      # bigrams: "a b"×2, "b a"
+        {"doc_id": 1, "text": "a b c"},        # "a b", "b c"
+        {"doc_id": 2, "text": "solo"},         # no bigrams → no row
+    ]).repartition(3)
+    got = {r["doc_id"]: (r["n_bigrams"], r["surprisal_fp"])
+           for r in doc_surprisal(ds, num_partitions=4).take_all()}
+    # corpus: "a b"→3, "b a"→1, "b c"→1; TB=5, unit=5000
+    # doc0 = 2*(5000//3) + 5000//1 = 3332 + 5000
+    # doc1 = 5000//3 + 5000//1 = 1666 + 5000
+    assert got == {0: (3, 8332), 1: (2, 6666)}
+    assert 2 not in got

@@ -1192,3 +1192,94 @@ def turn_transitions(turns: Dataset, *, num_partitions: int | None = None
                 batch_format="pyarrow")
             .groupby(["role", "next_role"])
             .aggregate(Sum("n", alias_name="n_transitions")))
+
+
+_SURPRISAL_SCALE = 1_000
+
+
+def doc_surprisal(docs: Dataset, *, num_partitions: int = 32,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> Dataset:
+    """Corpus-LM surprisal proxy — the quality signal a pretraining
+    pipeline uses to flag gibberish/boilerplate without a model: score
+    each document by how RARE its word bigrams are in the whole corpus.
+    Fixed-point integer so the oracle is exact (no log): each bigram
+    occurrence contributes ``(TB * 1000) // c(bg)`` — the scaled
+    inverse corpus frequency (TB = total bigram occurrences; int64-safe
+    to TB ≈ 9·10¹⁵ at this scale). Output: (doc_id, n_bigrams,
+    surprisal_fp); docs with < 2 tokens emit nothing.
+
+    Distributed shape (the tf-idf pattern — the bigram vocabulary is
+    corpus-scale and is never broadcast or driver-collected): TB from a
+    one-expression Rust scan; per-block (doc, bg) occurrence counts
+    (the combiner); ONE hash exchange on the bigram co-locates each
+    bigram's rows, where the corpus count and every row's contribution
+    are computed vectorized and pre-summed per doc; a final Sum groupby
+    on doc_id merges the per-partition partials (≤ #docs × #partitions
+    rows, text never shuffles)."""
+    from collections import Counter
+
+    import polars as pl
+
+    pruned = docs.select_columns([id_col, text_col])
+
+    # pass 1: TB — one Rust expression per block, tiny Sum
+    def tb_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        s = pl.from_arrow(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+        nb = (pl.DataFrame({"t": s})
+              .select((pl.col("t").str.count_matches(" ", literal=True))
+                      .sum()).item())  # len(split)-1 == #spaces
+        return pa.table({"nb": pa.array([int(nb or 0)], pa.int64())})
+
+    tb = sum(r["nb"] for r in
+             pruned.map_batches(tb_partial, batch_format="pyarrow",
+                                batch_size=None).take_all())
+    unit = _SURPRISAL_SCALE * max(tb, 1)
+
+    # pass 2: (doc, bg, nocc) combiner + bigram-hash partition tag
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        c: Counter = Counter()
+        for i, t in zip(ids, texts):
+            toks = t.split(" ")
+            c.update((i, toks[j] + " " + toks[j + 1])
+                     for j in range(len(toks) - 1))
+        d = [k[0] for k in c]
+        bg = [k[1] for k in c]
+        h = pl.Series(bg).hash(seed=0)
+        return pa.table({
+            id_col: pa.array(d, pa.int64()),
+            "bg": pa.array(bg, pa.string()),
+            "nocc": pa.array(list(c.values()), pa.int64()),
+            "p": pa.array((h % num_partitions).cast(pl.Int32).to_numpy(),
+                          pa.int32())})
+
+    def score_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.schema([(id_col, pa.int64()), ("nb", pa.int64()),
+                              ("s", pa.int64())]).empty_table()
+        df = pl.from_arrow(part.select([id_col, "bg", "nocc"]))
+        out = (df.with_columns(
+                   pl.col("nocc").sum().over("bg").alias("c"))
+               .with_columns(
+                   (pl.col("nocc") * (pl.lit(unit, pl.Int64)
+                                      // pl.col("c"))).alias("contrib"))
+               .group_by(id_col)
+               .agg(pl.col("nocc").sum().alias("nb"),
+                    pl.col("contrib").sum().alias("s")))
+        return pa.table({
+            id_col: out[id_col].to_arrow().cast(pa.int64()),
+            "nb": out["nb"].to_arrow().cast(pa.int64()),
+            "s": out["s"].to_arrow().cast(pa.int64())})
+
+    return (pruned.map_batches(grams, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: score_part(t.drop_columns(["p"])),
+                batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("nb", alias_name="n_bigrams"),
+                       Sum("s", alias_name="surprisal_fp")))
