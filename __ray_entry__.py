@@ -1139,6 +1139,14 @@ def _q_doc_surprisal(sf_dir: str):
     return doc_surprisal(_table(sf_dir, "documents"))
 
 
+def _q_kg_reciprocal(sf_dir: str):
+    """Reciprocal-edge audit: per predicate, unordered pairs linked in
+    BOTH directions (symmetry smell / owl:SymmetricProperty candidate
+    detection) over the cached distinct edge set."""
+    from uckg_ray.stages.graph import reciprocal_pairs
+    return reciprocal_pairs(_distinct_edges_cached(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters for evidence: the driver's correctness gate
     # samples the FIRST 50 entries (r03/r04 both checked the identical
@@ -1200,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_transitions": _q_turn_transitions,
         "events_mad": _q_events_mad,
         "doc_surprisal": _q_doc_surprisal,
+        "kg_reciprocal": _q_kg_reciprocal,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2126,6 +2135,18 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_types_domain_range": _sql_kg_types_domain_range(p),
         "kg_subprop_entailed": _sql_kg_subprop_entailed(p),
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
+        # per-predicate both-directions pair count (symmetry audit);
+        # same non-literal/non-type/non-loop filter as the und graph
+        "kg_reciprocal": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+f AS (SELECT subj, pred, obj FROM edges WHERE NOT obj_is_literal
+      AND pred <> '{ns.RDF_TYPE}' AND subj <> obj),
+rec AS (SELECT pred, least(subj, obj) AS u, greatest(subj, obj) AS v
+        FROM f GROUP BY pred, least(subj, obj), greatest(subj, obj)
+        HAVING max(CASE WHEN subj < obj THEN 1 ELSE 0 END) = 1
+           AND max(CASE WHEN subj > obj THEN 1 ELSE 0 END) = 1)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_pairs FROM rec GROUP BY pred""",
         "kg_triangles": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

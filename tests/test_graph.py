@@ -117,3 +117,30 @@ def test_clustering_counts(ray_session):
                                       num_partitions=3).take_all()}
     # degrees: a=3 (b,c,d), b=2, c=2, d=1, e=1, f=1
     assert got == {"a": (1, 3), "b": (1, 1), "c": (1, 1)}
+
+
+def test_reciprocal_pairs(ray_session):
+    """Both directions required; literals, rdf:type and self-loops
+    excluded; each unordered pair counted once per predicate."""
+    import ray.data
+
+    from uckg_ray import namespaces as ns
+    from uckg_ray.stages.graph import reciprocal_pairs
+
+    def e(s, p, o, lit=False):
+        return {"subj": s, "pred": p, "obj": o,
+                "obj_is_literal": lit, "obj_datatype": ""}
+
+    rows = [
+        e("a", "p1", "b"), e("b", "p1", "a"),      # reciprocal pair
+        e("a", "p1", "c"),                          # one direction only
+        e("x", "p2", "y"), e("y", "p2", "x"),
+        e("y", "p2", "z"), e("z", "p2", "y"),       # two pairs for p2
+        e("a", "p3", "a"),                          # self-loop ignored
+        e("a", "p4", "lit", lit=True),              # literal ignored
+        e("a", ns.RDF_TYPE, "T"), e("T", ns.RDF_TYPE, "a"),  # type ignored
+    ]
+    got = {r["pred"]: r["n_pairs"]
+           for r in reciprocal_pairs(
+               ray.data.from_items(rows).repartition(4)).take_all()}
+    assert got == {"p1": 1, "p2": 2}
