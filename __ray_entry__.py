@@ -1147,6 +1147,14 @@ def _q_kg_reciprocal(sf_dir: str):
     return reciprocal_pairs(_distinct_edges_cached(sf_dir))
 
 
+def _q_conv_dedup(sf_dir: str):
+    """Conversation-level exact dedup: turn-ordered md5 transcript
+    fingerprint → (conv_fp, n_convs, min conv_id). One conv co-
+    partition; only 32-byte fingerprints reach the global groupby."""
+    from uckg_ray.stages.text import conv_dedup
+    return conv_dedup(_rd_turns(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters for evidence: the driver's correctness gate
     # samples the FIRST 50 entries (r03/r04 both checked the identical
@@ -1209,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad": _q_events_mad,
         "doc_surprisal": _q_doc_surprisal,
         "kg_reciprocal": _q_kg_reciprocal,
+        "conv_dedup": _q_conv_dedup,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2229,6 +2238,12 @@ JOIN read_parquet('{p['T']}') a
 WHERE u.role = 'user' AND a.role = 'assistant'""",
         "transcript_turns": (f"SELECT conv_id, turn_idx, md5(text) AS text_md5 "
                              f"FROM read_parquet('{p['T']}')"),
+        "conv_dedup": f"""
+WITH fp AS (SELECT conv_id,
+              md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_fp
+            FROM read_parquet('{p['T']}') GROUP BY conv_id)
+SELECT conv_fp, count(*) AS n_convs, min(conv_id) AS conv_id
+FROM fp GROUP BY conv_fp""",
         "turn_transitions": f"""
 SELECT a.role AS role, b.role AS next_role,
        CAST(count(*) AS BIGINT) AS n_transitions

@@ -164,7 +164,9 @@ def run_bench() -> dict:
                  "kg_restriction_types", "embed_semdedup",
                  "kg_bfs_levels", "normalize_text", "kg_components",
                  "dedup_delta", "events_trimmed", "sft_pairs", "events_pct_rank",
-                 "conv_stats"):
+                 "conv_stats", "bm25_topk", "token_shards",
+                 "turn_transitions", "events_mad", "doc_surprisal",
+                 "kg_reciprocal"):
         timed(name, q[name])
     ray.shutdown()
 

