@@ -446,12 +446,18 @@ def _pagerank_distributed(le: Dataset, nodes_ds: Dataset, *, iters: int,
                .groupby("p").map_groups(contrib_partition,
                                         batch_format="pyarrow")
                .groupby("obj").aggregate(Sum("w", alias_name="w")))
+        # repartition pins the per-iteration block count: sort-based
+        # groupby emits one partition per INPUT block and union
+        # concatenates block lists, so without it `ranks` gains
+        # ~link-block-count blocks every iteration (the O(rounds²)
+        # growth fixed in canonicalize.connected_components)
         ranks = (ranks.map_batches(tag_ranks, batch_format="pyarrow",
                                    batch_size=None)
                  .union(inc.map_batches(tag_inc, batch_format="pyarrow",
                                         batch_size=None))
                  .groupby("p").map_groups(update_partition,
                                           batch_format="pyarrow")
+                 .repartition(num_partitions)
                  .materialize())
 
     return ranks.drop_columns(["outdeg"])
@@ -587,8 +593,14 @@ def bfs_levels(edges: Dataset, seed_type_iri: str, *, max_hops: int = 3,
                    lambda t: anti_visited_factory(hop)(
                        t.drop_columns(["p"])),
                    batch_format="pyarrow")
+               .repartition(num_partitions)
                .materialize())
-        visited = visited.union(new).materialize()
+        # repartition pins the block count: union concatenates block
+        # lists and sort-based groupby mirrors input blocks, so visited
+        # would otherwise gain new.blocks + link-blocks every hop (the
+        # O(rounds²) growth fixed in connected_components)
+        visited = (visited.union(new)
+                   .repartition(num_partitions).materialize())
         frontier = new
     return visited
 
