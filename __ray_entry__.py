@@ -1155,6 +1155,22 @@ def _q_conv_dedup(sf_dir: str):
     return conv_dedup(_rd_turns(sf_dir))
 
 
+def _q_turn_latency(sf_dir: str):
+    """Response-latency matrix: per (role, next_role) adjacent-turn
+    pair, count / total / max inter-turn gap in microseconds (integer-
+    exact). One conv co-partition, per-partition pre-reduction."""
+    from uckg_ray.stages.text import turn_latency
+    return turn_latency(_rd_turns(sf_dir))
+
+
+def _q_tool_sequences(sf_dir: str):
+    """Tool-chain mining: successive tool-role turns per conversation →
+    (tool, next_tool, n_pairs). Filtered at the scan, one conv
+    co-partition, ≤ |tools|² rows reach the global Sum."""
+    from uckg_ray.stages.text import tool_sequences
+    return tool_sequences(_rd_turns(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters for evidence: the driver's correctness gate
     # samples the FIRST 50 entries (r03/r04 both checked the identical
@@ -1218,6 +1234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_surprisal": _q_doc_surprisal,
         "kg_reciprocal": _q_kg_reciprocal,
         "conv_dedup": _q_conv_dedup,
+        "turn_latency": _q_turn_latency,
+        "tool_sequences": _q_tool_sequences,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2251,6 +2269,25 @@ FROM read_parquet('{p['T']}') a
 JOIN read_parquet('{p['T']}') b
   ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
 GROUP BY a.role, b.role""",
+        "turn_latency": f"""
+SELECT a.role AS role, b.role AS next_role,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(date_diff('microsecond', a.ts, b.ts)) AS BIGINT)
+         AS sum_gap_us,
+       CAST(max(date_diff('microsecond', a.ts, b.ts)) AS BIGINT)
+         AS max_gap_us
+FROM read_parquet('{p['T']}') a
+JOIN read_parquet('{p['T']}') b
+  ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+GROUP BY a.role, b.role""",
+        "tool_sequences": f"""
+WITH t AS (SELECT conv_id, tool,
+             lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS next_tool
+           FROM read_parquet('{p['T']}')
+           WHERE role = 'tool' AND tool IS NOT NULL)
+SELECT tool, next_tool, CAST(count(*) AS BIGINT) AS n_pairs
+FROM t WHERE next_tool IS NOT NULL GROUP BY tool, next_tool""",
         "dedup_exact": ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
                         "FROM documents GROUP BY md5(text)"),
         "dedup_fingerprint": (

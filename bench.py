@@ -166,7 +166,8 @@ def run_bench() -> dict:
                  "dedup_delta", "events_trimmed", "sft_pairs", "events_pct_rank",
                  "conv_stats", "bm25_topk", "token_shards",
                  "turn_transitions", "events_mad", "doc_surprisal",
-                 "kg_reciprocal"):
+                 "kg_reciprocal", "conv_dedup", "turn_latency",
+                 "tool_sequences"):
         timed(name, q[name])
     ray.shutdown()
 

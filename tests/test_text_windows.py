@@ -722,3 +722,58 @@ def test_conv_dedup(ray_session):
     # joined string is identical to c1's — they share a fingerprint by
     # construction of the join, and min(conv_id) keeps c1
     assert got == {"c1": 3, "c3": 1}
+
+
+def test_turn_latency(ray_session):
+    """Adjacent-turn gaps keyed by (role, next_role), integer micros."""
+    from datetime import datetime
+
+    import ray.data
+
+    from uckg_ray.stages.text import turn_latency
+
+    def t(s):  # seconds after epoch-minute, as datetime
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "ts": t(0)},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "ts": t(2)},
+        {"conv_id": "c1", "turn_idx": 2, "role": "user", "ts": t(5)},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user", "ts": t(10)},
+        {"conv_id": "c2", "turn_idx": 1, "role": "assistant", "ts": t(14)},
+        # c3: lone turn, no pair
+        {"conv_id": "c3", "turn_idx": 7, "role": "tool", "ts": t(1)},
+    ]
+    got = {(r["role"], r["next_role"]):
+           (r["n_pairs"], r["sum_gap_us"], r["max_gap_us"])
+           for r in turn_latency(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {
+        ("user", "assistant"): (2, 6_000_000, 4_000_000),
+        ("assistant", "user"): (1, 3_000_000, 3_000_000),
+    }
+
+
+def test_tool_sequences(ray_session):
+    """Successive tool turns chain within a conversation; intervening
+    non-tool turns are skipped; chains never cross conversations."""
+    import ray.data
+
+    from uckg_ray.stages.text import tool_sequences
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "tool": None},
+        {"conv_id": "c1", "turn_idx": 1, "role": "tool", "tool": "search"},
+        {"conv_id": "c1", "turn_idx": 2, "role": "assistant", "tool": None},
+        {"conv_id": "c1", "turn_idx": 3, "role": "tool", "tool": "fetch"},
+        {"conv_id": "c1", "turn_idx": 4, "role": "tool", "tool": "fetch"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "tool", "tool": "fetch"},
+        {"conv_id": "c2", "turn_idx": 1, "role": "tool", "tool": "search"},
+        # role=tool but tool null → excluded entirely
+        {"conv_id": "c2", "turn_idx": 2, "role": "tool", "tool": None},
+    ]
+    got = {(r["tool"], r["next_tool"]): r["n_pairs"]
+           for r in tool_sequences(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {("search", "fetch"): 1, ("fetch", "fetch"): 1,
+                   ("fetch", "search"): 1}

@@ -1336,3 +1336,131 @@ def conv_dedup(turns: Dataset, *, num_partitions: int | None = None
             .groupby("conv_fp")
             .aggregate(Count(alias_name="n_convs"),
                        Min("conv_id", alias_name="conv_id")))
+
+
+def turn_latency(turns: Dataset, *, num_partitions: int | None = None
+                 ) -> Dataset:
+    """Response-latency matrix over conversation transcripts: for every
+    consecutive turn pair (``turn_idx + 1``, same conversation), the
+    count, total and maximum inter-turn gap in MICROSECONDS keyed by
+    (role, next_role) — the agent-ops latency audit (how long the
+    assistant takes after a user turn vs. after a tool result).
+    Integer-exact: gaps are epoch-microsecond differences, so the
+    oracle reproduces every cell with ``date_diff``. Output: (role,
+    next_role, n_pairs, sum_gap_us, max_gap_us).
+
+    Scale shape: identical to ``turn_transitions`` — ONE conv_id
+    hash-partition exchange, a vectorized in-partition polars
+    (conv_id, turn_idx + 1) equi-join, per-partition pre-reduction to
+    ≤ |roles|² rows, tiny final Sum/Max groupby. Text never leaves the
+    scan (the read projects it away)."""
+    import polars as pl
+
+    from ray.data.aggregate import Max
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    _OUT = pa.schema([("role", pa.string()), ("next_role", pa.string()),
+                      ("n", pa.int64()), ("s", pa.int64()),
+                      ("m", pa.int64())])
+
+    if num_partitions is None:
+        from uckg_ray.partitioning import default_partitions
+        num_partitions = default_partitions()
+
+    def tag(b: pa.Table) -> pa.Table:
+        # normalize the timestamp unit so the Int64 gap below is always
+        # microseconds, whatever precision the source parquet carries
+        t = pa.table({"conv_id": b.column("conv_id"),
+                      "turn_idx": b.column("turn_idx"),
+                      "role": b.column("role"),
+                      "ts": b.column("ts").cast(pa.timestamp("us"))})
+        return _add_hash_partition(t, num_partitions, "conv_id")
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        df = pl.from_arrow(part.select(
+            ["conv_id", "turn_idx", "role", "ts"]))
+        nxt = df.select(
+            "conv_id", (pl.col("turn_idx") - 1).alias("turn_idx"),
+            pl.col("role").alias("next_role"),
+            pl.col("ts").alias("ts_next"))
+        j = (df.join(nxt, on=["conv_id", "turn_idx"], how="inner")
+             .with_columns(gap=(pl.col("ts_next").cast(pl.Int64)
+                                - pl.col("ts").cast(pl.Int64)))
+             .group_by("role", "next_role")
+             .agg(n=pl.len().cast(pl.Int64),
+                  s=pl.col("gap").sum(),
+                  m=pl.col("gap").max()))
+        return pa.table({
+            "role": j["role"].to_arrow().cast(pa.string()),
+            "next_role": j["next_role"].to_arrow().cast(pa.string()),
+            "n": j["n"].to_arrow(), "s": j["s"].to_arrow(),
+            "m": j["m"].to_arrow()})
+
+    return (turns.map_batches(tag, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: fold(t.drop_columns(["p"])),
+                batch_format="pyarrow")
+            .groupby(["role", "next_role"])
+            .aggregate(Sum("n", alias_name="n_pairs"),
+                       Sum("s", alias_name="sum_gap_us"),
+                       Max("m", alias_name="max_gap_us")))
+
+
+def tool_sequences(turns: Dataset, *, num_partitions: int | None = None
+                   ) -> Dataset:
+    """Tool-chain mining over agent transcripts: how often each tool is
+    followed by each other tool WITHIN a conversation — successive
+    tool-role turns (intervening user/assistant turns skipped), the
+    workflow-structure audit for agent logs (which tool pipelines
+    actually occur, e.g. search→fetch→summarize). Output: (tool,
+    next_tool, n_pairs).
+
+    Scale shape: the tool-turn stream is filtered AT THE SCAN (role =
+    'tool' and tool set — a tiny fraction of turns), then one conv_id
+    hash-partition exchange co-locates each conversation; the successor
+    is a vectorized polars sort + shift(-1) over conv groups with a
+    per-partition pre-count, and only ≤ |tools|² rows reach the final
+    Sum groupby."""
+    import polars as pl
+
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    _OUT = pa.schema([("tool", pa.string()), ("next_tool", pa.string()),
+                      ("n", pa.int64())])
+
+    if num_partitions is None:
+        from uckg_ray.partitioning import default_partitions
+        num_partitions = default_partitions()
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.equal(b.column("role"), "tool"), False),
+            pc.is_valid(b.column("tool")))
+        t = b.filter(keep).select(["conv_id", "turn_idx", "tool"])
+        return _add_hash_partition(t, num_partitions, "conv_id")
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        df = (pl.from_arrow(part.select(["conv_id", "turn_idx", "tool"]))
+              .sort("conv_id", "turn_idx")
+              .with_columns(next_tool=pl.col("tool").shift(-1)
+                            .over("conv_id"))
+              .drop_nulls("next_tool")
+              .group_by("tool", "next_tool").len()
+              .with_columns(pl.col("len").cast(pl.Int64)))
+        return pa.table({
+            "tool": df["tool"].to_arrow().cast(pa.string()),
+            "next_tool": df["next_tool"].to_arrow().cast(pa.string()),
+            "n": df["len"].to_arrow()})
+
+    return (turns.map_batches(tag, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: fold(t.drop_columns(["p"])),
+                batch_format="pyarrow")
+            .groupby(["tool", "next_tool"])
+            .aggregate(Sum("n", alias_name="n_pairs")))
