@@ -1155,6 +1155,33 @@ def _q_conv_dedup(sf_dir: str):
     return conv_dedup(_rd_turns(sf_dir))
 
 
+def _q_conv_neardup(sf_dir: str):
+    """Conversation-level NEAR-dup: the conv_texts fold (one conv_id
+    co-partition, ordered 0x1f join) feeds the standard MinHash+LSH
+    pipeline — near-identical transcripts (small edits, one turn
+    changed) surface as (doc_a, doc_b) pairs with shingle Jaccard
+    ≥ 0.5. Composition of two existing scale-safe stages; the joined
+    text never re-shuffles after the fold (shingling happens inside
+    the MinHasher actor pool). Oracle: exact all-pairs shingle Jaccard
+    over the same conv-joined texts (the dedup_minhash CTE)."""
+    from uckg_ray.stages.dedup import _stable64, minhash_lsh_pairs
+    from uckg_ray.stages.text import conv_texts
+
+    def to_docs(b: pa.Table) -> pa.Table:
+        # conv ids are arbitrary strings; the int64 doc id is the
+        # md5-64 identity >>1 (int64-safe, collision odds ~2⁻⁶³),
+        # mirrored by CAST(md5_number_upper(conv_id) // 2 AS BIGINT).
+        # One hash per CONVERSATION (not per turn) — bounded work.
+        ids = pa.array([_stable64(c) >> 1
+                        for c in b.column("conv_id").to_pylist()],
+                       pa.int64())
+        return pa.table({"doc_id": ids, "text": b.column("text")})
+
+    docs = conv_texts(_rd_turns(sf_dir)).map_batches(
+        to_docs, batch_format="pyarrow")
+    return minhash_lsh_pairs(docs, tau=0.5)
+
+
 def _q_turn_latency(sf_dir: str):
     """Response-latency matrix: per (role, next_role) adjacent-turn
     pair, count / total / max inter-turn gap in microseconds (integer-
@@ -1236,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_dedup": _q_conv_dedup,
         "turn_latency": _q_turn_latency,
         "tool_sequences": _q_tool_sequences,
+        "conv_neardup": _q_conv_neardup,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2258,7 +2286,8 @@ WHERE u.role = 'user' AND a.role = 'assistant'""",
                              f"FROM read_parquet('{p['T']}')"),
         "conv_dedup": f"""
 WITH fp AS (SELECT conv_id,
-              md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_fp
+              md5(string_agg(md5(text), chr(31) ORDER BY turn_idx))
+                AS conv_fp
             FROM read_parquet('{p['T']}') GROUP BY conv_id)
 SELECT conv_fp, count(*) AS n_convs, min(conv_id) AS conv_id
 FROM fp GROUP BY conv_fp""",
@@ -2280,6 +2309,26 @@ FROM read_parquet('{p['T']}') a
 JOIN read_parquet('{p['T']}') b
   ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
 GROUP BY a.role, b.role""",
+        "conv_neardup": f"""
+WITH conv AS (SELECT CAST(md5_number_upper(conv_id) // 2 AS BIGINT)
+                  AS doc_id,
+                string_agg(text, chr(31) ORDER BY turn_idx) AS text
+              FROM read_parquet('{p['T']}') GROUP BY conv_id),
+t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM conv),
+sh AS (SELECT doc_id,
+       CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       ELSE list_transform(range(len(tk) - 2),
+            i -> tk[CAST(i AS INT) + 1] || ' ' || tk[CAST(i AS INT) + 2]
+                 || ' ' || tk[CAST(i AS INT) + 3]) END AS s
+       FROM t),
+w AS (SELECT DISTINCT doc_id, unnest(s) AS sng FROM sh),
+sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM w a JOIN w b ON a.sng = b.sng AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b FROM pr
+JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE 2 * inter >= sa.n + sb.n - inter""",
         "tool_sequences": f"""
 WITH t AS (SELECT conv_id, tool,
              lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)

