@@ -1316,9 +1316,8 @@ def conv_dedup(turns: Dataset, *, num_partitions: int | None = None
     _MID = pa.schema([("conv_id", pa.string()), ("conv_fp", pa.string())])
 
     def tag(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        th = pa.array([hashlib.md5((t or "").encode()).hexdigest()
-                       for t in texts], pa.string())
+        from uckg_ray.stages.dedup import _md5_col
+        th = pa.array(_md5_col(b.column("text").to_pylist()), pa.string())
         t = pa.table({"conv_id": b.column("conv_id"),
                       "turn_idx": b.column("turn_idx"), "text": th})
         return _add_hash_partition(t, num_partitions, "conv_id")
