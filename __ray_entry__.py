@@ -1182,6 +1182,15 @@ def _q_conv_neardup(sf_dir: str):
     return minhash_lsh_pairs(docs, tau=0.5)
 
 
+def _q_kg_predicate_stats(sf_dir: str):
+    """VoID-style per-predicate dataset statistics over the canonical
+    edge table: edge count, literal-object count, distinct subjects,
+    distinct objects. One (pred, side, val) distinct exchange plus a
+    tiny final Sum groupby."""
+    from uckg_ray.stages.graph import predicate_stats
+    return predicate_stats(_distinct_edges_cached(sf_dir))
+
+
 def _q_turn_latency(sf_dir: str):
     """Response-latency matrix: per (role, next_role) adjacent-turn
     pair, count / total / max inter-turn gap in microseconds (integer-
@@ -1264,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_latency": _q_turn_latency,
         "tool_sequences": _q_tool_sequences,
         "conv_neardup": _q_conv_neardup,
+        "kg_predicate_stats": _q_kg_predicate_stats,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2192,6 +2202,15 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "kg_predicate_stats": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)}))
+SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN obj_is_literal THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_literal_obj,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_distinct_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_distinct_obj
+FROM edges GROUP BY pred""",
         "kg_reciprocal": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

@@ -144,3 +144,25 @@ def test_reciprocal_pairs(ray_session):
            for r in reciprocal_pairs(
                ray.data.from_items(rows).repartition(4)).take_all()}
     assert got == {"p1": 1, "p2": 2}
+
+
+def test_predicate_stats(ray_session):
+    """Per-predicate VoID profile: counts, literal counts, distinct
+    subject/object cardinalities."""
+    import ray.data
+
+    from uckg_ray.stages.graph import predicate_stats
+
+    rows = [
+        {"subj": "a", "pred": "p", "obj": "x", "obj_is_literal": False},
+        {"subj": "a", "pred": "p", "obj": "y", "obj_is_literal": False},
+        {"subj": "b", "pred": "p", "obj": "x", "obj_is_literal": False},
+        {"subj": "a", "pred": "q", "obj": "lit", "obj_is_literal": True},
+        {"subj": "b", "pred": "q", "obj": "lit", "obj_is_literal": True},
+        {"subj": "b", "pred": "q", "obj": "z", "obj_is_literal": False},
+    ]
+    got = {r["pred"]: (r["n_edges"], r["n_literal_obj"],
+                       r["n_distinct_subj"], r["n_distinct_obj"])
+           for r in predicate_stats(
+               ray.data.from_items(rows).repartition(3)).take_all()}
+    assert got == {"p": (3, 0, 2, 2), "q": (3, 2, 2, 2)}

@@ -763,3 +763,98 @@ def reciprocal_pairs(edges: Dataset, num_partitions: int | None = None
                 lambda t: count_part(t.drop_columns(["p", "k"])),
                 batch_format="pyarrow")
             .groupby("pred").aggregate(Sum("n", alias_name="n_pairs")))
+
+
+def predicate_stats(edges: Dataset) -> Dataset:
+    """VoID-style per-predicate profile of the canonical edge table:
+    ``(pred, n_edges, n_literal_obj, n_distinct_subj,
+    n_distinct_obj)`` — the dataset-statistics descriptor a KG
+    publisher ships with a graph (VoID property partitions), and the
+    cardinality profile that flags functional-property candidates
+    (n_distinct_subj ≈ n_edges) and hub objects (n_distinct_obj ≪
+    n_edges).
+
+    Two streams, ONE final Sum groupby (≤ |predicates| rows):
+    - plain counts: block-local groupby(pred) partials, zero-filled
+      distinct columns;
+    - distinct counts: block-distinct (pred, side, val) rows → global
+      (pred, side, val) distinct — the only data-scale exchange, the
+      tf-idf vocabulary shape — → per-block (pred) partial counts with
+      zero-filled plain columns.
+    Nothing is ever O(edges) on the driver."""
+    import polars as pl
+
+    from ray.data.aggregate import Count, Sum
+
+    _OUT = pa.schema([("pred", pa.string()), ("n_edges", pa.int64()),
+                      ("n_literal_obj", pa.int64()),
+                      ("n_distinct_subj", pa.int64()),
+                      ("n_distinct_obj", pa.int64())])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _OUT.empty_table()
+        g = (pl.from_arrow(b.select(["pred", "obj_is_literal"]))
+             .group_by("pred")
+             .agg(pl.len().cast(pl.Int64).alias("n_edges"),
+                  pl.col("obj_is_literal").sum().cast(pl.Int64)
+                  .alias("n_literal_obj")))
+        n = g.height
+        return pa.table({
+            "pred": g["pred"].to_arrow().cast(pa.string()),
+            "n_edges": g["n_edges"].to_arrow(),
+            "n_literal_obj": g["n_literal_obj"].to_arrow(),
+            "n_distinct_subj": pa.nulls(n, pa.int64()).fill_null(0),
+            "n_distinct_obj": pa.nulls(n, pa.int64()).fill_null(0)})
+
+    _SIDES = pa.schema([("pred", pa.string()), ("side", pa.int8()),
+                        ("val", pa.string())])
+
+    def side_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _SIDES.empty_table()
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        u = pl.concat([
+            df.select("pred", val="subj").with_columns(
+                side=pl.lit(0, pl.Int8)),
+            df.select("pred", val="obj").with_columns(
+                side=pl.lit(1, pl.Int8)),
+        ]).unique()
+        return pa.table({
+            "pred": u["pred"].to_arrow().cast(pa.string()),
+            "side": u["side"].to_arrow(),
+            "val": u["val"].to_arrow().cast(pa.string())})
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "pred" not in b.column_names:
+            return _OUT.empty_table()
+        g = (pl.from_arrow(b.select(["pred", "side"]))
+             .group_by("pred")
+             .agg((pl.col("side") == 0).sum().cast(pl.Int64)
+                  .alias("n_distinct_subj"),
+                  (pl.col("side") == 1).sum().cast(pl.Int64)
+                  .alias("n_distinct_obj")))
+        n = g.height
+        return pa.table({
+            "pred": g["pred"].to_arrow().cast(pa.string()),
+            "n_edges": pa.nulls(n, pa.int64()).fill_null(0),
+            "n_literal_obj": pa.nulls(n, pa.int64()).fill_null(0),
+            "n_distinct_subj": g["n_distinct_subj"].to_arrow(),
+            "n_distinct_obj": g["n_distinct_obj"].to_arrow()})
+
+    counts = edges.map_batches(count_partial, batch_format="pyarrow",
+                               batch_size=None)
+    distincts = (edges.map_batches(side_partial, batch_format="pyarrow",
+                                   batch_size=None)
+                 .groupby(["pred", "side", "val"])
+                 .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+                 .map_batches(distinct_partial, batch_format="pyarrow",
+                              batch_size=None))
+    return (counts.union(distincts)
+            .groupby("pred")
+            .aggregate(Sum("n_edges", alias_name="n_edges"),
+                       Sum("n_literal_obj", alias_name="n_literal_obj"),
+                       Sum("n_distinct_subj",
+                           alias_name="n_distinct_subj"),
+                       Sum("n_distinct_obj",
+                           alias_name="n_distinct_obj")))
