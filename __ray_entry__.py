@@ -953,6 +953,23 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_data_mixture(sf_dir: str):
+    """Temperature-scaled source mixing table (alpha = 1/2, XLM-R
+    style): per-source weight_ppm ∝ isqrt(n_docs) and a
+    largest-remainder integer allocation of a 200-doc budget (strict
+    downsampling at every SF)."""
+    from uckg_ray.stages.joins import source_mixture
+    return source_mixture(_table(sf_dir, "documents"), budget=200)
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Deterministic subsample realizing the data_mixture quotas:
+    per-source quota_s docs with the smallest md5 id-priority
+    (budget 200, so every source is strictly downsampled at sf0.01)."""
+    from uckg_ray.stages.joins import mixture_sample
+    return mixture_sample(_table(sf_dir, "documents"), budget=200)
+
+
 def _q_reservoir_sample(sf_dir: str):
     """Deterministic reservoir-style sample: 20 docs per source by
     md5 priority."""
@@ -1274,6 +1291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_sequences": _q_tool_sequences,
         "conv_neardup": _q_conv_neardup,
         "kg_predicate_stats": _q_kg_predicate_stats,
+        "data_mixture": _q_data_mixture,
+        "mixture_sample": _q_mixture_sample,
         # -- veterans with driver-green rows in r03+r04 --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -2202,6 +2221,63 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "data_mixture": """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  WHERE source IS NOT NULL GROUP BY source
+), sq0 AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS s0 FROM counts
+), sq AS (  -- exact isqrt: float sqrt corrected by +/-1
+  SELECT source, n_docs, CASE
+      WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1
+      WHEN s0 * s0 > n_docs THEN s0 - 1 ELSE s0 END AS s
+  FROM sq0
+), tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM sq),
+base AS (
+  SELECT source, n_docs, s,
+         CAST(s * 1000000 // t AS BIGINT) AS weight_ppm,
+         CAST(s * 200 // t AS BIGINT) AS b,
+         CAST(s * 200 % t AS BIGINT) AS r
+  FROM sq, tot
+), lo AS (SELECT CAST(200 - SUM(b) AS BIGINT) AS leftover FROM base),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY r DESC, source) AS rk FROM base)
+SELECT source, n_docs, weight_ppm,
+       CAST(b + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked, lo
+ORDER BY source""",
+        "mixture_sample": """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  WHERE source IS NOT NULL GROUP BY source
+), sq0 AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS s0 FROM counts
+), sq AS (
+  SELECT source, n_docs, CASE
+      WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1
+      WHEN s0 * s0 > n_docs THEN s0 - 1 ELSE s0 END AS s
+  FROM sq0
+), tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM sq),
+base AS (
+  SELECT source,
+         CAST(s * 200 // t AS BIGINT) AS b,
+         CAST(s * 200 % t AS BIGINT) AS r
+  FROM sq, tot
+), lo AS (SELECT CAST(200 - SUM(b) AS BIGINT) AS leftover FROM base),
+mix AS (
+  SELECT source,
+         b + CASE WHEN row_number() OVER (ORDER BY r DESC, source)
+                       <= leftover THEN 1 ELSE 0 END AS quota
+  FROM base, lo
+), ranked AS (
+  SELECT d.doc_id, d.source, q.quota, row_number() OVER (
+    PARTITION BY d.source
+    ORDER BY md5_number_upper(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+  FROM documents d JOIN mix q USING (source))
+SELECT doc_id, source FROM ranked WHERE rk <= quota""",
         "kg_predicate_stats": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)}))

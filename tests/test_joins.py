@@ -161,3 +161,63 @@ def test_q5_narrow_window_empty_result(ray_session):
         region_name="ASIA", date_lo="1996-01-01",
         date_hi="1996-01-06").take_all()
     assert isinstance(rows, list)   # tiny or empty — just must not raise
+
+
+def test_source_mixture(ray_session):
+    import math
+
+    import ray.data
+
+    from uckg_ray.stages.joins import source_mixture
+    # 3 sources with counts 100, 9, 2 → isqrt 10, 3, 1 (tot 14)
+    src = ["web"] * 100 + ["books"] * 9 + ["code"] * 2
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(src)), "source": src}))
+    rows = source_mixture(ds, budget=100).take_all()
+    by = {r["source"]: r for r in rows}
+    assert set(by) == {"web", "books", "code"}
+    assert by["web"]["n_docs"] == 100
+    # exact integer weights: s * 1e6 // 14
+    for name, s in [("web", 10), ("books", 3), ("code", 1)]:
+        assert by[name]["weight_ppm"] == s * 1_000_000 // 14
+        assert math.isqrt(by[name]["n_docs"]) == s
+    # largest-remainder: base 71/21/7 (sum 99), remainders 6/6/2 →
+    # leftover 1 goes to the name-first tie among remainder-6 ("books")
+    assert (by["web"]["quota"], by["books"]["quota"],
+            by["code"]["quota"]) == (71, 22, 7)
+    assert sum(r["quota"] for r in rows) == 100
+
+
+def test_source_mixture_empty(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.joins import source_mixture
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "source": pd.Series([], dtype="object")}))
+    out = source_mixture(ds, budget=10)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"source", "n_docs", "weight_ppm",
+                                       "quota"}
+
+
+def test_mixture_sample(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.joins import mixture_sample, source_mixture
+    src = ["web"] * 100 + ["books"] * 9 + ["code"] * 2
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(src)), "source": src}))
+    rows = mixture_sample(ds, budget=50).take_all()
+    mix = source_mixture(ds, budget=50).take_all()
+    # without-replacement sample caps an up-weighted source at its size
+    want = {r["source"]: min(r["quota"], r["n_docs"]) for r in mix}
+    got = {}
+    for r in rows:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    assert got == {s: q for s, q in want.items() if q}
+    assert len(rows) == sum(want.values())
+    # deterministic: same call again yields the identical id set
+    again = {(r["source"], r["doc_id"])
+             for r in mixture_sample(ds, budget=50).take_all()}
+    assert again == {(r["source"], r["doc_id"]) for r in rows}

@@ -577,3 +577,117 @@ def stratified_sample(ds: Dataset, *, id_col: str, group_col: str,
         return batch.filter(pa.array(knuth_mod100(ids) < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def source_mixture(docs: Dataset, *, group_col: str = "source",
+                   budget: int = 10_000) -> Dataset:
+    """Temperature-scaled source mixing table — the corpus re-weighting
+    step of multilingual/multi-source LM data prep (alpha = 1/2 as in
+    XLM-R's p_s ∝ n_s^alpha): per-source sampling weight proportional
+    to sqrt(n_s), plus a largest-remainder integer allocation of a
+    global document ``budget`` across sources.
+
+    All arithmetic is exact-integer (``math.isqrt`` per source, integer
+    div/mod for weights/quotas, remainder ties broken by source name)
+    so the DuckDB oracle matches bit-for-bit. The per-source count is a
+    block-local ``value_counts`` partial + one tiny Sum groupby; the
+    largest-remainder pass runs on the driver over the per-SOURCE table
+    (cardinality = #corpora, O(100s) at any data scale — the standard
+    collapsed small side, same posture as q5's dictionary sides).
+    Output: (source, n_docs, weight_ppm, quota) sorted by source;
+    sum(quota) == budget exactly.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = b.column(group_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        col = col.drop_null()  # SQL oracle filters NULL sources
+        vc = pc.value_counts(col)
+        return pa.table({group_col: vc.field("values"),
+                         "n_docs": vc.field("counts")})
+
+    rows = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+            .take_all())
+    rows.sort(key=lambda r: r[group_col])
+    n = np.array([r["n_docs"] for r in rows], np.int64)
+    s = np.array([math.isqrt(int(v)) for v in n], np.int64)
+    tot = int(s.sum())
+    if tot == 0:  # empty corpus → empty 4-column table, schema intact
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "weight_ppm": pa.array([], pa.int64()),
+                          "quota": pa.array([], pa.int64())})
+        return ray.data.from_arrow(empty)
+    weight_ppm = s * 1_000_000 // tot
+    base = s * budget // tot
+    rem = s * budget % tot
+    leftover = int(budget - base.sum())
+    # largest remainder, ties by source name (rows are name-sorted, so
+    # a stable sort on -rem preserves name order inside equal remainders)
+    order = np.argsort(-rem, kind="stable")
+    quota = base.copy()
+    quota[order[:leftover]] += 1
+    out = pa.table({
+        group_col: pa.array([r[group_col] for r in rows], pa.string()),
+        "n_docs": pa.array(n),
+        "weight_ppm": pa.array(weight_ppm),
+        "quota": pa.array(quota)})
+    return ray.data.from_arrow(out)
+
+
+def mixture_sample(docs: Dataset, *, group_col: str = "source",
+                   id_col: str = "doc_id",
+                   budget: int = 10_000) -> Dataset:
+    """Realize ``source_mixture``'s quotas as an actual deterministic
+    subsample: for each source s, keep the quota_s docs with the
+    smallest md5 priority of their id (the variable-k sibling of
+    ``priority_sample`` — same DuckDB ``md5_number_upper`` priority,
+    ties broken by id). The quota table is tiny (one row per corpus)
+    and rides into the combiner closure; block-local per-source
+    k_s-smallest is the combiner, so the per-group merge sees at most
+    k_s rows per source per block. Output: (id, source) rows,
+    Σ min(quota_s, n_s) of them — sqrt-temperature UP-weights small
+    sources, so quota_s may exceed n_s; sampling without replacement
+    then returns the whole source (an epoch-repetition schedule is the
+    with-replacement story and out of scope here)."""
+    import pyarrow.compute as pc
+
+    from uckg_ray.stages.dedup import _stable64
+
+    pruned = docs.select_columns([id_col, group_col])
+    qrows = source_mixture(pruned, group_col=group_col,
+                           budget=budget).take_all()
+    k = {r[group_col]: int(r["quota"]) for r in qrows}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(group_col)))
+        ids = batch.column(id_col).to_pylist()
+        pri = np.fromiter((_stable64(str(i)) for i in ids),
+                          dtype=np.uint64, count=len(ids))
+        df = pd.DataFrame({
+            id_col: batch.column(id_col).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            group_col: batch.column(group_col).to_pandas(),
+            "pri": pri})
+        df = df.sort_values(["pri", id_col])
+        cc = df.groupby(group_col, sort=False).cumcount().to_numpy()
+        kv = df[group_col].map(k).fillna(0).to_numpy(dtype=np.int64)
+        return pa.Table.from_pandas(df[cc < kv], preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        kk = k.get(g[group_col].iloc[0], 0)
+        g = g.sort_values(["pri", id_col]).head(kk)
+        return g[[id_col, group_col]]
+
+    return (pruned.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))
