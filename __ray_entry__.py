@@ -953,6 +953,14 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_decontaminate(sf_dir: str):
+    """Decontamination filter: train-split docs with no 8-gram
+    collision against the test split (the cleaned corpus, with
+    source), composed from the contamination inverted index."""
+    from uckg_ray.stages.text import decontaminate
+    return decontaminate(_table(sf_dir, "documents"))
+
+
 def _q_data_mixture(sf_dir: str):
     """Temperature-scaled source mixing table (alpha = 1/2, XLM-R
     style): per-source weight_ppm ∝ isqrt(n_docs) and a
@@ -1291,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_sequences": _q_tool_sequences,
         "conv_neardup": _q_conv_neardup,
         "kg_predicate_stats": _q_kg_predicate_stats,
+        "decontaminate": _q_decontaminate,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
         # -- veterans with driver-green rows in r03+r04 --
@@ -2221,6 +2230,19 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "decontaminate": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(greatest(len(t) - 7, 0)),
+        i -> array_to_string(t[i + 1:i + 8], ' ')))) AS gram FROM toks),
+te AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 != 0),
+flagged AS (
+  SELECT tr.doc_id FROM te JOIN tr ON te.gram = tr.gram
+  GROUP BY te.doc_id, tr.doc_id HAVING count(*) >= 1)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id % 10 != 0
+  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)""",
         "data_mixture": """
 WITH counts AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents

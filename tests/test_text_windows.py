@@ -829,3 +829,22 @@ def test_conv_neardup_composition(ray_session):
     got = {(r["doc_a"], r["doc_b"]) for r in pairs}
     assert got == {(min(ids["conv-a"], ids["conv-b"]),
                     max(ids["conv-a"], ids["conv-b"]))}
+
+
+def test_decontaminate(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.text import decontaminate
+
+    # train docs 1 and 2 collide with test doc 10 on "w x y" → dropped;
+    # train doc 3 is clean → survives; test docs never appear in output
+    ds = ray.data.from_items([
+        {"doc_id": 10, "text": "w x y z q", "source": "bench"},
+        {"doc_id": 20, "text": "p q r", "source": "bench"},
+        {"doc_id": 1, "text": "a w x y z b", "source": "web"},
+        {"doc_id": 2, "text": "w x y c w x y", "source": "web"},
+        {"doc_id": 3, "text": "nothing shared here", "source": "books"},
+    ])
+    got = {(r["doc_id"], r["source"])
+           for r in decontaminate(ds, n=3).take_all()}
+    assert got == {(3, "books")}

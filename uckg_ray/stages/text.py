@@ -1515,3 +1515,72 @@ def conv_texts(turns: Dataset, *, num_partitions: int | None = None,
             .groupby("p").map_groups(
                 lambda t: fold(t.drop_columns(["p"])),
                 batch_format="pyarrow"))
+
+
+def decontaminate(docs: Dataset, *, n: int = 8, probe_mod: int = 10,
+                  min_overlap: int = 1,
+                  num_partitions: int = 32) -> Dataset:
+    """Cleaned training corpus — the decontamination FILTER composed
+    from ``ngram_contamination``'s detector: every train-split doc
+    (``doc_id % probe_mod != 0``) with no ≥ ``min_overlap``
+    distinct-word-``n``-gram collision against the test split
+    survives, as (doc_id, source). The flagged side reduces to
+    distinct train ids (block-local ``np.unique`` is the combiner —
+    the anti-join shuffle moves flagged IDS, never text) and both
+    sides hash-partition on doc_id for a vectorized in-partition
+    ``np.isin`` anti filter (the explicit-partition shape of
+    ``joins.anti_join_keys``, re-stated here because that helper
+    carries only an integer value column, not the string source)."""
+    import numpy as np
+    import pandas as pd
+
+    from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import key_partition_ids
+
+    n_parts = default_num_partitions()
+    flagged = ngram_contamination(docs, n=n, probe_mod=probe_mod,
+                                  min_overlap=min_overlap,
+                                  num_partitions=num_partitions)
+
+    _TAGGED = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                         ("is_left", pa.bool_()), ("p", pa.int32())])
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        ids0 = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids0 % probe_mod != 0))
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": b.column("source").cast(pa.string()),
+            "is_left": pa.array(np.ones(len(ids), bool)),
+            "p": pa.array(key_partition_ids(ids, n_parts), pa.int32())})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "train_doc" not in b.column_names:
+            return _TAGGED.empty_table()
+        ids = np.unique(b.column("train_doc").cast(pa.int64())
+                        .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array([""] * len(ids), pa.string()),
+            "is_left": pa.array(np.zeros(len(ids), bool)),
+            "p": pa.array(key_partition_ids(ids, n_parts), pa.int32())})
+
+    def filter_partition(g: pd.DataFrame) -> pa.Table:
+        lk = g[g["is_left"]]
+        seen = g.loc[~g["is_left"], "doc_id"].to_numpy(np.int64)
+        keep = lk[~np.isin(lk["doc_id"].to_numpy(np.int64), seen)]
+        return pa.table({
+            "doc_id": pa.array(keep["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "source": pa.array(keep["source"].tolist(), pa.string())})
+
+    left = docs.select_columns(["doc_id", "source"]) \
+        .map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    right = flagged.map_batches(tag_right, batch_format="pyarrow",
+                                batch_size=None)
+    return (left.union(right).groupby("p")
+            .map_groups(lambda g: filter_partition(g.drop(columns=["p"])),
+                        batch_format="pandas"))
