@@ -953,6 +953,14 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_window_distinct(sf_dir: str):
+    """Distinct active users + event count per (15-min tumbling window,
+    event_type) — exact two-phase distinct over the triple dedup."""
+    from uckg_ray.stages.windows import window_distinct_users
+    return window_distinct_users(_table(sf_dir, "events"),
+                                 size_minutes=15)
+
+
 def _q_decontaminate(sf_dir: str):
     """Decontamination filter: train-split docs with no 8-gram
     collision against the test split (the cleaned corpus, with
@@ -1300,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_neardup": _q_conv_neardup,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "decontaminate": _q_decontaminate,
+        "window_distinct": _q_window_distinct,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
         # -- veterans with driver-green rows in r03+r04 --
@@ -2230,6 +2239,15 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "window_distinct": """
+WITH e AS (SELECT event_type, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events)
+SELECT (ts_us - ((ts_us % 900000000) + 900000000) % 900000000)
+         AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY 1, 2""",
         "decontaminate": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 g AS (SELECT doc_id, unnest(list_distinct(list_transform(

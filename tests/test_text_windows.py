@@ -848,3 +848,28 @@ def test_decontaminate(ray_session):
     got = {(r["doc_id"], r["source"])
            for r in decontaminate(ds, n=3).take_all()}
     assert got == {(3, "books")}
+
+
+def test_window_distinct_users(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from uckg_ray.stages.windows import window_distinct_users
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:01", "2024-01-01 00:05",   # w0 view: users 1,1
+        "2024-01-01 00:14", "2024-01-01 00:16",   # w0 click u2 / w1 click u2
+        "2024-01-01 00:20",                        # w1 click u3
+    ])
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [1, 1, 2, 2, 3],
+        "event_type": ["view", "view", "click", "click", "click"],
+        "ts": ts.astype("datetime64[us]"), "value": [0.0] * 5}))
+    got = {(r["window_start_us"], r["event_type"]):
+           (r["n_events"], r["n_users"])
+           for r in window_distinct_users(ds, size_minutes=15).take_all()}
+    w0 = int(pd.Timestamp("2024-01-01 00:00").value // 1000)
+    w1 = int(pd.Timestamp("2024-01-01 00:15").value // 1000)
+    assert got == {(w0, "view"): (2, 1), (w0, "click"): (1, 1),
+                   (w1, "click"): (2, 2)}

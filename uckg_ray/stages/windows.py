@@ -613,3 +613,70 @@ def retention_cohorts(events: Dataset, *,
             .groupby(["cohort_day", "day_offset"])
             .aggregate(Sum("n_users", alias_name="n_users"))
             .map_batches(pin, batch_format="pyarrow", batch_size=None))
+
+
+def window_distinct_users(events: Dataset, *,
+                          size_minutes: int = 15) -> Dataset:
+    """Per (tumbling window, event_type) exact event count and distinct
+    user count — ``COUNT(DISTINCT user_id)`` over fixed epoch-aligned
+    windows, the standard reach/audience metric. Two-phase distinct:
+    the block-local (window, type, user) dedup+count is the combiner
+    (shuffle 1 moves distinct triples with partial counts, never raw
+    events); after the global triple Sum every (window, type, user) is
+    one row, so the per-(window, type) roll-up (rows → n_users, summed
+    counts → n_events) runs over the bounded deduped table. Shuffle
+    volume is capped by #windows × #types × #active-users, independent
+    of event count. numpy ``//`` floors, so pre-1970 timestamps align
+    identically to the oracle's sign-safe modulo splice."""
+    import pandas as pd
+
+    w_us = size_minutes * 60 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "window_start_us": (ts // w_us) * w_us,
+            "event_type": batch.column("event_type").to_pandas(),
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False)})
+        g = (df.groupby(["window_start_us", "event_type", "user_id"],
+                        sort=False).size().reset_index(name="n"))
+        return pa.Table.from_pydict({
+            "window_start_us": pa.array(
+                g["window_start_us"].to_numpy(np.int64), pa.int64()),
+            "event_type": g["event_type"].tolist(),
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.schema.names:
+            return pa.table({
+                "window_start_us": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "window_start_us": batch.column("window_start_us").to_pandas(),
+            "event_type": batch.column("event_type").to_pandas(),
+            "n": batch.column("n").to_pandas()})
+        g = (df.groupby(["window_start_us", "event_type"], sort=False)["n"]
+             .agg(n_events="sum", n_users="size").reset_index())
+        return pa.Table.from_pydict({
+            "window_start_us": pa.array(
+                g["window_start_us"].to_numpy(np.int64), pa.int64()),
+            "event_type": g["event_type"].tolist(),
+            "n_events": pa.array(g["n_events"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_users": pa.array(g["n_users"].to_numpy(np.int64),
+                                pa.int64())})
+
+    return (events.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby(["window_start_us", "event_type", "user_id"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(rollup, batch_format="pyarrow", batch_size=None)
+            .groupby(["window_start_us", "event_type"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_users", alias_name="n_users")))
