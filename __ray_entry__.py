@@ -953,6 +953,21 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_kg_degree_hist(sf_dir: str):
+    """Frequency-of-degrees histogram over the canonical edge table
+    (out-degree over distinct edges; hub-skew sanity profile)."""
+    from uckg_ray.stages.graph import degree_histogram
+    return degree_histogram(_distinct_edges_cached(sf_dir))
+
+
+def _q_doc_length_quantiles(sf_dir: str):
+    """Exact per-source document-length quantiles (p50/p90/p99 of
+    n_chars, integer cents) via the shared distributed histogram."""
+    from uckg_ray.stages.relational import grouped_quantiles
+    return grouped_quantiles(_table(sf_dir, "documents"),
+                             group_col="source", value_col="n_chars")
+
+
 def _q_window_distinct(sf_dir: str):
     """Distinct active users + event count per (15-min tumbling window,
     event_type) — exact two-phase distinct over the triple dedup."""
@@ -1309,6 +1324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_stats": _q_kg_predicate_stats,
         "decontaminate": _q_decontaminate,
         "window_distinct": _q_window_distinct,
+        "kg_degree_hist": _q_kg_degree_hist,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
         # -- veterans with driver-green rows in r03+r04 --
@@ -2239,6 +2256,21 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "kg_degree_hist": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+deg AS (SELECT subj, CAST(count(*) AS BIGINT) AS degree
+        FROM edges GROUP BY subj)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree""",
+        "doc_length_quantiles": """
+WITH e AS (SELECT source, CAST(n_chars * 100 AS BIGINT) AS c
+           FROM documents)
+SELECT source, count(*) AS n,
+       CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_c100,
+       CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_c100,
+       CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_c100
+FROM e GROUP BY source""",
         "window_distinct": """
 WITH e AS (SELECT event_type, user_id,
            CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events)

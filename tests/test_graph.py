@@ -166,3 +166,19 @@ def test_predicate_stats(ray_session):
            for r in predicate_stats(
                ray.data.from_items(rows).repartition(3)).take_all()}
     assert got == {"p": (3, 0, 2, 2), "q": (3, 2, 2, 2)}
+
+
+def test_degree_histogram(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.graph import degree_histogram
+
+    edges = ray.data.from_arrow(pa.table({
+        "subj": ["a", "a", "a", "b", "b", "c"],
+        "pred": ["p"] * 6,
+        "obj": ["x", "y", "z", "x", "y", "x"],
+        "obj_is_literal": [False] * 6}))
+    got = {r["degree"]: r["n_nodes"]
+           for r in degree_histogram(edges).take_all()}
+    assert got == {3: 1, 2: 1, 1: 1}

@@ -858,3 +858,46 @@ def predicate_stats(edges: Dataset) -> Dataset:
                            alias_name="n_distinct_subj"),
                        Sum("n_distinct_obj",
                            alias_name="n_distinct_obj")))
+
+
+def degree_histogram(edges: Dataset) -> Dataset:
+    """Frequency-of-degrees profile of the canonical edge table:
+    (degree, n_nodes) with degree = out-degree over DISTINCT edges
+    (same node definition as ``kg_degree_topk``) — the graph-shape
+    Zipf sanity check that surfaces hub explosions before they skew a
+    downstream shuffle.
+
+    Two bounded shuffles, nothing O(edges) on the driver: block-local
+    subj value_counts is the combiner for the per-node degree Sum
+    (shuffle 1, ≤ #distinct-subjects rows), then block-local degree
+    value_counts feeds the tiny (degree → n_nodes) Sum (shuffle 2,
+    ≤ #distinct-degrees rows)."""
+    from ray.data.aggregate import Sum
+
+    def subj_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"subj": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64())})
+        col = b.column("subj")
+        vc = pc.value_counts(col.combine_chunks()
+                             if isinstance(col, pa.ChunkedArray) else col)
+        return pa.table({"subj": vc.field("values"),
+                         "d": vc.field("counts")})
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "d" not in b.schema.names:
+            return pa.table({"degree": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vc = pc.value_counts(b.column("d").combine_chunks()
+                             if isinstance(b.column("d"), pa.ChunkedArray)
+                             else b.column("d"))
+        return pa.table({"degree": vc.field("values").cast(pa.int64()),
+                         "n": vc.field("counts")})
+
+    return (edges.select_columns(["subj"])
+            .map_batches(subj_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("subj").aggregate(Sum("d", alias_name="d"))
+            .map_batches(deg_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("degree").aggregate(Sum("n", alias_name="n_nodes")))
