@@ -953,6 +953,14 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_colloc_topk(sf_dir: str):
+    """Top-100 adjacent-bigram collocations by exact integer Dice
+    association (2c·10⁶ // (c1+c2)), min bigram count 3."""
+    from uckg_ray.stages.text import collocations_topk
+    return collocations_topk(_table(sf_dir, "documents"), min_count=3,
+                             k=100)
+
+
 def _q_kg_degree_hist(sf_dir: str):
     """Frequency-of-degrees histogram over the canonical edge table
     (out-degree over distinct edges; hub-skew sanity profile)."""
@@ -1325,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "window_distinct": _q_window_distinct,
         "kg_degree_hist": _q_kg_degree_hist,
+        "colloc_topk": _q_colloc_topk,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
@@ -2256,6 +2265,19 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "colloc_topk": """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+u AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM u GROUP BY w),
+big AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        FROM toks WHERE len(t) >= 2),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big
+       GROUP BY w1, w2 HAVING count(*) >= 3),
+s AS (SELECT w1, w2, c,
+        CAST(2 * c * 1000000 // (u1.cw + u2.cw) AS BIGINT) AS dice_ppm
+      FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w)
+SELECT w1, w2, c, dice_ppm FROM s
+ORDER BY dice_ppm DESC, w1, w2 LIMIT 100""",
         "kg_degree_hist": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

@@ -873,3 +873,22 @@ def test_window_distinct_users(ray_session):
     w1 = int(pd.Timestamp("2024-01-01 00:15").value // 1000)
     assert got == {(w0, "view"): (2, 1), (w0, "click"): (1, 1),
                    (w1, "click"): (2, 2)}
+
+
+def test_collocations_topk(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.text import collocations_topk
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "new york new york"},
+        {"doc_id": 2, "text": "new jersey"}])
+    rows = collocations_topk(ds, min_count=1, k=10).take_all()
+    got = [(r["w1"], r["w2"], r["c"], r["dice_ppm"]) for r in rows]
+    # dice = 2c*1e6 // (c(w1)+c(w2)): new=3, york=2, jersey=1
+    assert got == [("new", "york", 2, 800000),
+                   ("new", "jersey", 1, 500000),
+                   ("york", "new", 1, 400000)]
+    # k truncation keeps the strongest pair
+    top1 = collocations_topk(ds, min_count=1, k=1).take_all()
+    assert [(r["w1"], r["w2"]) for r in top1] == [("new", "york")]

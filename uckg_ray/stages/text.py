@@ -1584,3 +1584,143 @@ def decontaminate(docs: Dataset, *, n: int = 8, probe_mod: int = 10,
     return (left.union(right).groupby("p")
             .map_groups(lambda g: filter_partition(g.drop(columns=["p"])),
                         batch_format="pandas"))
+
+
+def collocations_topk(docs: Dataset, *, min_count: int = 5, k: int = 100,
+                      num_partitions: int = 32) -> Dataset:
+    """Top-k adjacent-word-bigram collocations by exact integer Dice
+    association — ``dice_ppm = 2·c(w1,w2)·10⁶ // (c(w1) + c(w2))`` —
+    the classic collocation-mining signal (Smadja / NLTK's Dice
+    scorer), integer-exact so the SQL oracle matches bit-for-bit.
+
+    Distributed shape: ONE tokenized scan emits unigram AND bigram
+    block partials into a single tagged stream (all-polars explode, no
+    Python inner loop), so one (kind, w1, w2) Sum groupby aggregates
+    both count tables; bigrams filter to c ≥ min_count BEFORE any
+    join; unigram counts attach via two word-hash co-partition joins
+    (never broadcast — vocabulary is unbounded at corpus scale);
+    scoring is vectorized int64 (2c·10⁶ stays under 2⁶³ for any corpus
+    below ~4.6×10¹² occurrences of one bigram); ranking is per-block
+    partial top-k → one single-partition merge of ≤ k·#blocks rows.
+    Output: (w1, w2, c, dice_ppm), dice desc, ties (w1, w2) asc."""
+    import numpy as np
+    import polars as pl
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (pl.from_arrow(b.select(["text"]))
+             .select(pl.col("text").str.split(" ").alias("t")))
+        uni = (t.select(pl.col("t").explode().alias("w1"))
+               .group_by("w1").len("c")
+               .with_columns(kind=pl.lit(0, pl.Int8),
+                             w2=pl.lit("", pl.String)))
+        L = pl.col("t").list.len()
+        big = (t.filter(L >= 2)
+               .select(pl.col("t").list.slice(0, L - 1).alias("w1"),
+                       pl.col("t").list.slice(1, L - 1).alias("w2"))
+               .explode(["w1", "w2"])
+               .group_by(["w1", "w2"]).len("c")
+               .with_columns(kind=pl.lit(1, pl.Int8)))
+        cols = ["kind", "w1", "w2", "c"]
+        return pl.concat([uni.select(cols), big.select(cols)]) \
+            .with_columns(pl.col("c").cast(pl.Int64)).to_arrow()
+
+    counts = (docs.select_columns(["text"])
+              .map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+              .groupby(["kind", "w1", "w2"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    _TAGGED = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                         ("c", pa.int64()), ("is_b", pa.bool_()),
+                         ("p", pa.int32())])
+
+    def tag(join_word: str):
+        """Partition the aggregated stream on the join word's hash:
+        bigram rows by their w1/w2, unigram rows by their word."""
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "kind" not in b.schema.names:
+                return _TAGGED.empty_table()
+            df = pl.from_arrow(b)
+            is_b = df["kind"] == 1
+            kw = pl.when(pl.col("kind") == 1) \
+                .then(pl.col(join_word)).otherwise(pl.col("w1"))
+            df = df.with_columns(
+                p=(kw.hash(seed=0) % num_partitions).cast(pl.Int32),
+                is_b=is_b)
+            if min_count > 1:
+                df = df.filter(~pl.col("is_b")
+                               | (pl.col("c") >= min_count))
+            return df.select(["w1", "w2", "c", "is_b", "p"]).to_arrow()
+        return f
+
+    _CW1 = ["w1", "w2", "c", "is_b", "cw1"]
+
+    def attach1(part: pa.Table) -> pa.Table:
+        """Attach c(w1) to bigrams; unigram rows flow THROUGH (cw1=0)
+        so the second word-hash exchange can reuse them — the count
+        aggregation executes exactly once."""
+        df = pl.from_arrow(part.drop_columns(["p"]))
+        b = df.filter(pl.col("is_b"))
+        u = df.filter(~pl.col("is_b"))
+        bj = b.join(u.select(pl.col("w1").alias("_w"),
+                             pl.col("c").alias("cw1")),
+                    left_on="w1", right_on="_w", how="inner")
+        u2 = u.with_columns(cw1=pl.lit(0, pl.Int64))
+        return pl.concat([bj.select(_CW1), u2.select(_CW1)]).to_arrow()
+
+    def retag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "is_b" not in b.schema.names:
+            return pa.schema(
+                [("w1", pa.string()), ("w2", pa.string()),
+                 ("c", pa.int64()), ("is_b", pa.bool_()),
+                 ("cw1", pa.int64()), ("p", pa.int32())]).empty_table()
+        df = pl.from_arrow(b)
+        kw = pl.when(pl.col("is_b")) \
+            .then(pl.col("w2")).otherwise(pl.col("w1"))
+        return df.with_columns(
+            p=(kw.hash(seed=0) % num_partitions).cast(pl.Int32)) \
+            .select(_CW1 + ["p"]).to_arrow()
+
+    scored_in = (counts.map_batches(tag("w1"), batch_format="pyarrow",
+                                    batch_size=None)
+                 .groupby("p").map_groups(attach1,
+                                          batch_format="pyarrow")
+                 .map_batches(retag, batch_format="pyarrow",
+                              batch_size=None))
+
+    _OUT = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                      ("c", pa.int64()), ("dice_ppm", pa.int64())])
+
+    def attach2_score(part: pa.Table) -> pa.Table:
+        df = pl.from_arrow(part.drop_columns(["p"]))
+        b = df.filter(pl.col("is_b"))
+        u = df.filter(~pl.col("is_b")) \
+            .select(pl.col("w1").alias("_w"), pl.col("c").alias("cw2"))
+        j = b.join(u, left_on="w2", right_on="_w", how="inner")
+        if j.height == 0:
+            return _OUT.empty_table()
+        c = j["c"].to_numpy().astype(np.int64)
+        den = j["cw1"].to_numpy().astype(np.int64) \
+            + j["cw2"].to_numpy().astype(np.int64)
+        dice = 2 * c * 1_000_000 // den
+        out = pa.table({"w1": pa.array(j["w1"].to_list(), pa.string()),
+                        "w2": pa.array(j["w2"].to_list(), pa.string()),
+                        "c": pa.array(c, pa.int64()),
+                        "dice_ppm": pa.array(dice, pa.int64())})
+        # block-local partial top-k: the single-partition merge sees
+        # at most k rows per partition
+        df2 = out.to_pandas().sort_values(
+            ["dice_ppm", "w1", "w2"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df2.head(k), preserve_index=False)
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "dice_ppm" not in b.schema.names:
+            return _OUT.empty_table()
+        df = b.to_pandas().sort_values(
+            ["dice_ppm", "w1", "w2"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    return (scored_in.groupby("p")
+            .map_groups(attach2_score, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
