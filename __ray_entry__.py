@@ -953,6 +953,14 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_events_outliers(sf_dir: str):
+    """Robust per-type outliers: events with |c − median| > 3·MAD
+    (exact integer cents; median/MAD side broadcast from one row per
+    type)."""
+    from uckg_ray.stages.relational import robust_outliers
+    return robust_outliers(_table(sf_dir, "events"), k_mad=3)
+
+
 def _q_colloc_topk(sf_dir: str):
     """Top-100 adjacent-bigram collocations by exact integer Dice
     association (2c·10⁶ // (c1+c2)), min bigram count 3."""
@@ -1334,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": _q_window_distinct,
         "kg_degree_hist": _q_kg_degree_hist,
         "colloc_topk": _q_colloc_topk,
+        "events_outliers": _q_events_outliers,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
@@ -2265,6 +2274,19 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "events_outliers": """
+WITH e AS (SELECT event_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+med AS (SELECT event_type, CAST(quantile_disc(c, 0.5) AS BIGINT) AS m
+        FROM e GROUP BY event_type),
+mad AS (SELECT e.event_type,
+               CAST(quantile_disc(abs(c - m), 0.5) AS BIGINT) AS d
+        FROM e JOIN med USING (event_type) GROUP BY e.event_type)
+SELECT event_id, e.event_type, c AS value_c100,
+       abs(c - m) AS dev_c100
+FROM e JOIN med USING (event_type) JOIN mad
+  ON e.event_type = mad.event_type
+WHERE abs(c - m) > 3 * d""",
         "colloc_topk": """
 WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
 u AS (SELECT unnest(t) AS w FROM toks),

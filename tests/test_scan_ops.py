@@ -710,3 +710,20 @@ def test_grouped_mad_duckdb_parity(ray_session):
         """).fetchall()}
     assert got == want
     assert got["s"] == (5, 300, 100)
+
+
+def test_robust_outliers(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from uckg_ray.stages.relational import robust_outliers
+
+    # type a: values 1..5 (c100 100..500) → median 300, MAD 100;
+    # 3*MAD band is [0, 600] inclusive-exclusive → 9.99 flags
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 9.99]
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "event_id": range(6), "event_type": ["a"] * 6,
+        "value": vals}))
+    got = [(r["event_id"], r["value_c100"], r["dev_c100"])
+           for r in robust_outliers(ds, k_mad=3).take_all()]
+    assert got == [(5, 999, 699)]

@@ -823,3 +823,53 @@ def grouped_percentile_rank(events: Dataset, *,
                                      batch_size=None)))
     return tagged.groupby("p").map_groups(
         lambda t: attach(t.drop_columns(["p"])), batch_format="pyarrow")
+
+
+def robust_outliers(events: Dataset, *, group_col: str = "event_type",
+                    value_col: str = "value",
+                    k_mad: int = 3) -> Dataset:
+    """Robust per-group outlier flagging: rows whose integer-cent value
+    deviates from the group's exact discrete median by MORE than
+    ``k_mad`` × the group's median absolute deviation — the
+    median/MAD z-score rule that survives the heavy tails a mean/σ
+    rule chokes on. Output: (event_id, group, value_c100, dev_c100).
+
+    Scale shape: the (median, MAD) side comes from ``grouped_mad``'s
+    single-histogram fold and is one row per GROUP — a driver-side
+    ``take_all`` of a #groups-bounded table broadcast into a stateless
+    vectorized filter map (the q5 dictionary-side posture); the event
+    stream itself is read once and never shuffled. All-integer
+    comparison (|c−m| > k·mad), so the SQL oracle matches exactly."""
+    import pandas as pd
+
+    stats = {r[group_col]: (int(r["median_c100"]), int(r["mad_c100"]))
+             for r in grouped_mad(events, group_col=group_col,
+                                  value_col=value_col).take_all()}
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column(group_col)
+        enc = pc.dictionary_encode(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col)
+        uniq = enc.dictionary.to_pylist()
+        med = np.array([stats.get(g, (0, 0))[0] for g in uniq] + [0],
+                       np.int64)
+        mad = np.array([stats.get(g, (0, 0))[1] for g in uniq] + [0],
+                       np.int64)
+        idx = enc.indices
+        if idx.null_count:
+            idx = pc.fill_null(idx, len(uniq))
+        ix = idx.to_numpy(zero_copy_only=False)
+        c = _cents(batch.column(value_col))
+        dev = np.abs(c - med[ix])
+        keep = dev > k_mad * mad[ix]
+        out = batch.filter(pa.array(keep))
+        return pa.table({
+            "event_id": out.column("event_id").cast(pa.int64()),
+            group_col: out.column(group_col),
+            "value_c100": pa.array(c[keep], pa.int64()),
+            "dev_c100": pa.array(dev[keep], pa.int64())})
+
+    return events.map_batches(flag, batch_format="pyarrow")
