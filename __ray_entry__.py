@@ -953,6 +953,13 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_embed_quantize(sf_dir: str):
+    """Symmetric int8 quantization of every embedding (long-format
+    (vec_id, dim, code); exact sign-safe integer truncation)."""
+    from uckg_ray.stages.similarity import quantize_int8
+    return quantize_int8(_table(sf_dir, "embeddings"))
+
+
 def _q_events_outliers(sf_dir: str):
     """Robust per-type outliers: events with |c − median| > 3·MAD
     (exact integer cents; median/MAD side broadcast from one row per
@@ -1343,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_hist": _q_kg_degree_hist,
         "colloc_topk": _q_colloc_topk,
         "events_outliers": _q_events_outliers,
+        "embed_quantize": _q_embed_quantize,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
@@ -2274,6 +2282,18 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "embed_quantize": """
+WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+            AS BIGINT) AS qv
+       FROM embeddings),
+m AS (SELECT vec_id, CAST(max(abs(qv)) AS BIGINT) AS maxq
+      FROM q GROUP BY vec_id)
+SELECT q.vec_id, dim,
+       CAST(CASE WHEN maxq = 0 THEN 0
+            WHEN qv >= 0 THEN (qv * 127) // maxq
+            ELSE -((-qv * 127) // maxq) END AS BIGINT) AS code
+FROM q JOIN m ON q.vec_id = m.vec_id""",
         "events_outliers": """
 WITH e AS (SELECT event_id, event_type,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),

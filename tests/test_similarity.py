@@ -190,3 +190,22 @@ def test_semantic_dedup_row_blocking_identity(ray_session, monkeypatch):
                                     tau_den=100).take_all())
     assert one_block == many_blocks
     assert sum(d for _, _, d in one_block) >= 5
+
+
+def test_quantize_int8(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.similarity import quantize_int8
+
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[0.5, -0.25, 0.1], [0.0, 0.0, 0.0]],
+                              pa.list_(pa.float32()))}))
+    got = {(r["vec_id"], r["dim"]): r["code"]
+           for r in quantize_int8(ds).take_all()}
+    # vec 1: q = (500000, -250000, 100000), max|q| = 500000 →
+    # codes 127, -(250000*127//500000) = -63, 100000*127//500000 = 25
+    assert got == {(1, 1): 127, (1, 2): -63, (1, 3): 25,
+                   (2, 1): 0, (2, 2): 0, (2, 3): 0}

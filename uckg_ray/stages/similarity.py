@@ -576,3 +576,39 @@ def semantic_dedup(emb: Dataset, ivf: "IntegerIVF", *, tau_num: int = 45,
     bucketed = emb.map_batches(ivf.assign_batch, batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(
         per_cluster, batch_format="pyarrow")
+
+
+def quantize_int8(emb: Dataset, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> Dataset:
+    """Per-vector symmetric int8 quantization — the codebook-free
+    compression step before shipping embeddings to an ANN index
+    (4× smaller than float32, dot products within ~1%). Exact-integer
+    contract end-to-end: vectors first quantize to int64 on the
+    ``IntegerIVF`` scale (``floor(x·10⁶ + 0.5)``), then each code is
+    ``sign(q) · (|q| · 127 // max|q|)`` — truncation toward zero spelt
+    out explicitly so numpy and the SQL oracle can't diverge on
+    negative components; an all-zero vector codes to all zeros.
+
+    Stateless vectorized map, zero shuffles; long-format output
+    (vec_id, dim, code) so the driver's value-hash can compare cells
+    without list-column semantics."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        M = _emb_matrix(batch, vec_col)
+        Q = np.floor(M * 1_000_000.0 + 0.5).astype(np.int64)
+        m = np.abs(Q).max(axis=1)
+        safe = np.where(m == 0, 1, m)
+        codes = np.sign(Q) * (np.abs(Q) * 127 // safe[:, None])
+        n, d = Q.shape
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    n), pa.int64()),
+            "code": pa.array(codes.ravel(), pa.int64())})
+
+    return emb.map_batches(partial, batch_format="pyarrow")
