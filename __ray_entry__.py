@@ -953,6 +953,13 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_q6_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast revenue: one filtered scan, scalar
+    integer-cent aggregate (discount band 5–7 cents, qty < 24)."""
+    from uckg_ray.stages.relational import q6_forecast_revenue
+    return q6_forecast_revenue(_table(sf_dir, "lineitem"))
+
+
 def _q_embed_quantize(sf_dir: str):
     """Symmetric int8 quantization of every embedding (long-format
     (vec_id, dim, code); exact sign-safe integer truncation)."""
@@ -1351,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colloc_topk": _q_colloc_topk,
         "events_outliers": _q_events_outliers,
         "embed_quantize": _q_embed_quantize,
+        "q6_revenue": _q_q6_revenue,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
@@ -2282,6 +2290,15 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "q6_revenue": """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_c100,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) < 2400""",
         "embed_quantize": """
 WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)

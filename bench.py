@@ -167,7 +167,10 @@ def run_bench() -> dict:
                  "conv_stats", "bm25_topk", "token_shards",
                  "turn_transitions", "events_mad", "doc_surprisal",
                  "kg_reciprocal", "conv_dedup", "turn_latency",
-                 "tool_sequences"):
+                 "tool_sequences", "data_mixture", "mixture_sample",
+                 "decontaminate", "window_distinct", "kg_degree_hist",
+                 "doc_length_quantiles", "colloc_topk", "events_outliers",
+                 "embed_quantize"):
         # conv_neardup is deliberately NOT in the sweep: a full-corpus
         # conversation-level minhash (~120 s at sf0.1) would dominate
         # the bench wall-time; it stays oracle-checked and unit-tested.

@@ -727,3 +727,27 @@ def test_robust_outliers(ray_session):
     got = [(r["event_id"], r["value_c100"], r["dev_c100"])
            for r in robust_outliers(ds, k_mad=3).take_all()]
     assert got == [(5, 999, 699)]
+
+
+def test_q6_forecast_revenue(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from uckg_ray.stages.relational import q6_forecast_revenue
+
+    li = pd.DataFrame({
+        "l_shipdate": pd.to_datetime(
+            ["1994-06-01", "1994-06-01", "1994-06-01", "1995-06-01"]
+        ).astype("datetime64[us]"),
+        "l_discount": [0.06, 0.06, 0.01, 0.06],  # row 3: band miss
+        "l_extendedprice": [100.0, 200.0, 300.0, 400.0],
+        "l_quantity": [10.0, 30.0, 10.0, 10.0],  # row 2: qty cap miss
+    })
+    rows = q6_forecast_revenue(ray.data.from_pandas(li)).take_all()
+    # only row 0 qualifies: floor(100*0.06*100+0.5) = 600
+    assert rows == [{"revenue_c100": 600, "n_items": 1}]
+    # zero-qualifying input: SUM → NULL, COUNT → 0 (SQL semantics)
+    empty = q6_forecast_revenue(
+        ray.data.from_pandas(li), date_lo="1999-01-01",
+        date_hi="1999-02-01").take_all()
+    assert empty == [{"revenue_c100": None, "n_items": 0}]

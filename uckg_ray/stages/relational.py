@@ -873,3 +873,64 @@ def robust_outliers(events: Dataset, *, group_col: str = "event_type",
             "dev_c100": pa.array(dev[keep], pa.int64())})
 
     return events.map_batches(flag, batch_format="pyarrow")
+
+
+def q6_forecast_revenue(lineitem: Dataset, *,
+                        date_lo: str = "1994-01-01",
+                        date_hi: str = "1995-01-01",
+                        disc_lo_c: int = 5, disc_hi_c: int = 7,
+                        qty_cap_c100: int = 2400) -> Dataset:
+    """TPC-H Q6-shaped forecast-revenue delta: one filtered scan,
+    SUM(extendedprice · discount) in integer cents — the canonical
+    predicate-pushdown + single-aggregate query. All predicates run on
+    integer-cent transforms (discount band in whole cents, quantity
+    cap in cents) and the per-row revenue cents use the same
+    ``floor(x·100 + 0.5)`` double rounding as q5, so the SQL oracle
+    matches bit-for-bit. Output: one row (revenue_c100, n_items);
+    per-block partials make the final aggregate a scalar merge."""
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc_c = np.floor(disc * 100 + 0.5).astype(np.int64)
+        qty_c = _cents(batch.column("l_quantity"))
+        keep = ((ship >= lo) & (ship < hi)
+                & (disc_c >= disc_lo_c) & (disc_c <= disc_hi_c)
+                & (qty_c < qty_cap_c100))
+        price = batch.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        rev = np.floor(price * disc[keep] * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "g": pa.array([0], pa.int32()),
+            "revenue_c100": pa.array([int(rev.sum())], pa.int64()),
+            "n_items": pa.array([int(keep.sum())], pa.int64())})
+
+    def strip(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_items" not in b.schema.names:
+            return pa.table({"revenue_c100": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        n = b.column("n_items").cast(pa.int64())
+        s = b.column("revenue_c100").cast(pa.int64())
+        # SQL SUM over zero qualifying rows is NULL, COUNT(*) is 0
+        s = pc.if_else(pc.equal(n, 0), pa.nulls(b.num_rows, pa.int64()), s)
+        return pa.table({"revenue_c100": s, "n_items": n})
+
+    import ray
+
+    seed = ray.data.from_arrow(pa.table({
+        "g": pa.array([0], pa.int32()),
+        "revenue_c100": pa.array([0], pa.int64()),
+        "n_items": pa.array([0], pa.int64())}))
+    return (lineitem
+            .select_columns(["l_shipdate", "l_discount",
+                             "l_extendedprice", "l_quantity"])
+            .map_batches(prep, batch_format="pyarrow", batch_size=None)
+            .union(seed)
+            .groupby("g")
+            .aggregate(Sum("revenue_c100", alias_name="revenue_c100"),
+                       Sum("n_items", alias_name="n_items"))
+            .map_batches(strip, batch_format="pyarrow", batch_size=None))
