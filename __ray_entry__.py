@@ -953,6 +953,13 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_readability(sf_dir: str):
+    """Per-doc Flesch reading-ease components + fixed-point score
+    (vowel-group syllable approximation, all-integer)."""
+    from uckg_ray.stages.text import readability_scores
+    return readability_scores(_table(sf_dir, "documents"))
+
+
 def _q_q6_revenue(sf_dir: str):
     """TPC-H Q6-shaped forecast revenue: one filtered scan, scalar
     integer-cent aggregate (discount band 5–7 cents, qty < 24)."""
@@ -1359,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": _q_events_outliers,
         "embed_quantize": _q_embed_quantize,
         "q6_revenue": _q_q6_revenue,
+        "readability": _q_readability,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
@@ -2290,6 +2298,19 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "readability": """
+WITH c AS (SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       greatest(CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT),
+                1) AS n_sents,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         AS n_syll
+       FROM documents)
+SELECT doc_id, n_words, n_sents, n_syll,
+       CAST(206835 - (1015 * n_words) // n_sents
+                   - (84600 * n_syll) // n_words AS BIGINT)
+         AS flesch_milli
+FROM c""",
         "q6_revenue": """
 SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
                      AS BIGINT)) AS BIGINT) AS revenue_c100,

@@ -892,3 +892,21 @@ def test_collocations_topk(ray_session):
     # k truncation keeps the strongest pair
     top1 = collocations_topk(ds, min_count=1, k=1).take_all()
     assert [(r["w1"], r["w2"]) for r in top1] == [("new", "york")]
+
+
+def test_readability_scores(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.text import readability_scores
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "The cat sat. It sat well!"},
+        {"doc_id": 2, "text": "word"}])
+    got = {r["doc_id"]: (r["n_words"], r["n_sents"], r["n_syll"],
+                         r["flesch_milli"])
+           for r in readability_scores(ds).take_all()}
+    # doc 1: 6 words, 2 sents, vowel groups: e,a,a,i,a,e = 6
+    # flesch = 206835 - 1015*6//2 - 84600*6//6 = 206835 - 3045 - 84600
+    assert got[1] == (6, 2, 6, 119190)
+    # doc 2: 1 word, sentence floor 1, 1 vowel group
+    assert got[2] == (1, 1, 1, 206835 - 1015 - 84600)

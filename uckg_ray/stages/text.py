@@ -1724,3 +1724,37 @@ def collocations_topk(docs: Dataset, *, min_count: int = 5, k: int = 100,
             .map_groups(attach2_score, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def readability_scores(docs: Dataset) -> Dataset:
+    """Per-document Flesch-reading-ease components and fixed-point
+    score — the classic readability quality gate. Counting contract
+    (identical in the SQL oracle): words = space-split token count,
+    sentences = max(#[.!?] occurrences, 1), syllables = #[aeiouy]+
+    groups in the lowercased text (the standard vowel-group
+    approximation). ``flesch_milli = 206835 − 1015·w//s − 84600·sy//w``
+    — every operand non-negative, so floor and truncating division
+    agree across engines. All-polars (Rust regex) stateless map, zero
+    shuffles. Output: (doc_id, n_words, n_sents, n_syll,
+    flesch_milli)."""
+    import polars as pl
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        out = (df.with_columns(
+            n_words=pl.col("text").str.split(" ").list.len()
+            .cast(pl.Int64),
+            n_sents=pl.max_horizontal(
+                pl.col("text").str.count_matches(r"[.!?]")
+                .cast(pl.Int64), pl.lit(1, pl.Int64)),
+            n_syll=pl.col("text").str.to_lowercase()
+            .str.count_matches(r"[aeiouy]+").cast(pl.Int64))
+            .with_columns(
+                flesch_milli=pl.lit(206835, pl.Int64)
+                - 1015 * pl.col("n_words") // pl.col("n_sents")
+                - 84600 * pl.col("n_syll") // pl.col("n_words"))
+            .drop("text"))
+        return out.to_arrow()
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
