@@ -953,6 +953,16 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_q3_shipping(sf_dir: str):
+    """TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
+    orders by integer-cent lineitem revenue; three bounded exchanges,
+    each input consumed once."""
+    from uckg_ray.stages.relational import q3_shipping_priority
+    return q3_shipping_priority(
+        _table(sf_dir, "lineitem"), _table(sf_dir, "orders"),
+        pq.read_table(os.path.join(sf_dir, "customer.parquet")))
+
+
 def _q_readability(sf_dir: str):
     """Per-doc Flesch reading-ease components + fixed-point score
     (vowel-group syllable approximation, all-integer)."""
@@ -1367,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": _q_embed_quantize,
         "q6_revenue": _q_q6_revenue,
         "readability": _q_readability,
+        "q3_shipping": _q_q3_shipping,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
@@ -2298,6 +2309,23 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "q3_shipping": """
+SELECT l_orderkey, revenue_c100,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+       o_orderpriority
+FROM (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_c100,
+         o_orderdate, o_orderpriority
+  FROM customer, orders, lineitem
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND o_orderdate < TIMESTAMP '1996-06-30'
+    AND l_shipdate > TIMESTAMP '1996-06-30'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority)
+ORDER BY revenue_c100 DESC, o_date_us, l_orderkey LIMIT 10""",
         "readability": """
 WITH c AS (SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

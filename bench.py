@@ -170,7 +170,8 @@ def run_bench() -> dict:
                  "tool_sequences", "data_mixture", "mixture_sample",
                  "decontaminate", "window_distinct", "kg_degree_hist",
                  "doc_length_quantiles", "colloc_topk", "events_outliers",
-                 "embed_quantize", "q6_revenue", "readability"):
+                 "embed_quantize", "q6_revenue", "readability",
+                 "q3_shipping"):
         # conv_neardup is deliberately NOT in the sweep: a full-corpus
         # conversation-level minhash (~120 s at sf0.1) would dominate
         # the bench wall-time; it stays oracle-checked and unit-tested.

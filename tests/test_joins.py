@@ -221,3 +221,34 @@ def test_mixture_sample(ray_session):
     again = {(r["source"], r["doc_id"])
              for r in mixture_sample(ds, budget=50).take_all()}
     assert again == {(r["source"], r["doc_id"]) for r in rows}
+
+
+def test_q3_shipping_priority(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.relational import q3_shipping_priority
+
+    cust = pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                     "c_mktsegment": ["BUILDING", "AUTOMOBILE"]})
+    dt = pd.Timestamp("1996-01-01").to_datetime64()
+    late = pd.Timestamp("1999-01-01").to_datetime64()
+    orders = ray.data.from_pandas(pd.DataFrame({
+        "o_orderkey": [10, 11, 12],
+        "o_custkey": [1, 2, 1],           # 11: wrong segment
+        "o_orderdate": pd.Series([dt, dt, late]).astype("datetime64[us]"),
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"]}))
+    li = ray.data.from_pandas(pd.DataFrame({
+        "l_orderkey": [10, 10, 11, 12],
+        "l_shipdate": pd.Series([late, late, late, late])
+        .astype("datetime64[us]"),
+        "l_extendedprice": [100.0, 50.0, 70.0, 80.0],
+        "l_discount": [0.1, 0.0, 0.0, 0.0]}))
+    rows = q3_shipping_priority(li, orders, cust).take_all()
+    # order 12 fails the date cut, 11 the segment; 10 revenue =
+    # floor(100*0.9*100+0.5) + floor(50*100+0.5) = 9000 + 5000
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["l_orderkey"], r["revenue_c100"],
+            r["o_orderpriority"]) == (10, 14000, "1-URGENT")
+    assert r["o_date_us"] == int(pd.Timestamp("1996-01-01").value // 1000)

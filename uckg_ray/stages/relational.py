@@ -934,3 +934,130 @@ def q6_forecast_revenue(lineitem: Dataset, *,
             .aggregate(Sum("revenue_c100", alias_name="revenue_c100"),
                        Sum("n_items", alias_name="n_items"))
             .map_batches(strip, batch_format="pyarrow", batch_size=None))
+
+
+def q3_shipping_priority(lineitem: Dataset, orders: Dataset,
+                         customer: pa.Table, *,
+                         segment: str = "BUILDING",
+                         cutoff: str = "1996-06-30", k: int = 10,
+                         num_partitions: int | None = None) -> Dataset:
+    """TPC-H Q3 (shipping priority): top-k unshipped orders of one
+    market segment by accumulated lineitem revenue. Revenue is exact
+    integer cents (``floor(p·(1−d)·100 + 0.5)`` per row, float64), the
+    order date rides as int64 epoch-µs, so the SQL oracle value-hashes
+    bit-for-bit.
+
+    Distributed shape (one consumption per dataset, three bounded
+    exchanges): the segment filter collapses customer to a custkey
+    state table that co-partition-attaches onto date-filtered orders
+    (exchange 1 — non-segment orders drop inside the partition task);
+    lineitem pre-aggregates per-order revenue block-locally into ONE
+    orderkey groupby (exchange 2 — the only data-scale shuffle, and it
+    moves (orderkey, cents) pairs, never raw rows); the per-order
+    revenue then attaches back onto the filtered orders (exchange 3,
+    inner ⇒ orders without surviving lineitems drop); ranking is a
+    per-block partial top-k into a single-partition merge. Output:
+    (l_orderkey, revenue_c100, o_date_us, o_orderpriority)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from uckg_ray.stages.dedup import _copartition_attach
+
+    if num_partitions is None:
+        from uckg_ray.config import default_num_partitions
+        num_partitions = default_num_partitions()
+
+    cust = customer.filter(
+        pc.equal(customer.column("c_mktsegment"), segment))
+    cust_state = ray.data.from_arrow(pa.table({
+        "doc_id": cust.column("c_custkey").cast(pa.int64()),
+        "val": pa.array(np.ones(cust.num_rows, np.int64), pa.int64())}))
+    cut = np.datetime64(cutoff)
+
+    def orders_prep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(d < cut))
+        return pa.table({
+            "o_orderkey": f.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": f.column("o_custkey").cast(pa.int64()),
+            "o_date_us": f.column("o_orderdate").cast(pa.int64()),
+            "o_orderpriority": f.column("o_orderpriority")
+            .cast(pa.string())})
+
+    o2 = _copartition_attach(
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate",
+                               "o_orderpriority"])
+        .map_batches(orders_prep, batch_format="pyarrow",
+                     batch_size=None),
+        cust_state, "o_custkey", "seg", pa.int64(),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                   ("o_date_us", pa.int64()),
+                   ("o_orderpriority", pa.string())]),
+        num_partitions)
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(ship > cut))
+        if f.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        ep = f.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dc = f.column("l_discount").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({
+            "l_orderkey": f.column("l_orderkey").cast(pa.int64())
+            .to_numpy(zero_copy_only=False), "c": cents})
+            .groupby("l_orderkey", sort=False)["c"].sum().reset_index())
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64())})
+
+    def rev_state(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_orderkey" not in b.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        return pa.table({"doc_id": b.column("l_orderkey").cast(pa.int64()),
+                         "val": b.column("c").cast(pa.int64())})
+
+    rev = (lineitem.select_columns(["l_orderkey", "l_shipdate",
+                                    "l_extendedprice", "l_discount"])
+           .map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+           .groupby("l_orderkey").aggregate(Sum("c", alias_name="c"))
+           .map_batches(rev_state, batch_format="pyarrow",
+                        batch_size=None))
+
+    joined = _copartition_attach(
+        o2, rev, "o_orderkey", "revenue_c100", pa.int64(),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                   ("o_date_us", pa.int64()),
+                   ("o_orderpriority", pa.string())]),
+        num_partitions)
+
+    _OUT = pa.schema([("l_orderkey", pa.int64()),
+                      ("revenue_c100", pa.int64()),
+                      ("o_date_us", pa.int64()),
+                      ("o_orderpriority", pa.string())])
+
+    def topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "revenue_c100" not in b.schema.names:
+            return _OUT.empty_table()
+        df = pd.DataFrame({
+            "l_orderkey": b.column("o_orderkey").to_pandas()
+            if "o_orderkey" in b.schema.names
+            else b.column("l_orderkey").to_pandas(),
+            "revenue_c100": b.column("revenue_c100").to_pandas(),
+            "o_date_us": b.column("o_date_us").to_pandas(),
+            "o_orderpriority": b.column("o_orderpriority").to_pandas()})
+        df = df.sort_values(["revenue_c100", "o_date_us", "l_orderkey"],
+                            ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(_OUT)
+
+    return (joined.map_batches(topk, batch_format="pyarrow",
+                               batch_size=None)
+            .repartition(1)
+            .map_batches(topk, batch_format="pyarrow", batch_size=None))
