@@ -953,6 +953,14 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_q14_promo(sf_dir: str):
+    """TPC-H Q14 promo revenue share: one partkey co-partition join
+    (part is data-scale — never broadcast), exact integer ppm ratio."""
+    from uckg_ray.stages.relational import q14_promo_share
+    return q14_promo_share(_table(sf_dir, "lineitem"),
+                           _table(sf_dir, "part"))
+
+
 def _q_q3_shipping(sf_dir: str):
     """TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
     orders by integer-cent lineitem revenue; three bounded exchanges,
@@ -1378,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": _q_q6_revenue,
         "readability": _q_readability,
         "q3_shipping": _q_q3_shipping,
+        "q14_promo": _q_q14_promo,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
@@ -2309,6 +2318,21 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "q14_promo": """
+WITH li AS (SELECT l_partkey,
+       CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+            AS BIGINT) AS c
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1996-02-01'),
+j AS (SELECT c, CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+      FROM li JOIN part ON l_partkey = p_partkey)
+SELECT CAST(sum(CASE WHEN promo = 1 THEN c ELSE 0 END) AS BIGINT)
+         AS promo_c100,
+       CAST(sum(c) AS BIGINT) AS total_c100,
+       CAST(sum(CASE WHEN promo = 1 THEN c ELSE 0 END) * 1000000
+            // sum(c) AS BIGINT) AS promo_ppm
+FROM j""",
         "q3_shipping": """
 SELECT l_orderkey, revenue_c100,
        CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,

@@ -252,3 +252,31 @@ def test_q3_shipping_priority(ray_session):
     assert (r["l_orderkey"], r["revenue_c100"],
             r["o_orderpriority"]) == (10, 14000, "1-URGENT")
     assert r["o_date_us"] == int(pd.Timestamp("1996-01-01").value // 1000)
+
+
+def test_q14_promo_share(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.relational import q14_promo_share
+
+    ship = pd.Timestamp("1996-01-15").to_datetime64()
+    out = pd.Timestamp("1997-01-15").to_datetime64()
+    li = ray.data.from_pandas(pd.DataFrame({
+        "l_partkey": [1, 2, 1],
+        "l_shipdate": pd.Series([ship, ship, out])
+        .astype("datetime64[us]"),
+        "l_extendedprice": [100.0, 200.0, 400.0],
+        "l_discount": [0.0, 0.5, 0.0]}))
+    part = ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": ["PROMO", "STANDARD"]}))
+    rows = q14_promo_share(li, part).take_all()
+    # in-window: part 1 (promo) 10000c, part 2 floor(200*0.5*100+.5)=10000c
+    assert rows == [{"promo_c100": 10000, "total_c100": 20000,
+                     "promo_ppm": 500000}]
+    # empty month → SQL NULL semantics
+    empty = q14_promo_share(li, part, date_lo="1999-01-01",
+                            date_hi="1999-02-01").take_all()
+    assert empty == [{"promo_c100": None, "total_c100": None,
+                      "promo_ppm": None}]

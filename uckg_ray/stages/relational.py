@@ -1061,3 +1061,112 @@ def q3_shipping_priority(lineitem: Dataset, orders: Dataset,
                                batch_size=None)
             .repartition(1)
             .map_batches(topk, batch_format="pyarrow", batch_size=None))
+
+
+def q14_promo_share(lineitem: Dataset, part: Dataset, *,
+                    date_lo: str = "1996-01-01",
+                    date_hi: str = "1996-02-01",
+                    promo_type: str = "PROMO",
+                    num_partitions: int | None = None) -> Dataset:
+    """TPC-H Q14-shaped promotion revenue share: the fraction of one
+    month's lineitem revenue that ships promo-typed parts, as an exact
+    integer ppm ratio (``promo·10⁶ // total``) plus both cent
+    components.
+
+    Distributed shape: part is a DATA-SCALE dimension (can't broadcast
+    at 100 TB), so the part-type flag attaches to the date-filtered,
+    column-pruned lineitem rows via ONE partkey co-partition exchange
+    (`_copartition_attach`, unique build keys); revenue cents per row
+    use the shared ``floor(p·(1−d)·100 + 0.5)`` contract; the final
+    aggregate is block-local partials into a seeded scalar merge (SQL
+    NULL semantics on an empty month preserved)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from uckg_ray.stages.dedup import _copartition_attach
+
+    if num_partitions is None:
+        from uckg_ray.config import default_num_partitions
+        num_partitions = default_num_partitions()
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def part_state(b: pa.Table) -> pa.Table:
+        promo = pc.equal(b.column("p_type"), promo_type)
+        return pa.table({
+            "doc_id": b.column("p_partkey").cast(pa.int64()),
+            "val": promo.combine_chunks().cast(pa.int64())
+            if isinstance(promo, pa.ChunkedArray)
+            else promo.cast(pa.int64())})
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array((d >= lo) & (d < hi)))
+        ep = f.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dc = f.column("l_discount").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_partkey": f.column("l_partkey").cast(pa.int64()),
+            "c": pa.array(cents, pa.int64())})
+
+    j = _copartition_attach(
+        lineitem.select_columns(["l_partkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(li_prep, batch_format="pyarrow", batch_size=None),
+        part.select_columns(["p_partkey", "p_type"])
+        .map_batches(part_state, batch_format="pyarrow",
+                     batch_size=None),
+        "l_partkey", "promo", pa.int64(),
+        pa.schema([("l_partkey", pa.int64()), ("c", pa.int64())]),
+        num_partitions)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "promo" not in b.schema.names:
+            return pa.table({"g": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64()),
+                             "promo_c100": pa.array([], pa.int64()),
+                             "total_c100": pa.array([], pa.int64())})
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        promo = b.column("promo").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array([0], pa.int32()),
+            "n": pa.array([len(c)], pa.int64()),
+            "promo_c100": pa.array([int(c[promo == 1].sum())],
+                                   pa.int64()),
+            "total_c100": pa.array([int(c.sum())], pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n" not in b.schema.names:
+            return pa.table({"promo_c100": pa.array([], pa.int64()),
+                             "total_c100": pa.array([], pa.int64()),
+                             "promo_ppm": pa.array([], pa.int64())})
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        pcents = b.column("promo_c100").to_numpy(zero_copy_only=False)
+        tcents = b.column("total_c100").to_numpy(zero_copy_only=False)
+        # SQL: SUM over zero joined rows is NULL (and so is the ratio)
+        if int(n[0]) == 0:
+            return pa.table({"promo_c100": pa.nulls(1, pa.int64()),
+                             "total_c100": pa.nulls(1, pa.int64()),
+                             "promo_ppm": pa.nulls(1, pa.int64())})
+        ppm = int(pcents[0]) * 1_000_000 // int(tcents[0]) \
+            if int(tcents[0]) else None
+        return pa.table({
+            "promo_c100": pa.array([int(pcents[0])], pa.int64()),
+            "total_c100": pa.array([int(tcents[0])], pa.int64()),
+            "promo_ppm": pa.array([ppm], pa.int64())})
+
+    seed = ray.data.from_arrow(pa.table({
+        "g": pa.array([0], pa.int32()),
+        "n": pa.array([0], pa.int64()),
+        "promo_c100": pa.array([0], pa.int64()),
+        "total_c100": pa.array([0], pa.int64())}))
+    return (j.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+            .union(seed)
+            .groupby("g")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("promo_c100", alias_name="promo_c100"),
+                       Sum("total_c100", alias_name="total_c100"))
+            .map_batches(final, batch_format="pyarrow", batch_size=None))
