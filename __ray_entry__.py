@@ -953,6 +953,13 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_events_dow_hour(sf_dir: str):
+    """Temporal heatmap: event count + value sum per (day-of-week,
+    hour) — pure integer epoch arithmetic, ≤ 168 output rows."""
+    from uckg_ray.stages.windows import dow_hour_profile
+    return dow_hour_profile(_table(sf_dir, "events"))
+
+
 def _q_q14_promo(sf_dir: str):
     """TPC-H Q14 promo revenue share: one partkey co-partition join
     (part is data-scale — never broadcast), exact integer ppm ratio."""
@@ -1387,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": _q_readability,
         "q3_shipping": _q_q3_shipping,
         "q14_promo": _q_q14_promo,
+        "events_dow_hour": _q_events_dow_hour,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
@@ -2318,6 +2326,14 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "events_dow_hour": """
+WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+SELECT ((ts_us // 86400000000) % 7 + 7) % 7 AS dow,
+       (ts_us % 86400000000) // 3600000000 AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(c) AS BIGINT) AS sum_value_c100
+FROM e GROUP BY 1, 2""",
         "q14_promo": """
 WITH li AS (SELECT l_partkey,
        CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)

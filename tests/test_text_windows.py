@@ -910,3 +910,21 @@ def test_readability_scores(ray_session):
     assert got[1] == (6, 2, 6, 119190)
     # doc 2: 1 word, sentence floor 1, 1 vowel group
     assert got[2] == (1, 1, 1, 206835 - 1015 - 84600)
+
+
+def test_dow_hour_profile(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from uckg_ray.stages.windows import dow_hour_profile
+
+    # 1970-01-01 was a Thursday → dow 0 under the epoch convention
+    ts = pd.to_datetime(["1970-01-01 05:30",    # dow 0, hour 5
+                         "1970-01-02 05:10",    # dow 1 (Friday), hour 5
+                         "1970-01-01 05:59"])   # dow 0, hour 5
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "ts": ts.astype("datetime64[us]"),
+        "value": [1.0, 2.0, 3.0]}))
+    got = {(r["dow"], r["hour"]): (r["n_events"], r["sum_value_c100"])
+           for r in dow_hour_profile(ds).take_all()}
+    assert got == {(0, 5): (2, 400), (1, 5): (1, 200)}

@@ -680,3 +680,44 @@ def window_distinct_users(events: Dataset, *,
             .groupby(["window_start_us", "event_type"])
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("n_users", alias_name="n_users")))
+
+
+def dow_hour_profile(events: Dataset) -> Dataset:
+    """Temporal activity heatmap: event count and integer-cent value
+    sum per (day-of-week, hour-of-day) — the seasonality profile a
+    traffic/load dashboard draws. Day-of-week is pure integer epoch
+    arithmetic (0 = Thursday 1970-01-01, matching the SQL oracle's
+    identical expression — no engine dayname() conventions to
+    reconcile); timestamps are µs, numpy ``//`` floors and every
+    operand is post-1970 in the fixture so truncation vs floor can't
+    diverge. One block-local partial into a ≤ 7×24-row Sum groupby."""
+    import pandas as pd
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from uckg_ray.stages.relational import _cents
+
+        ts = batch.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        days = ts // DAY_US
+        dow = ((days % 7) + 7) % 7
+        hour = (ts % DAY_US) // 3_600_000_000
+        g = (pd.DataFrame({"dow": dow, "hour": hour,
+                           "c": _cents(batch.column("value"))})
+             .groupby(["dow", "hour"], sort=False)["c"]
+             .agg(n_events="size", sum_value_c100="sum").reset_index())
+        return pa.table({
+            "dow": pa.array(g["dow"].to_numpy(np.int64), pa.int64()),
+            "hour": pa.array(g["hour"].to_numpy(np.int64), pa.int64()),
+            "n_events": pa.array(g["n_events"].to_numpy(np.int64),
+                                 pa.int64()),
+            "sum_value_c100": pa.array(
+                g["sum_value_c100"].to_numpy(np.int64), pa.int64())})
+
+    return (events.select_columns(["ts", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby(["dow", "hour"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_value_c100", alias_name="sum_value_c100")))
