@@ -953,6 +953,17 @@ def _q_events_cube(sf_dir: str):
     return cube_counts(_table(sf_dir, "events"))
 
 
+def _q_q18_big_orders(sf_dir: str):
+    """TPC-H Q18 large-volume customers: HAVING on the distributed
+    per-order quantity aggregate, qualifying set joined back to order
+    and customer attributes, top-100 by total price."""
+    from uckg_ray.stages.relational import q18_large_volume
+    return q18_large_volume(
+        _table(sf_dir, "lineitem"), _table(sf_dir, "orders"),
+        pq.read_table(os.path.join(sf_dir, "customer.parquet")),
+        qty_min_c100=5_000)
+
+
 def _q_events_dow_hour(sf_dir: str):
     """Temporal heatmap: event count + value sum per (day-of-week,
     hour) — pure integer epoch arithmetic, ≤ 168 output rows."""
@@ -1395,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": _q_q3_shipping,
         "q14_promo": _q_q14_promo,
         "events_dow_hour": _q_events_dow_hour,
+        "q18_big_orders": _q_q18_big_orders,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
         "mixture_sample": _q_mixture_sample,
@@ -2326,6 +2338,23 @@ WHERE e1.pred = '{UCO}hasWeakness' AND e2.pred = '{UCO}relatedWeakness'""",
         "kg_owl_entailed": _sql_kg_owl_entailed(p),
         # per-predicate both-directions pair count (symmetry audit);
         # same non-literal/non-type/non-loop filter as the und graph
+        "q18_big_orders": """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_qty_c100
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 5000),
+j AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c100,
+         sum_qty_c100
+  FROM orders JOIN big ON o_orderkey = l_orderkey
+  ORDER BY total_c100 DESC, o_date_us, o_orderkey LIMIT 100)
+SELECT o_orderkey, o_custkey, o_date_us, total_c100, sum_qty_c100,
+       c_name
+FROM j JOIN customer ON o_custkey = c_custkey""",
         "events_dow_hour": """
 WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)

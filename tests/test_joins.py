@@ -280,3 +280,29 @@ def test_q14_promo_share(ray_session):
                             date_hi="1999-02-01").take_all()
     assert empty == [{"promo_c100": None, "total_c100": None,
                       "promo_ppm": None}]
+
+
+def test_q18_large_volume(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.relational import q18_large_volume
+
+    dt = pd.Timestamp("1996-01-01").to_datetime64()
+    li = ray.data.from_pandas(pd.DataFrame({
+        "l_orderkey": [10, 10, 11],
+        "l_quantity": [200.0, 150.0, 100.0]}))  # order 10: 35000c > cap
+    orders = ray.data.from_pandas(pd.DataFrame({
+        "o_orderkey": [10, 11],
+        "o_custkey": [1, 2],
+        "o_orderdate": pd.Series([dt, dt]).astype("datetime64[us]"),
+        "o_totalprice": [999.99, 5.0]}))
+    cust = pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                     "c_name": ["Customer#1", "Customer#2"]})
+    rows = q18_large_volume(li, orders, cust,
+                            qty_min_c100=30_000).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["o_orderkey"], r["o_custkey"], r["total_c100"],
+            r["sum_qty_c100"], r["c_name"]) == (
+        10, 1, 99999, 35000, "Customer#1")

@@ -1170,3 +1170,114 @@ def q14_promo_share(lineitem: Dataset, part: Dataset, *,
                        Sum("promo_c100", alias_name="promo_c100"),
                        Sum("total_c100", alias_name="total_c100"))
             .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def q18_large_volume(lineitem: Dataset, orders: Dataset,
+                     customer: pa.Table, *, qty_min_c100: int = 30_000,
+                     k: int = 100,
+                     num_partitions: int | None = None) -> Dataset:
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    lineitem quantity exceeds a threshold (HAVING on a distributed
+    aggregate), joined back to order and customer attributes, top-k by
+    (o_totalprice desc, o_date asc, orderkey). Quantities and prices
+    are integer cents.
+
+    Distributed shape: lineitem pre-aggregates per-order quantity
+    block-locally into ONE orderkey groupby (the only data-scale
+    shuffle); the HAVING filter runs inside the aggregate's output map
+    BEFORE any join, so only qualifying orders (a tiny fraction)
+    enter the order-attach exchange; customer name attaches to the ≤ k
+    survivors of a partial-top-k merge (third, k-bounded exchange)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from uckg_ray.stages.dedup import _copartition_attach
+
+    if num_partitions is None:
+        from uckg_ray.config import default_num_partitions
+        num_partitions = default_num_partitions()
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        qty = _cents(b.column("l_quantity"))
+        g = (pd.DataFrame({
+            "l_orderkey": b.column("l_orderkey").cast(pa.int64())
+            .to_numpy(zero_copy_only=False), "q": qty})
+            .groupby("l_orderkey", sort=False)["q"].sum().reset_index())
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "q": pa.array(g["q"].to_numpy(np.int64), pa.int64())})
+
+    def having(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_orderkey" not in b.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "sum_qty_c100": pa.array([], pa.int64())})
+        f = b.filter(pc.greater(b.column("q"), qty_min_c100))
+        return pa.table({"l_orderkey": f.column("l_orderkey")
+                         .cast(pa.int64()),
+                         "sum_qty_c100": f.column("q").cast(pa.int64())})
+
+    big = (lineitem.select_columns(["l_orderkey", "l_quantity"])
+           .map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+           .groupby("l_orderkey").aggregate(Sum("q", alias_name="q"))
+           .map_batches(having, batch_format="pyarrow", batch_size=None))
+
+    # attach order attributes: custkey, date, totalprice — packed as a
+    # single struct-free int64 triple would lose the string-free date;
+    # three int64 fields ride as three attaches would re-shuffle, so
+    # pack (custkey, date_us, total_c100) into one state VALUE by
+    # shipping the orders rows as the PAIR side instead: orders is the
+    # stream, the qualifying-order set is the (tiny) state.
+    def big_state(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_orderkey" not in b.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        return pa.table({"doc_id": b.column("l_orderkey"),
+                         "val": b.column("sum_qty_c100")})
+
+    def orders_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            "o_date_us": b.column("o_orderdate").cast(pa.int64()),
+            "total_c100": pa.array(_cents(b.column("o_totalprice")),
+                                   pa.int64())})
+
+    j = _copartition_attach(
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate",
+                               "o_totalprice"])
+        .map_batches(orders_prep, batch_format="pyarrow",
+                     batch_size=None),
+        big.map_batches(big_state, batch_format="pyarrow",
+                        batch_size=None),
+        "o_orderkey", "sum_qty_c100", pa.int64(),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                   ("o_date_us", pa.int64()),
+                   ("total_c100", pa.int64())]),
+        num_partitions)
+
+    _TOP = pa.schema([("o_orderkey", pa.int64()),
+                      ("o_custkey", pa.int64()),
+                      ("o_date_us", pa.int64()),
+                      ("total_c100", pa.int64()),
+                      ("sum_qty_c100", pa.int64())])
+
+    def topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "total_c100" not in b.schema.names:
+            return _TOP.empty_table()
+        df = b.select(_TOP.names).to_pandas().sort_values(
+            ["total_c100", "o_date_us", "o_orderkey"],
+            ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(_TOP)
+
+    top = (j.map_batches(topk, batch_format="pyarrow", batch_size=None)
+           .repartition(1)
+           .map_batches(topk, batch_format="pyarrow", batch_size=None))
+
+    # customer name lookup on the ≤ k survivors (dimension attach)
+    cust_state = ray.data.from_arrow(pa.table({
+        "doc_id": customer.column("c_custkey").cast(pa.int64()),
+        "val": customer.column("c_name").cast(pa.string())}))
+    return _copartition_attach(top, cust_state, "o_custkey", "c_name",
+                               pa.string(), _TOP, num_partitions)
