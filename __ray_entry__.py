@@ -1026,6 +1026,13 @@ def _q_colloc_topk(sf_dir: str):
                              k=100)
 
 
+def _q_kg_class_sizes(sf_dir: str):
+    """VoID class-partition sizes: distinct instances per rdf:type
+    class over the canonical edge table."""
+    from uckg_ray.stages.graph import class_sizes
+    return class_sizes(_distinct_edges_cached(sf_dir))
+
+
 def _q_kg_degree_hist(sf_dir: str):
     """Frequency-of-degrees histogram over the canonical edge table
     (out-degree over distinct edges; hub-skew sanity profile)."""
@@ -1398,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "window_distinct": _q_window_distinct,
         "kg_degree_hist": _q_kg_degree_hist,
+        "kg_class_sizes": _q_kg_class_sizes,
         "colloc_topk": _q_colloc_topk,
         "events_outliers": _q_events_outliers,
         "embed_quantize": _q_embed_quantize,
@@ -2455,6 +2463,11 @@ s AS (SELECT w1, w2, c,
       FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w)
 SELECT w1, w2, c, dice_ppm FROM s
 ORDER BY dice_ppm DESC, w1, w2 LIMIT 100""",
+        "kg_class_sizes": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)}))
+SELECT obj AS class_iri, CAST(count(*) AS BIGINT) AS n_instances
+FROM edges WHERE pred = '{ns.RDF_TYPE}' GROUP BY obj""",
         "kg_degree_hist": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)})),

@@ -182,3 +182,19 @@ def test_degree_histogram(ray_session):
     got = {r["degree"]: r["n_nodes"]
            for r in degree_histogram(edges).take_all()}
     assert got == {3: 1, 2: 1, 1: 1}
+
+
+def test_class_sizes(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray import namespaces as ns
+    from uckg_ray.stages.graph import class_sizes
+
+    edges = ray.data.from_arrow(pa.table({
+        "subj": ["a", "b", "c", "a"],
+        "pred": [ns.RDF_TYPE, ns.RDF_TYPE, ns.RDF_TYPE, "other"],
+        "obj": ["T1", "T1", "T2", "T1"]}))
+    got = {r["class_iri"]: r["n_instances"]
+           for r in class_sizes(edges).take_all()}
+    assert got == {"T1": 2, "T2": 1}

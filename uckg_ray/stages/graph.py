@@ -901,3 +901,29 @@ def degree_histogram(edges: Dataset) -> Dataset:
             .map_batches(deg_partial, batch_format="pyarrow",
                          batch_size=None)
             .groupby("degree").aggregate(Sum("n", alias_name="n_nodes")))
+
+
+def class_sizes(edges: Dataset) -> Dataset:
+    """VoID class-partition sizes: instances per class over the
+    canonical edge table — (class_iri, n_instances) from the
+    ``rdf:type`` edges. Edges are already (s,p,o)-distinct, so the
+    per-class row count IS the distinct-subject count; block-local
+    value_counts is the combiner into a ≤ #classes Sum groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"class_iri": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        f = b.filter(pc.equal(b.column("pred"), ns.RDF_TYPE))
+        col = f.column("obj")
+        vc = pc.value_counts(col.combine_chunks()
+                             if isinstance(col, pa.ChunkedArray) else col)
+        return pa.table({"class_iri": vc.field("values"),
+                         "n": vc.field("counts")})
+
+    return (edges.select_columns(["pred", "obj"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("class_iri")
+            .aggregate(Sum("n", alias_name="n_instances")))
