@@ -306,3 +306,19 @@ def test_q18_large_volume(ray_session):
     assert (r["o_orderkey"], r["o_custkey"], r["total_c100"],
             r["sum_qty_c100"], r["c_name"]) == (
         10, 1, 99999, 35000, "Customer#1")
+
+
+def test_mixture_sample_block_invariance(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.joins import mixture_sample
+
+    src = (["web"] * 60 + ["books"] * 25 + ["code"] * 15)
+    df = pd.DataFrame({"doc_id": range(len(src)), "source": src})
+    one = ray.data.from_pandas(df)
+    many = ray.data.from_pandas(df).repartition(7)
+    s1 = {(r["source"], r["doc_id"])
+          for r in mixture_sample(one, budget=30).take_all()}
+    s7 = {(r["source"], r["doc_id"])
+          for r in mixture_sample(many, budget=30).take_all()}
+    assert s1 == s7 and len(s1) == 30

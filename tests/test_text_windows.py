@@ -928,3 +928,20 @@ def test_dow_hour_profile(ray_session):
     got = {(r["dow"], r["hour"]): (r["n_events"], r["sum_value_c100"])
            for r in dow_hour_profile(ds).take_all()}
     assert got == {(0, 5): (2, 400), (1, 5): (1, 200)}
+
+
+def test_collocations_block_invariance(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.text import collocations_topk
+
+    docs = [{"doc_id": i,
+             "text": f"alpha beta gamma token{i % 7} alpha beta"}
+            for i in range(40)]
+    one = ray.data.from_items(docs)
+    many = ray.data.from_items(docs).repartition(8)
+    k1 = [(r["w1"], r["w2"], r["c"], r["dice_ppm"])
+          for r in collocations_topk(one, min_count=2, k=20).take_all()]
+    k8 = [(r["w1"], r["w2"], r["c"], r["dice_ppm"])
+          for r in collocations_topk(many, min_count=2, k=20).take_all()]
+    assert k1 == k8 and len(k1) > 0
