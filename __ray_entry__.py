@@ -964,6 +964,13 @@ def _q_q18_big_orders(sf_dir: str):
         qty_min_c100=5_000)
 
 
+def _q_events_latest(sf_dir: str):
+    """Latest event per user (CDC/upsert compaction: max ts, ties →
+    max event_id; block-local argmax combiner)."""
+    from uckg_ray.stages.windows import latest_per_key
+    return latest_per_key(_table(sf_dir, "events"))
+
+
 def _q_events_dow_hour(sf_dir: str):
     """Temporal heatmap: event count + value sum per (day-of-week,
     hour) — pure integer epoch arithmetic, ≤ 168 output rows."""
@@ -1414,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": _q_q3_shipping,
         "q14_promo": _q_q14_promo,
         "events_dow_hour": _q_events_dow_hour,
+        "events_latest": _q_events_latest,
         "q18_big_orders": _q_q18_big_orders,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "data_mixture": _q_data_mixture,
@@ -2363,6 +2371,13 @@ j AS (
 SELECT o_orderkey, o_custkey, o_date_us, total_c100, sum_qty_c100,
        c_name
 FROM j JOIN customer ON o_custkey = c_custkey""",
+        "events_latest": """
+SELECT user_id, event_id, ts_us, event_type FROM (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events) WHERE rk = 1""",
         "events_dow_hour": """
 WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)

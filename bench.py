@@ -172,7 +172,7 @@ def run_bench() -> dict:
                  "doc_length_quantiles", "colloc_topk", "events_outliers",
                  "embed_quantize", "q6_revenue", "readability",
                  "q3_shipping", "q14_promo", "events_dow_hour",
-                 "q18_big_orders", "kg_class_sizes"):
+                 "q18_big_orders", "kg_class_sizes", "events_latest"):
         # conv_neardup is deliberately NOT in the sweep: a full-corpus
         # conversation-level minhash (~120 s at sf0.1) would dominate
         # the bench wall-time; it stays oracle-checked and unit-tested.

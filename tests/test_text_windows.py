@@ -945,3 +945,23 @@ def test_collocations_block_invariance(ray_session):
     k8 = [(r["w1"], r["w2"], r["c"], r["dice_ppm"])
           for r in collocations_topk(many, min_count=2, k=20).take_all()]
     assert k1 == k8 and len(k1) > 0
+
+
+def test_latest_per_key(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from uckg_ray.stages.windows import latest_per_key
+
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00",
+                         "2024-01-01 01:00", "2024-01-01 00:30"])
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 8],
+        "event_type": ["a", "b", "c", "d"],
+        "ts": ts.astype("datetime64[us]"),
+        "value": [0.0] * 4}).sample(frac=1, random_state=0))
+    got = {r["user_id"]: (r["event_id"], r["event_type"])
+           for r in latest_per_key(ds).take_all()}
+    # user 7: ties at 01:00 → max event_id (3); user 8: its only row
+    assert got == {7: (3, "c"), 8: (4, "d")}

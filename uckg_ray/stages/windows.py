@@ -721,3 +721,47 @@ def dow_hour_profile(events: Dataset) -> Dataset:
             .groupby(["dow", "hour"])
             .aggregate(Sum("n_events", alias_name="n_events"),
                        Sum("sum_value_c100", alias_name="sum_value_c100")))
+
+
+def latest_per_key(events: Dataset, *, key_col: str = "user_id",
+                   ts_col: str = "ts",
+                   tie_col: str = "event_id") -> Dataset:
+    """Latest-record-per-key compaction — the CDC/upsert-merge
+    primitive that collapses an append-only change log to current
+    state: for every key keep the row with the max timestamp (ties →
+    max ``tie_col``). Block-local argmax per key is the combiner, so
+    the per-key merge sees ≤ 1 row per key per block and the shuffle
+    moves one row per (key, block), independent of log length.
+    Output: (key, event_id, ts_us, event_type)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: batch.column(key_col).to_numpy(
+                zero_copy_only=False),
+            "ts_us": batch.column(ts_col).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            tie_col: batch.column(tie_col).cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "event_type": batch.column("event_type").to_pandas()})
+        df = df.sort_values(["ts_us", tie_col])
+        keep = df.groupby(key_col, sort=False).tail(1)
+        return pa.table({
+            key_col: pa.array(keep[key_col].to_numpy(np.int64),
+                              pa.int64()),
+            tie_col: pa.array(keep[tie_col].to_numpy(np.int64),
+                              pa.int64()),
+            "ts_us": pa.array(keep["ts_us"].to_numpy(np.int64),
+                              pa.int64()),
+            "event_type": pa.array(keep["event_type"].tolist(),
+                                   pa.string())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", tie_col])
+        return g.tail(1)[[key_col, tie_col, "ts_us", "event_type"]]
+
+    return (events.select_columns([key_col, ts_col, tie_col,
+                                   "event_type"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby(key_col).map_groups(merge, batch_format="pandas"))
