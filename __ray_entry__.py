@@ -1033,6 +1033,13 @@ def _q_colloc_topk(sf_dir: str):
                              k=100)
 
 
+def _q_kg_untyped(sf_dir: str):
+    """KG hygiene: subjects with no rdf:type edge (orphan-node audit;
+    distinct-pair combiner + per-subject Max)."""
+    from uckg_ray.stages.graph import untyped_nodes
+    return untyped_nodes(_distinct_edges_cached(sf_dir))
+
+
 def _q_kg_class_sizes(sf_dir: str):
     """VoID class-partition sizes: distinct instances per rdf:type
     class over the canonical edge table."""
@@ -1413,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": _q_window_distinct,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_class_sizes": _q_kg_class_sizes,
+        "kg_untyped": _q_kg_untyped,
         "colloc_topk": _q_colloc_topk,
         "events_outliers": _q_events_outliers,
         "embed_quantize": _q_embed_quantize,
@@ -2478,6 +2486,12 @@ s AS (SELECT w1, w2, c,
       FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w)
 SELECT w1, w2, c, dice_ppm FROM s
 ORDER BY dice_ppm DESC, w1, w2 LIMIT 100""",
+        "kg_untyped": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)}))
+SELECT DISTINCT subj FROM edges
+WHERE subj NOT IN (SELECT subj FROM edges
+                   WHERE pred = '{ns.RDF_TYPE}')""",
         "kg_class_sizes": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
           FROM ({_edges_union(p)}))

@@ -198,3 +198,18 @@ def test_class_sizes(ray_session):
     got = {r["class_iri"]: r["n_instances"]
            for r in class_sizes(edges).take_all()}
     assert got == {"T1": 2, "T2": 1}
+
+
+def test_untyped_nodes(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray import namespaces as ns
+    from uckg_ray.stages.graph import untyped_nodes
+
+    edges = ray.data.from_arrow(pa.table({
+        "subj": ["a", "a", "b", "c"],
+        "pred": [ns.RDF_TYPE, "likes", "likes", ns.RDF_TYPE],
+        "obj": ["T", "b", "a", "T"]})).repartition(3)
+    got = {r["subj"] for r in untyped_nodes(edges).take_all()}
+    assert got == {"b"}

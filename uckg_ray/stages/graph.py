@@ -927,3 +927,42 @@ def class_sizes(edges: Dataset) -> Dataset:
                          batch_size=None)
             .groupby("class_iri")
             .aggregate(Sum("n", alias_name="n_instances")))
+
+
+def untyped_nodes(edges: Dataset) -> Dataset:
+    """KG hygiene audit: subjects that never receive an ``rdf:type``
+    edge — the orphan-node check a loader runs before shipping a
+    graph (untyped nodes break class-partitioned consumers). One
+    bounded exchange: block-local distinct (subj, is_typed) pairs are
+    the combiner, a per-subject Max collapses them, and the untyped
+    survivors filter out vectorized. Output: (subj) rows."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"subj": pa.array([], pa.string()),
+                             "t": pa.array([], pa.int64())})
+        typed = pc.equal(b.column("pred"), ns.RDF_TYPE)
+        df = pd.DataFrame({
+            "subj": b.column("subj").to_pandas(),
+            "t": typed.to_pandas().astype("int64")})
+        g = df.groupby("subj", sort=False)["t"].max().reset_index()
+        return pa.table({"subj": pa.array(g["subj"].tolist(),
+                                          pa.string()),
+                         "t": pa.array(g["t"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    def keep_untyped(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "t" not in b.schema.names:
+            return pa.table({"subj": pa.array([], pa.string())})
+        f = b.filter(pc.equal(b.column("t"), 0))
+        return pa.table({"subj": f.column("subj").cast(pa.string())})
+
+    return (edges.select_columns(["subj", "pred"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("subj").aggregate(Max("t", alias_name="t"))
+            .map_batches(keep_untyped, batch_format="pyarrow",
+                         batch_size=None))
