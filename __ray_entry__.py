@@ -1349,6 +1349,63 @@ def _q_tool_sequences(sf_dir: str):
     return tool_sequences(_rd_turns(sf_dir))
 
 
+def _q_q10_returns(sf_dir: str):
+    """TPC-H Q10 returned-item report: top-20 customers by revenue lost
+    to R-flag lineitems in one quarter; date filter as semi-join in an
+    orderkey co-partition attach, customer attrs packed into one
+    exchange."""
+    from uckg_ray.stages.relational import q10_returned_revenue
+    return q10_returned_revenue(
+        _table(sf_dir, "lineitem"), _table(sf_dir, "orders"),
+        pq.read_table(os.path.join(sf_dir, "customer.parquet")))
+
+
+def _q_q4_priority(sf_dir: str):
+    """TPC-H Q4-shaped order-priority check: orders with ≥ 1 lineitem
+    shipped after the order date, counted per priority (EXISTS
+    semi-join via one co-partition attach + distinct-orderkey
+    combiner)."""
+    from uckg_ray.stages.relational import q4_order_priority
+    return q4_order_priority(_table(sf_dir, "lineitem"),
+                             _table(sf_dir, "orders"))
+
+
+def _q_profile_stats(sf_dir: str):
+    """Ingest data-profiling audit: per-column n_rows / n_null / exact
+    n_distinct / min / max over the event log (block-local stat folds;
+    the only exchange moves block-distinct (column, value) pairs)."""
+    from uckg_ray.stages.relational import profile_columns
+    return profile_columns(_table(sf_dir, "events"))
+
+
+def _q_cap_per_source(sf_dir: str):
+    """Per-source corpus cap (≤ 30 docs per source, deterministic
+    Knuth-hash rank): block-local k-smallest combiner, merge sees ≤ cap
+    rows per source per block."""
+    from uckg_ray.stages.joins import cap_per_group
+    return cap_per_group(_table(sf_dir, "documents"),
+                         group_col="source", id_col="doc_id", cap=30)
+
+
+def _q_mention_lift(sf_dir: str):
+    """Entity co-mention association lift over transcript mentions
+    (exact integer ppm; one materialized incidence pass feeds pairs,
+    entity counts and the conv count; vocabulary never broadcast)."""
+    from uckg_ray.stages.extract import extract_mentions
+    from uckg_ray.stages.graph import comention_lift
+    m = _rd_turns(sf_dir, columns=["conv_id", "turn_idx", "text"]) \
+        .map_batches(extract_mentions, batch_format="pyarrow")
+    return comention_lift(m, min_pairs=2)
+
+
+def _q_turn_dupes(sf_dir: str):
+    """Within-conversation repeated-turn audit: conversations whose
+    transcript repeats a turn text (n_turns vs distinct texts); only
+    md5 partials shuffle, never the text."""
+    from uckg_ray.stages.text import turn_dupe_stats
+    return turn_dupe_stats(_rd_turns(sf_dir, columns=["conv_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters for evidence: the driver's correctness gate
     # samples the FIRST 50 entries (r03/r04 both checked the identical
@@ -1485,6 +1542,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_stats": _q_user_event_stats,
         "events_pivot": _q_events_pivot,
         "order_join": _q_order_join,
+        # -- round-5 final-session additions --
+        "q10_returns": _q_q10_returns,
+        "q4_priority": _q_q4_priority,
+        "profile_stats": _q_profile_stats,
+        "cap_per_source": _q_cap_per_source,
+        "mention_lift": _q_mention_lift,
+        "turn_dupes": _q_turn_dupes,
     }
 
 
@@ -3180,6 +3244,82 @@ SELECT user_id,
                 ('click','view','error','purchase','signup')
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_other
 FROM events GROUP BY user_id""",
+        "q10_returns": """
+WITH li AS (SELECT l_orderkey,
+       CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+            AS BIGINT) AS c
+       FROM lineitem WHERE l_returnflag = 'R'),
+o AS (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'),
+r AS (SELECT o_custkey AS c_custkey,
+             CAST(sum(c) AS BIGINT) AS revenue_c100
+      FROM li JOIN o ON l_orderkey = o_orderkey GROUP BY 1
+      ORDER BY revenue_c100 DESC, c_custkey LIMIT 20)
+SELECT r.c_custkey, revenue_c100, c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c100
+FROM r JOIN customer ON r.c_custkey = customer.c_custkey""",
+        "q4_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM (
+  SELECT DISTINCT o_orderkey, o_orderpriority
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+    AND l_shipdate > o_orderdate)
+GROUP BY 1""",
+        "profile_stats": """
+WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           user_id, CAST(floor(value * 100 + 0.5) AS BIGINT)
+             AS value_c100, event_type FROM events)
+SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS BIGINT) AS min_v,
+       CAST(max(event_id) AS BIGINT) AS max_v FROM e
+UNION ALL
+SELECT 'ts_us', count(*), count(*) - count(ts_us),
+       count(DISTINCT ts_us), min(ts_us), max(ts_us) FROM e
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id), min(user_id), max(user_id) FROM e
+UNION ALL
+SELECT 'value_c100', count(*), count(*) - count(value_c100),
+       count(DISTINCT value_c100), min(value_c100), max(value_c100)
+FROM e
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT) FROM e""",
+        "cap_per_source": """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+  FROM documents) WHERE rk <= 30""",
+        "mention_lift": f"""
+WITH m AS ({_mentions_cte(p)}),
+inc AS (SELECT DISTINCT conv_id, ent_id FROM m),
+n AS (SELECT count(DISTINCT conv_id) AS n_convs FROM inc),
+ec AS (SELECT ent_id, CAST(count(*) AS BIGINT) AS n_ent
+       FROM inc GROUP BY 1),
+pr AS (SELECT a.ent_id AS ent_a, b.ent_id AS ent_b,
+              CAST(count(*) AS BIGINT) AS n_ab
+       FROM inc a JOIN inc b
+         ON a.conv_id = b.conv_id AND a.ent_id < b.ent_id
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT ent_a, ent_b, n_ab, ea.n_ent AS n_a, eb.n_ent AS n_b,
+       CAST(n_ab * n.n_convs * 1000000 // (ea.n_ent * eb.n_ent)
+            AS BIGINT) AS lift_ppm
+FROM pr CROSS JOIN n
+JOIN ec ea ON pr.ent_a = ea.ent_id
+JOIN ec eb ON pr.ent_b = eb.ent_id""",
+        "turn_dupes": f"""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dupes
+FROM read_parquet('{p['T']}') GROUP BY conv_id
+HAVING count(*) > count(DISTINCT text)""",
         "order_join": """
 SELECT o.o_orderstatus, count(*) AS n_items,
        CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -213,3 +213,23 @@ def test_untyped_nodes(ray_session):
         "obj": ["T", "b", "a", "T"]})).repartition(3)
     got = {r["subj"] for r in untyped_nodes(edges).take_all()}
     assert got == {"b"}
+
+
+def test_comention_lift(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from uckg_ray.stages.graph import comention_lift
+
+    # 4 convs; A+B co-occur in 2, A+C in 1 (below min_pairs)
+    m = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2", "c3", "c3", "c4"],
+        "ent_id":  ["A",  "B",  "B",  "A",  "B",  "A",  "C",  "D"]})
+    ds = ray.data.from_pandas(m).repartition(3)
+    rows = comention_lift(ds, min_pairs=2).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["ent_a"], r["ent_b"], r["n_ab"]) == ("A", "B", 2)
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    # lift = 2 * 4 convs * 1e6 // (3*2)
+    assert r["lift_ppm"] == 2 * 4 * 1_000_000 // 6

@@ -322,3 +322,88 @@ def test_mixture_sample_block_invariance(ray_session):
     s7 = {(r["source"], r["doc_id"])
           for r in mixture_sample(many, budget=30).take_all()}
     assert s1 == s7 and len(s1) == 30
+
+
+def test_q10_returned_revenue(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.relational import q10_returned_revenue
+
+    dt = pd.Timestamp("1996-02-01").to_datetime64()
+    out = pd.Timestamp("1997-02-01").to_datetime64()
+    orders = ray.data.from_pandas(pd.DataFrame({
+        "o_orderkey": [10, 11, 12],
+        "o_custkey": [1, 2, 1],
+        # order 12 is outside the quarter → its R lines don't count
+        "o_orderdate": pd.Series([dt, dt, out]).astype("datetime64[us]")}))
+    li = ray.data.from_pandas(pd.DataFrame({
+        "l_orderkey": [10, 10, 11, 12],
+        "l_returnflag": ["R", "N", "R", "R"],
+        "l_extendedprice": [100.0, 999.0, 50.0, 77.0],
+        "l_discount": [0.1, 0.0, 0.0, 0.0]}))
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": ["Customer#1", "Customer#2"],
+        "c_nationkey": pa.array([7, 8], pa.int32()),
+        "c_acctbal": [12.345, -3.005]})
+    rows = q10_returned_revenue(li, orders, cust).take_all()
+    got = {r["c_custkey"]: r for r in rows}
+    # cust 1: only order 10's R line: floor(100*0.9*100+0.5) = 9000
+    assert got[1]["revenue_c100"] == 9000
+    assert got[1]["c_name"] == "Customer#1"
+    assert got[1]["c_nationkey"] == 7
+    assert got[1]["acctbal_c100"] == 1235   # floor(12.345*100+0.5)
+    assert got[2]["revenue_c100"] == 5000
+    # top-k cut honored
+    only_top = q10_returned_revenue(li, orders, cust, k=1).take_all()
+    assert [r["c_custkey"] for r in only_top] == [1]
+
+
+def test_q4_order_priority(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.relational import q4_order_priority
+
+    d1 = pd.Timestamp("1996-01-10").to_datetime64()
+    out = pd.Timestamp("1995-01-10").to_datetime64()
+    orders = ray.data.from_pandas(pd.DataFrame({
+        "o_orderkey": [10, 11, 12, 13],
+        "o_orderdate": pd.Series([d1, d1, d1, out])
+        .astype("datetime64[us]"),
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH",
+                            "1-URGENT"]}))
+    late = pd.Timestamp("1996-03-01").to_datetime64()
+    same = pd.Timestamp("1996-01-10").to_datetime64()
+    li = ray.data.from_pandas(pd.DataFrame({
+        # order 10: two late lines (counted once); 11: on-time only;
+        # 12: one late; 13: late but outside the order-date window
+        "l_orderkey": [10, 10, 11, 12, 13],
+        "l_shipdate": pd.Series([late, late, same, late, late])
+        .astype("datetime64[us]")}))
+    rows = q4_order_priority(li, orders).take_all()
+    got = {r["o_orderpriority"]: r["order_count"] for r in rows}
+    assert got == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_cap_per_group_deterministic(ray_session):
+    import ray.data
+
+    from uckg_ray.partitioning import knuth32
+    from uckg_ray.stages.joins import cap_per_group
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "source": [f"src{i % 3}" for i in range(300)],
+        "doc_id": np.arange(300, dtype=np.int64)})
+    # many small blocks: the block-local partial must still yield the
+    # global per-group k-smallest
+    ds = ray.data.from_pandas(df).repartition(13)
+    rows = cap_per_group(ds, group_col="source", id_col="doc_id",
+                         cap=7).take_all()
+    exp = df.assign(h=knuth32(df.doc_id.to_numpy()).astype(np.int64))
+    exp = (exp.sort_values(["h", "doc_id"]).groupby("source").head(7))
+    assert {(r["source"], r["doc_id"]) for r in rows} == \
+        set(zip(exp["source"], exp["doc_id"]))
+    assert all(sum(1 for r in rows if r["source"] == s) == 7
+               for s in ("src0", "src1", "src2"))

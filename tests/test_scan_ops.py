@@ -751,3 +751,30 @@ def test_q6_forecast_revenue(ray_session):
         ray.data.from_pandas(li), date_lo="1999-01-01",
         date_hi="1999-02-01").take_all()
     assert empty == [{"revenue_c100": None, "n_items": 0}]
+
+
+def test_profile_columns(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from uckg_ray.stages.relational import profile_columns
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-02"])
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": [5, 5, 6],
+        "event_type": ["a", "b", "b"],
+        "value": [1.004, 1.004, -2.0]})).repartition(3)
+    rows = {r["col_name"]: r for r in profile_columns(ds).take_all()}
+    assert rows["event_id"]["n_rows"] == 3
+    assert rows["event_id"]["n_distinct"] == 3
+    assert rows["event_id"]["min_v"] == 1
+    assert rows["event_id"]["max_v"] == 3
+    assert rows["user_id"]["n_distinct"] == 2
+    assert rows["value_c100"]["n_distinct"] == 2      # 100, 100, -200
+    assert rows["value_c100"]["min_v"] == -200
+    assert rows["event_type"]["n_distinct"] == 2
+    assert rows["event_type"]["min_v"] is None
+    assert rows["ts_us"]["n_distinct"] == 2
+    assert all(r["n_null"] == 0 for r in rows.values())

@@ -965,3 +965,21 @@ def test_latest_per_key(ray_session):
            for r in latest_per_key(ds).take_all()}
     # user 7: ties at 01:00 → max event_id (3); user 8: its only row
     assert got == {7: (3, "c"), 8: (4, "d")}
+
+
+def test_turn_dupe_stats(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from uckg_ray.stages.text import turn_dupe_stats
+
+    t = pd.DataFrame({
+        "conv_id": ["c1"] * 4 + ["c2"] * 2,
+        "text": ["hi", "hi", "ok", "hi", "x", "y"]})
+    # conv split across blocks: partials must merge before counting
+    ds = ray.data.from_pandas(t).repartition(4)
+    rows = turn_dupe_stats(ds).take_all()
+    assert len(rows) == 1          # c2 has no dupes
+    r = rows[0]
+    assert (r["conv_id"], r["n_turns"], r["n_distinct_texts"],
+            r["n_dupes"]) == ("c1", 4, 2, 2)

@@ -48,3 +48,13 @@ def knuth_mod100(ids: np.ndarray) -> np.ndarray:
     so the % 2**32 result is identical even under wraparound."""
     return ((ids.astype(np.uint64) * np.uint64(KNUTH))
             % np.uint64(1 << 32)) % np.uint64(100)
+
+
+def knuth32(ids: np.ndarray) -> np.ndarray:
+    """Full-width deterministic shuffle key ``(id * KNUTH) % 2**32`` —
+    the tie-poor ordering hash behind per-group cap sampling (the
+    mod-100 bucket of :func:`knuth_mod100` has only 100 distinct
+    values, far too coarse to ORDER BY). Same uint64-wraparound
+    argument: exact for any int64 id."""
+    return ((ids.astype(np.uint64) * np.uint64(KNUTH))
+            % np.uint64(1 << 32))

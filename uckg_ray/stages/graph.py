@@ -966,3 +966,169 @@ def untyped_nodes(edges: Dataset) -> Dataset:
             .groupby("subj").aggregate(Max("t", alias_name="t"))
             .map_batches(keep_untyped, batch_format="pyarrow",
                          batch_size=None))
+
+
+def comention_lift(mentions: Dataset, *, min_pairs: int = 2,
+                   num_partitions: int | None = None) -> Dataset:
+    """Entity co-mention association over the transcript mention
+    stream: for every entity pair appearing together in ≥ ``min_pairs``
+    conversations, the exact integer lift ratio
+    ``lift_ppm = n_ab · n_convs · 10⁶ // (n_a · n_b)`` (> 10⁶ means the
+    pair co-occurs more than independent mention rates predict) — the
+    edge-weighting signal a KG-construction pass uses to prune
+    coincidental co-mentions before emitting relatedTo edges.
+    Output: (ent_a, ent_b, n_ab, n_a, n_b, lift_ppm), ent_a < ent_b.
+
+    Distributed shape: the distinct (conv, ent) incidence set is
+    reduced in-block, co-located by ONE conv-hash exchange and
+    MATERIALIZED once (bounded: distinct mentions, far below turn
+    count) so pairs, per-entity counts and the conv count all derive
+    from a single extraction pass; per-conv pairs explode only within
+    a partition task (fan-out ≤ per-conv distinct entities, a small
+    set by construction); pair counts flow through one packed-key
+    groupby; per-entity counts attach to the ≥ min_pairs survivors by
+    a string-keyed co-partition union join (two bounded exchanges of
+    the pair table, never a broadcast of the vocabulary)."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    if num_partitions is None:
+        from uckg_ray.config import default_num_partitions
+        num_partitions = default_num_partitions()
+
+    def incidence(b: pa.Table) -> pa.Table:
+        t = (pl.from_arrow(b.select(["conv_id", "ent_id"]))
+             .unique().to_arrow())
+        return _add_hash_partition(
+            t.cast(pa.schema([("conv_id", pa.string()),
+                              ("ent_id", pa.string())])),
+            num_partitions, col="conv_id")
+
+    def part_distinct(part: pa.Table) -> pa.Table:
+        return (pl.from_arrow(part.select(["conv_id", "ent_id"]))
+                .unique().to_arrow()
+                .cast(pa.schema([("conv_id", pa.string()),
+                                 ("ent_id", pa.string())])))
+
+    # one extraction pass feeds pairs, entity counts and the conv count
+    inc = (mentions.map_batches(incidence, batch_format="pyarrow",
+                                batch_size=None)
+           .groupby("p").map_groups(
+               lambda t: part_distinct(t.drop_columns(["p"])),
+               batch_format="pyarrow")
+           .materialize())
+
+    n_convs = int(inc.groupby("conv_id").count().count())
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        j = df.join(df, on="conv_id", suffix="_r")
+        j = (j.filter(pl.col("ent_id") < pl.col("ent_id_r"))
+             .group_by("ent_id", "ent_id_r").len()
+             .with_columns((pl.col("ent_id") + "\x1f"
+                            + pl.col("ent_id_r")).alias("k"))
+             .select(["k", pl.col("len").cast(pl.Int64).alias("n")]))
+        return j.to_arrow().cast(pa.schema([("k", pa.string()),
+                                            ("n", pa.int64())]))
+
+    pairs = (inc.map_batches(pair_partial, batch_format="pyarrow",
+                             batch_size=None)
+             .groupby("k").aggregate(Sum("n", alias_name="n_ab")))
+
+    ent_counts = (inc.map_batches(
+        lambda b: (pl.from_arrow(b).group_by("ent_id").len()
+                   .select([pl.col("ent_id"),
+                            pl.col("len").cast(pl.Int64).alias("n")])
+                   .to_arrow().cast(pa.schema([("ent_id", pa.string()),
+                                               ("n", pa.int64())]))),
+        batch_format="pyarrow", batch_size=None)
+        .groupby("ent_id").aggregate(Sum("n", alias_name="n_ent")))
+
+    _PAIR = pa.schema([("ent_a", pa.string()), ("ent_b", pa.string()),
+                       ("n_ab", pa.int64())])
+
+    def unpack_filter(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_ab" not in b.schema.names:
+            return _PAIR.empty_table()
+        import pyarrow.compute as pc
+        b = b.filter(pc.greater_equal(b.column("n_ab"), min_pairs))
+        ks = [s.split("\x1f", 1) for s in b.column("k").to_pylist()]
+        return pa.table({
+            "ent_a": pa.array([x[0] for x in ks], pa.string()),
+            "ent_b": pa.array([x[1] for x in ks], pa.string()),
+            "n_ab": b.column("n_ab").cast(pa.int64())})
+
+    surv = pairs.map_batches(unpack_filter, batch_format="pyarrow",
+                             batch_size=None)
+
+    def attach(stream: Dataset, key: str, out: str,
+               schema: pa.Schema) -> Dataset:
+        """String-keyed unique-lookup co-partition join: union the pair
+        stream (side 0) with the (ent_id, n_ent) state (side 1), hash-
+        partition on the key, resolve per partition with one polars
+        join."""
+        out_schema = pa.schema(list(schema) + [pa.field(out, pa.int64())])
+
+        def prep_pairs(b: pa.Table) -> pa.Table:
+            cols = {c: b.column(c) for c in schema.names}
+            cols["_n"] = pa.nulls(b.num_rows, pa.int64())
+            cols["_side"] = pa.array(np.zeros(b.num_rows, np.int8),
+                                     pa.int8())
+            return _add_hash_partition(pa.table(cols), num_partitions,
+                                       col=key)
+
+        def prep_state(b: pa.Table) -> pa.Table:
+            cols = {}
+            for c in schema.names:
+                if c == key:
+                    cols[c] = b.column("ent_id").cast(pa.string())
+                else:
+                    cols[c] = pa.nulls(b.num_rows, schema.field(c).type)
+            cols["_n"] = b.column("n_ent").cast(pa.int64())
+            cols["_side"] = pa.array(np.ones(b.num_rows, np.int8),
+                                     pa.int8())
+            return _add_hash_partition(pa.table(cols), num_partitions,
+                                       col=key)
+
+        def resolve(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0 or "_side" not in part.column_names:
+                return out_schema.empty_table()
+            df = pl.from_arrow(part)
+            pr = df.filter(pl.col("_side") == 0)
+            st = (df.filter(pl.col("_side") == 1)
+                  .select([pl.col(key),
+                           pl.col("_n").alias(out)]))
+            if pr.height == 0:
+                return out_schema.empty_table()
+            j = pr.select(schema.names).join(st, on=key, how="inner")
+            return j.select(out_schema.names).to_arrow() \
+                .cast(out_schema)
+
+        u = (stream.map_batches(prep_pairs, batch_format="pyarrow",
+                                batch_size=None)
+             .union(ent_counts.map_batches(prep_state,
+                                           batch_format="pyarrow",
+                                           batch_size=None)))
+        return u.groupby("p").map_groups(
+            lambda t: resolve(t.drop_columns(["p"])),
+            batch_format="pyarrow")
+
+    with_a = attach(surv, "ent_a", "n_a", _PAIR)
+    with_b = attach(with_a, "ent_b", "n_b",
+                    pa.schema(list(_PAIR) + [pa.field("n_a",
+                                                      pa.int64())]))
+
+    def lift(b: pa.Table) -> pa.Table:
+        na = b.column("n_a").to_numpy(zero_copy_only=False)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False)
+        nab = b.column("n_ab").to_numpy(zero_copy_only=False)
+        ppm = (nab.astype(object) * n_convs * 1_000_000) // \
+            (na.astype(object) * nb.astype(object))
+        return b.append_column(
+            "lift_ppm", pa.array([int(x) for x in ppm], pa.int64()))
+
+    return with_b.map_batches(lift, batch_format="pyarrow",
+                              batch_size=None)

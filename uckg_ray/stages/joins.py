@@ -691,3 +691,43 @@ def mixture_sample(docs: Dataset, *, group_col: str = "source",
     return (pruned.map_batches(partial, batch_format="pyarrow",
                                batch_size=None)
             .groupby(group_col).map_groups(merge, batch_format="pandas"))
+
+
+def cap_per_group(ds: Dataset, *, group_col: str, id_col: str,
+                  cap: int) -> Dataset:
+    """Per-group document cap — the "at most N docs per source/domain"
+    curation rule applied before corpus mixing. Deterministic and
+    seed-free: within each group, rows rank by the full-width Knuth
+    hash of their id (ties → min id) and only the first ``cap``
+    survive, so reruns and resharded inputs select the identical set.
+    Output: the kept (group, id) pairs. ≡ SQL ``row_number() OVER
+    (PARTITION BY g ORDER BY (id*2654435761)%4294967296, id) <= cap``.
+
+    Scale shape: the block-local partial keeps ≤ cap rows per group
+    per block (the same k-smallest combiner as topk_per_group), so the
+    groupby merge shuffles ≤ cap · #blocks rows per group — never the
+    corpus; a hot group costs one task the final cap-row selection."""
+    import pandas as pd
+
+    from uckg_ray.partitioning import knuth32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.is_valid(batch.column(id_col)))
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            group_col: batch.column(group_col).to_numpy(
+                zero_copy_only=False),
+            id_col: ids, "_h": knuth32(ids).astype(np.int64)})
+        df = df.sort_values([group_col, "_h", id_col])
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(cap),
+            preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col]).head(cap)
+        return g[[group_col, id_col]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))

@@ -1281,3 +1281,348 @@ def q18_large_volume(lineitem: Dataset, orders: Dataset,
         "val": customer.column("c_name").cast(pa.string())}))
     return _copartition_attach(top, cust_state, "o_custkey", "c_name",
                                pa.string(), _TOP, num_partitions)
+
+
+def q10_returned_revenue(lineitem: Dataset, orders: Dataset,
+                         customer: pa.Table, *,
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01",
+                         k: int = 20,
+                         num_partitions: int | None = None) -> Dataset:
+    """TPC-H Q10-shaped returned-item report: per-customer revenue lost
+    to returned lineitems (``l_returnflag = 'R'``) for orders placed in
+    one quarter, top-k customers by revenue (ties → min custkey), with
+    customer attributes attached. Revenue is integer cents.
+
+    Distributed shape: lineitem is filtered to R-flag rows and reduced
+    to (orderkey, cents) BEFORE any exchange; the quarter's orders ship
+    (custkey) as the unique-key state side of ONE orderkey co-partition
+    attach (out-of-window orders drop in the attach, implementing the
+    date filter as semi-join); per-custkey cents use a block-local
+    pandas partial before the custkey groupby; the customer dimension
+    attaches only to the ≤ k survivors of a partial-top-k merge, packed
+    as one string value (name\\x1fnationkey\\x1facctbal_c100) so the
+    lookup is a single exchange instead of three."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from uckg_ray.stages.dedup import _copartition_attach
+
+    if num_partitions is None:
+        from uckg_ray.config import default_num_partitions
+        num_partitions = default_num_partitions()
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        ep = f.column("l_extendedprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dc = f.column("l_discount").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": f.column("l_orderkey").cast(pa.int64()),
+            "c": pa.array(cents, pa.int64())})
+
+    def orders_state(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array((d >= lo) & (d < hi)))
+        return pa.table({
+            "doc_id": f.column("o_orderkey").cast(pa.int64()),
+            "val": f.column("o_custkey").cast(pa.int64())})
+
+    j = _copartition_attach(
+        lineitem.select_columns(["l_orderkey", "l_returnflag",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(li_prep, batch_format="pyarrow", batch_size=None),
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_state, batch_format="pyarrow",
+                     batch_size=None),
+        "l_orderkey", "c_custkey", pa.int64(),
+        pa.schema([("l_orderkey", pa.int64()), ("c", pa.int64())]),
+        num_partitions)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "c_custkey" not in b.schema.names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        g = (pd.DataFrame({
+            "c_custkey": b.column("c_custkey")
+            .to_numpy(zero_copy_only=False),
+            "c": b.column("c").to_numpy(zero_copy_only=False)})
+            .groupby("c_custkey", sort=False)["c"].sum().reset_index())
+        return pa.table({
+            "c_custkey": pa.array(g["c_custkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64())})
+
+    per_cust = (j.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+                .groupby("c_custkey")
+                .aggregate(Sum("c", alias_name="revenue_c100")))
+
+    _TOP = pa.schema([("c_custkey", pa.int64()),
+                      ("revenue_c100", pa.int64())])
+
+    def topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "revenue_c100" not in b.schema.names:
+            return _TOP.empty_table()
+        df = b.select(_TOP.names).to_pandas().sort_values(
+            ["revenue_c100", "c_custkey"],
+            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(_TOP)
+
+    top = (per_cust.map_batches(topk, batch_format="pyarrow",
+                                batch_size=None)
+           .repartition(1)
+           .map_batches(topk, batch_format="pyarrow", batch_size=None))
+
+    acct = _cents(customer.column("c_acctbal"))
+    packed = [f"{n}\x1f{k_}\x1f{a}" for n, k_, a in zip(
+        customer.column("c_name").to_pylist(),
+        customer.column("c_nationkey").to_pylist(), acct)]
+    cust_state = ray.data.from_arrow(pa.table({
+        "doc_id": customer.column("c_custkey").cast(pa.int64()),
+        "val": pa.array(packed, pa.string())}))
+    withc = _copartition_attach(top, cust_state, "c_custkey", "_packed",
+                                pa.string(), _TOP, num_partitions)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "_packed" not in b.schema.names:
+            return pa.schema(
+                [("c_custkey", pa.int64()), ("revenue_c100", pa.int64()),
+                 ("c_name", pa.string()), ("c_nationkey", pa.int64()),
+                 ("acctbal_c100", pa.int64())]).empty_table()
+        parts = [s.split("\x1f") for s in
+                 b.column("_packed").to_pylist()]
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "revenue_c100": b.column("revenue_c100"),
+            "c_name": pa.array([x[0] for x in parts], pa.string()),
+            "c_nationkey": pa.array([int(x[1]) for x in parts],
+                                    pa.int64()),
+            "acctbal_c100": pa.array([int(x[2]) for x in parts],
+                                     pa.int64())})
+
+    return withc.map_batches(unpack, batch_format="pyarrow",
+                             batch_size=None)
+
+
+def q4_order_priority(lineitem: Dataset, orders: Dataset, *,
+                      date_lo: str = "1996-01-01",
+                      date_hi: str = "1996-04-01",
+                      num_partitions: int | None = None) -> Dataset:
+    """TPC-H Q4-shaped order-priority check: for one quarter's orders,
+    how many (per priority) had at least one lineitem shipped after the
+    order date — an EXISTS semi-join realized distributively. (The
+    fixture has no commit/receipt dates, so 'late' = shipdate strictly
+    after orderdate; the oracle applies the identical predicate.)
+
+    Distributed shape: the quarter's orders ship (date_us\\x1fpriority)
+    packed as one string state value through ONE orderkey co-partition
+    attach onto the column-pruned lineitem stream (non-window orders
+    drop in the attach); the late-predicate filter runs in-block; the
+    EXISTS collapse is a block-local distinct-(orderkey, priority)
+    partial into a single orderkey groupby (priority is functionally
+    dependent on orderkey, so Max reconstructs it), then a ≤ 5-row
+    priority count."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Max
+
+    from uckg_ray.stages.dedup import _copartition_attach
+
+    if num_partitions is None:
+        from uckg_ray.config import default_num_partitions
+        num_partitions = default_num_partitions()
+
+    lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
+
+    def orders_state(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array((d >= lo) & (d < hi)))
+        du = f.column("o_orderdate").cast(pa.int64()).to_pylist()
+        pr = f.column("o_orderpriority").to_pylist()
+        return pa.table({
+            "doc_id": f.column("o_orderkey").cast(pa.int64()),
+            "val": pa.array([f"{d_}\x1f{p_}" for d_, p_ in zip(du, pr)],
+                            pa.string())})
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+            "ship_us": b.column("l_shipdate").cast(pa.int64())})
+
+    j = _copartition_attach(
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_prep, batch_format="pyarrow", batch_size=None),
+        orders.select_columns(["o_orderkey", "o_orderdate",
+                               "o_orderpriority"])
+        .map_batches(orders_state, batch_format="pyarrow",
+                     batch_size=None),
+        "l_orderkey", "_ord", pa.string(),
+        pa.schema([("l_orderkey", pa.int64()), ("ship_us", pa.int64())]),
+        num_partitions)
+
+    def late_distinct(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "_ord" not in b.schema.names:
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderpriority": pa.array([], pa.string())})
+        packed = b.column("_ord").to_pylist()
+        ship = b.column("ship_us").to_numpy(zero_copy_only=False)
+        okey = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        dates = np.fromiter((int(s.split("\x1f", 1)[0]) for s in packed),
+                            np.int64, len(packed))
+        keep = ship > dates
+        kk = okey[keep]
+        pr = [packed[i].split("\x1f", 1)[1]
+              for i in np.flatnonzero(keep)]
+        u, idx = np.unique(kk, return_index=True)
+        return pa.table({
+            "o_orderkey": pa.array(u, pa.int64()),
+            "o_orderpriority": pa.array([pr[i] for i in idx],
+                                        pa.string())})
+
+    return (j.map_batches(late_distinct, batch_format="pyarrow",
+                          batch_size=None)
+            .groupby("o_orderkey")
+            .aggregate(Max("o_orderpriority",
+                           alias_name="o_orderpriority"))
+            .groupby("o_orderpriority")
+            .aggregate(Count(alias_name="order_count")))
+
+
+_PROFILE_SCHEMA = pa.schema([
+    ("col_name", pa.string()), ("n_rows", pa.int64()),
+    ("n_null", pa.int64()), ("n_distinct", pa.int64()),
+    ("min_v", pa.int64()), ("max_v", pa.int64())])
+
+
+def profile_columns(events: Dataset,
+                    num_partitions: int | None = None) -> Dataset:
+    """Ingest-time data-profiling audit over the event log: one row per
+    column with (n_rows, n_null, n_distinct, min, max). Numeric views
+    are exact integers (value → cents, ts → epoch-µs); the string
+    column (event_type) profiles null/distinct with NULL min/max.
+
+    Distributed shape: n_rows/n_null/min/max fold block-locally into
+    one ≤ 5-row-per-block partial (no data moves); exact n_distinct is
+    the only exchange — block-local distinct (column, value-ordinal)
+    rows into one packed-key groupby, then a ≤ 5-row count per column.
+    The two tiny result tables merge in a single final task."""
+    import polars as pl
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    COLS = ["event_id", "ts_us", "user_id", "value_c100", "event_type"]
+
+    def ordinals(b: pa.Table) -> dict[str, np.ndarray]:
+        return {
+            "event_id": b.column("event_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "ts_us": b.column("ts").cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "user_id": b.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "value_c100": _cents(b.column("value"))}
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [("col_name", pa.string()), ("n_rows", pa.int64()),
+                 ("n_null", pa.int64()), ("min_v", pa.int64()),
+                 ("max_v", pa.int64())]).empty_table()
+        n = b.num_rows
+        rows = []
+        o = ordinals(b)
+        null_counts = {
+            "event_id": b.column("event_id").null_count,
+            "ts_us": b.column("ts").null_count,
+            "user_id": b.column("user_id").null_count,
+            "value_c100": b.column("value").null_count,
+            "event_type": b.column("event_type").null_count}
+        for c in COLS:
+            if c == "event_type":
+                rows.append((c, n, null_counts[c], None, None))
+            else:
+                v = o[c]
+                rows.append((c, n, null_counts[c],
+                             int(v.min()), int(v.max())))
+        return pa.table({
+            "col_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in rows], pa.int64()),
+            "min_v": pa.array([r[3] for r in rows], pa.int64()),
+            "max_v": pa.array([r[4] for r in rows], pa.int64())})
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.string())})
+        o = ordinals(b)
+        ks = []
+        for c in COLS:
+            if c == "event_type":
+                vals = set(b.column("event_type").to_pylist()) - {None}
+                ks.extend(f"{c}\x1f{v}" for v in vals)
+            else:
+                ks.extend(f"{c}\x1f{v}" for v in np.unique(o[c]))
+        return pa.table({"k": pa.array(ks, pa.string())})
+
+    stats = (events.map_batches(stats_partial, batch_format="pyarrow",
+                                batch_size=None)
+             .groupby("col_name")
+             .aggregate(Sum("n_rows", alias_name="n_rows"),
+                        Sum("n_null", alias_name="n_null"),
+                        Min("min_v", alias_name="min_v"),
+                        Max("max_v", alias_name="max_v")))
+
+    def split_col(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "k" not in b.schema.names:
+            return pa.table({"col_name": pa.array([], pa.string()),
+                             "n_distinct": pa.array([], pa.int64())})
+        col = [s.split("\x1f", 1)[0] for s in b.column("k").to_pylist()]
+        return pa.table({"col_name": pa.array(col, pa.string()),
+                         "n_distinct": pa.array(
+                             np.ones(b.num_rows, np.int64), pa.int64())})
+
+    distinct = (events.map_batches(distinct_partial,
+                                   batch_format="pyarrow",
+                                   batch_size=None)
+                .groupby("k").aggregate(Count(alias_name="_n"))
+                .map_batches(split_col, batch_format="pyarrow",
+                             batch_size=None)
+                .groupby("col_name")
+                .aggregate(Sum("n_distinct", alias_name="n_distinct")))
+
+    def merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _PROFILE_SCHEMA.empty_table()
+        df = pl.from_arrow(b)
+        st = df.filter(pl.col("n_rows").is_not_null())
+        di = df.filter(pl.col("n_rows").is_null()).select(
+            ["col_name", "n_distinct"])
+        out = (st.drop("n_distinct").join(di, on="col_name", how="left")
+               .sort("col_name"))
+        return out.select(["col_name", "n_rows", "n_null", "n_distinct",
+                           "min_v", "max_v"]).to_arrow() \
+            .cast(_PROFILE_SCHEMA)
+
+    pad_stats = stats.map_batches(
+        lambda b: b.append_column(
+            "n_distinct", pa.nulls(b.num_rows, pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+    pad_distinct = distinct.map_batches(
+        lambda b: pa.table({
+            "col_name": b.column("col_name"),
+            "n_rows": pa.nulls(b.num_rows, pa.int64()),
+            "n_null": pa.nulls(b.num_rows, pa.int64()),
+            "min_v": pa.nulls(b.num_rows, pa.int64()),
+            "max_v": pa.nulls(b.num_rows, pa.int64()),
+            "n_distinct": b.column("n_distinct")}),
+        batch_format="pyarrow", batch_size=None)
+    return (pad_stats.union(pad_distinct).repartition(1)
+            .map_batches(merge, batch_format="pyarrow",
+                         batch_size=None))

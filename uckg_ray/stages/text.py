@@ -1758,3 +1758,65 @@ def readability_scores(docs: Dataset) -> Dataset:
 
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def turn_dupe_stats(turns: Dataset,
+                    num_partitions: int | None = None) -> Dataset:
+    """Within-conversation repeated-turn audit: conversations whose
+    transcript contains the same turn text more than once (copy-paste
+    loops, agent retry storms — the rows an SFT-pair extraction must
+    not over-weight). Output: (conv_id, n_turns, n_distinct_texts,
+    n_dupes) for conversations with ≥ 1 duplicate.
+
+    Scale shape: turns collapse in-block to (conv, md5(text), count)
+    partials — the ONLY exchange moves those bounded partials, never
+    the text — then one conv-hash partition pass merges counts and
+    keeps the n_dupes > 0 survivors. A conversation is never split
+    across partitions, so the distinct-text count is exact."""
+    import polars as pl
+
+    from uckg_ray.stages.dedup import _md5_col
+    from uckg_ray.stages.materialize import _add_hash_partition
+
+    if num_partitions is None:
+        from uckg_ray.config import default_num_partitions
+        num_partitions = default_num_partitions()
+
+    def partial(b: pa.Table) -> pa.Table:
+        th = _md5_col(b.column("text").to_pylist())
+        t = (pl.DataFrame({
+            "conv_id": pl.Series(b.column("conv_id").to_pylist(),
+                                 dtype=pl.Utf8),
+            "th": pl.Series(th, dtype=pl.Utf8)})
+            .group_by("conv_id", "th").len()
+            .select(["conv_id", "th",
+                     pl.col("len").cast(pl.Int64).alias("n")])
+            .to_arrow().cast(pa.schema([
+                ("conv_id", pa.string()), ("th", pa.string()),
+                ("n", pa.int64())])))
+        return _add_hash_partition(t, num_partitions, col="conv_id")
+
+    _OUT = pa.schema([("conv_id", pa.string()), ("n_turns", pa.int64()),
+                      ("n_distinct_texts", pa.int64()),
+                      ("n_dupes", pa.int64())])
+
+    def merge(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        out = (pl.from_arrow(part)
+               .group_by("conv_id", "th")
+               .agg(pl.col("n").sum())
+               .group_by("conv_id")
+               .agg(pl.col("n").sum().alias("n_turns"),
+                    pl.len().cast(pl.Int64).alias("n_distinct_texts"))
+               .with_columns((pl.col("n_turns")
+                              - pl.col("n_distinct_texts"))
+                             .alias("n_dupes"))
+               .filter(pl.col("n_dupes") > 0))
+        return out.select(_OUT.names).to_arrow().cast(_OUT)
+
+    return (turns.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: merge(t.drop_columns(["p"])),
+                batch_format="pyarrow"))
