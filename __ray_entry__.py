@@ -1349,6 +1349,22 @@ def _q_tool_sequences(sf_dir: str):
     return tool_sequences(_rd_turns(sf_dir))
 
 
+def _q_kg_char_sets(sf_dir: str):
+    """Characteristic sets (Neumann & Moerkotte): subjects per distinct
+    predicate set over the canonical edge table — the optimizer-grade
+    structural statistic; distinct-pair combiner + one subj exchange."""
+    from uckg_ray.stages.graph import characteristic_sets
+    return characteristic_sets(_distinct_edges_cached(sf_dir))
+
+
+def _q_kg_dangling(sf_dir: str):
+    """Referential-integrity audit: non-literal relationship objects
+    never seen as a subject, with reference counts (one bounded
+    node-key exchange)."""
+    from uckg_ray.stages.graph import dangling_refs
+    return dangling_refs(_distinct_edges_cached(sf_dir))
+
+
 def _q_q10_returns(sf_dir: str):
     """TPC-H Q10 returned-item report: top-20 customers by revenue lost
     to R-flag lineitems in one quarter; date filter as semi-join in an
@@ -1549,6 +1565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "mention_lift": _q_mention_lift,
         "turn_dupes": _q_turn_dupes,
+        "kg_char_sets": _q_kg_char_sets,
+        "kg_dangling": _q_kg_dangling,
     }
 
 
@@ -3244,6 +3262,21 @@ SELECT user_id,
                 ('click','view','error','purchase','signup')
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_other
 FROM events GROUP BY user_id""",
+        "kg_char_sets": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)})),
+cs AS (SELECT subj, string_agg(DISTINCT pred, ';;' ORDER BY pred)
+              AS char_set
+       FROM edges GROUP BY subj)
+SELECT char_set, CAST(count(*) AS BIGINT) AS n_subjects
+FROM cs GROUP BY 1""",
+        "kg_dangling": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj, obj_is_literal, obj_datatype
+          FROM ({_edges_union(p)}))
+SELECT obj, CAST(count(*) AS BIGINT) AS n_refs FROM edges
+WHERE NOT obj_is_literal AND pred != '{ns.RDF_TYPE}'
+  AND obj NOT IN (SELECT DISTINCT subj FROM edges)
+GROUP BY obj""",
         "q10_returns": """
 WITH li AS (SELECT l_orderkey,
        CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)

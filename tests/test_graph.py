@@ -233,3 +233,40 @@ def test_comention_lift(ray_session):
     assert (r["n_a"], r["n_b"]) == (3, 2)
     # lift = 2 * 4 convs * 1e6 // (3*2)
     assert r["lift_ppm"] == 2 * 4 * 1_000_000 // 6
+
+
+def test_characteristic_sets(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.graph import characteristic_sets
+
+    edges = ray.data.from_arrow(pa.table({
+        "subj": ["a", "a", "a", "b", "b", "c"],
+        "pred": ["p1", "p2", "p1", "p1", "p2", "p1"],
+        "obj":  ["x", "y", "z", "x", "y", "x"]})).repartition(3)
+    got = {r["char_set"]: r["n_subjects"]
+           for r in characteristic_sets(edges).take_all()}
+    assert got == {"p1;;p2": 2, "p1": 1}
+
+
+def test_dangling_refs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray import namespaces as ns
+    from uckg_ray.stages.graph import dangling_refs
+
+    edges = ray.data.from_arrow(pa.table({
+        "subj": ["a", "a", "b", "a"],
+        "pred": ["likes", "likes", "likes", ns.RDF_TYPE],
+        # d is referenced twice and never a subject; b is referenced
+        # but IS a subject; T is a type object (excluded); lit is a
+        # literal (excluded)
+        "obj": ["d", "d", "d", "T"],
+        "obj_is_literal": [False, False, False, False]})) \
+        .union(ray.data.from_arrow(pa.table({
+            "subj": ["b"], "pred": ["note"], "obj": ["lit"],
+            "obj_is_literal": [True]})))
+    rows = dangling_refs(edges).take_all()
+    assert rows == [{"obj": "d", "n_refs": 3}]

@@ -1132,3 +1132,116 @@ def comention_lift(mentions: Dataset, *, min_pairs: int = 2,
 
     return with_b.map_batches(lift, batch_format="pyarrow",
                               batch_size=None)
+
+
+def characteristic_sets(edges: Dataset,
+                        num_partitions: int | None = None) -> Dataset:
+    """Characteristic sets (Neumann & Moerkotte, ICDE'11): the number
+    of subjects sharing each distinct predicate SET — the cardinality
+    statistic RDF query optimizers build over the dump, and the
+    structural profile that detects schema drift between graph
+    snapshots. Output: (char_set, n_subjects) with char_set the
+    ';;'-joined sorted distinct predicates of a subject.
+
+    Scale shape: block-local distinct (subj, pred) pairs are the
+    combiner; ONE subj-hash exchange co-locates each subject's
+    predicate set; the partition task folds sets into per-partition
+    (char_set → count) partials so the final Sum groupby sees at most
+    one row per distinct set per partition — subjects never leave
+    their partition."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        from uckg_ray.config import default_num_partitions
+        num_partitions = default_num_partitions()
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = (pl.from_arrow(b.select(["subj", "pred"])).unique()
+             .to_arrow().cast(pa.schema([("subj", pa.string()),
+                                         ("pred", pa.string())])))
+        return _add_hash_partition(t, num_partitions, col="subj")
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"char_set": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        out = (pl.from_arrow(part.select(["subj", "pred"]))
+               .unique()
+               .group_by("subj")
+               .agg(pl.col("pred").sort().str.join(";;")
+                    .alias("char_set"))
+               .group_by("char_set")
+               .agg(pl.len().cast(pl.Int64).alias("n")))
+        return out.to_arrow().cast(pa.schema([
+            ("char_set", pa.string()), ("n", pa.int64())]))
+
+    return (edges.select_columns(["subj", "pred"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("p").map_groups(
+                lambda t: fold(t.drop_columns(["p"])),
+                batch_format="pyarrow")
+            .groupby("char_set").aggregate(Sum("n",
+                                               alias_name="n_subjects")))
+
+
+def dangling_refs(edges: Dataset) -> Dataset:
+    """Referential-integrity audit: non-literal objects of relationship
+    edges (``pred != rdf:type``) that never occur as a subject —
+    dangling references a loader must stub or reject before handing
+    the graph to traversal consumers. Output: (obj, n_refs) with the
+    number of distinct edges pointing at each dangling node.
+
+    Scale shape: one bounded exchange — block-local partials emit
+    (node, ref-count, is-subj flag) rows collapsed per block, a
+    per-node Sum/Max groupby merges them, and the survivors filter
+    vectorized. Text/literal payloads never shuffle."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "n_refs": pa.array([], pa.int64()),
+                             "is_subj": pa.array([], pa.int64())})
+        ref_mask = pc.and_(
+            pc.invert(b.column("obj_is_literal").combine_chunks()
+                      if isinstance(b.column("obj_is_literal"),
+                                    pa.ChunkedArray)
+                      else b.column("obj_is_literal")),
+            pc.not_equal(b.column("pred"), ns.RDF_TYPE))
+        refs = (pd.Series(b.filter(ref_mask).column("obj").to_pandas())
+                .value_counts())
+        subs = pd.Series(b.column("subj").to_pandas()).drop_duplicates()
+        out = pd.DataFrame({
+            "node": np.concatenate([refs.index.to_numpy(),
+                                    subs.to_numpy()]),
+            "n_refs": np.concatenate([
+                refs.to_numpy(np.int64),
+                np.zeros(len(subs), np.int64)]),
+            "is_subj": np.concatenate([
+                np.zeros(len(refs), np.int64),
+                np.ones(len(subs), np.int64)])})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def keep_dangling(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_refs" not in b.schema.names:
+            return pa.table({"obj": pa.array([], pa.string()),
+                             "n_refs": pa.array([], pa.int64())})
+        f = b.filter(pc.and_(pc.equal(b.column("is_subj"), 0),
+                             pc.greater(b.column("n_refs"), 0)))
+        return pa.table({"obj": f.column("node").cast(pa.string()),
+                         "n_refs": f.column("n_refs").cast(pa.int64())})
+
+    return (edges.select_columns(["subj", "pred", "obj",
+                                  "obj_is_literal"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("node")
+            .aggregate(Sum("n_refs", alias_name="n_refs"),
+                       Max("is_subj", alias_name="is_subj"))
+            .map_batches(keep_dangling, batch_format="pyarrow",
+                         batch_size=None))
