@@ -172,7 +172,10 @@ def run_bench() -> dict:
                  "doc_length_quantiles", "colloc_topk", "events_outliers",
                  "embed_quantize", "q6_revenue", "readability",
                  "q3_shipping", "q14_promo", "events_dow_hour",
-                 "q18_big_orders", "kg_class_sizes", "events_latest"):
+                 "q18_big_orders", "kg_class_sizes", "events_latest",
+                 "kg_untyped", "q10_returns", "q4_priority",
+                 "profile_stats", "cap_per_source", "turn_dupes",
+                 "kg_char_sets", "kg_dangling", "mention_lift"):
         # conv_neardup is deliberately NOT in the sweep: a full-corpus
         # conversation-level minhash (~120 s at sf0.1) would dominate
         # the bench wall-time; it stays oracle-checked and unit-tested.

@@ -270,3 +270,27 @@ def test_dangling_refs(ray_session):
             "obj_is_literal": [True]})))
     rows = dangling_refs(edges).take_all()
     assert rows == [{"obj": "d", "n_refs": 3}]
+
+
+def test_comention_lift_forced_shuffle_path(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from uckg_ray.stages.graph import comention_lift
+
+    m = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c2", "c3", "c3", "c4", "c4"],
+        "ent_id":  ["A",  "B",  "A",  "B",  "A",  "C",  "A",  "C"]})
+    ds = ray.data.from_pandas(m).repartition(3)
+    broad = sorted(
+        (r["ent_a"], r["ent_b"], r["n_ab"], r["n_a"], r["n_b"],
+         r["lift_ppm"])
+        for r in comention_lift(ds, min_pairs=2).take_all())
+    shuf = sorted(
+        (r["ent_a"], r["ent_b"], r["n_ab"], r["n_a"], r["n_b"],
+         r["lift_ppm"])
+        for r in comention_lift(ds, min_pairs=2,
+                                broadcast_max=0).take_all())
+    assert broad == shuf
+    assert broad == [("A", "B", 2, 4, 2, 1_000_000),
+                     ("A", "C", 2, 4, 2, 1_000_000)]

@@ -969,6 +969,7 @@ def untyped_nodes(edges: Dataset) -> Dataset:
 
 
 def comention_lift(mentions: Dataset, *, min_pairs: int = 2,
+                   broadcast_max: int = 5_000_000,
                    num_partitions: int | None = None) -> Dataset:
     """Entity co-mention association over the transcript mention
     stream: for every entity pair appearing together in ≥ ``min_pairs``
@@ -986,14 +987,14 @@ def comention_lift(mentions: Dataset, *, min_pairs: int = 2,
     from a single extraction pass; per-conv pairs explode only within
     a partition task (fan-out ≤ per-conv distinct entities, a small
     set by construction); pair counts flow through one packed-key
-    groupby; per-entity counts attach to the ≥ min_pairs survivors by
-    a string-keyed co-partition union join (two bounded exchanges of
-    the pair table, never a broadcast of the vocabulary)."""
+    groupby; the conv count folds from per-block distinct-conv
+    partials (convs are partition-disjoint after the exchange, so no
+    extra shuffle); per-entity counts attach to the ≥ min_pairs
+    survivors by broadcast when the entity vocabulary is small
+    (≤ ``broadcast_max`` rows), else by a string-keyed co-partition
+    union join (two bounded exchanges of the pair table) — a
+    forced-path test pins both variants to identical output."""
     import polars as pl
-
-    from ray.data.aggregate import Sum
-
-    from uckg_ray.stages.materialize import _add_hash_partition
 
     if num_partitions is None:
         from uckg_ray.config import default_num_partitions
@@ -1021,7 +1022,14 @@ def comention_lift(mentions: Dataset, *, min_pairs: int = 2,
                batch_format="pyarrow")
            .materialize())
 
-    n_convs = int(inc.groupby("conv_id").count().count())
+    # convs are disjoint across the materialized partition blocks, so
+    # per-block distinct-conv counts sum to the exact global count
+    n_convs = sum(
+        r["nc"] for r in inc.map_batches(
+            lambda b: pa.table({"nc": pa.array(
+                [pa.compute.count_distinct(b.column("conv_id"))
+                 .as_py() if b.num_rows else 0], pa.int64())}),
+            batch_format="pyarrow", batch_size=None).take_all())
 
     def pair_partial(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
@@ -1031,21 +1039,53 @@ def comention_lift(mentions: Dataset, *, min_pairs: int = 2,
              .with_columns((pl.col("ent_id") + "\x1f"
                             + pl.col("ent_id_r")).alias("k"))
              .select(["k", pl.col("len").cast(pl.Int64).alias("n")]))
-        return j.to_arrow().cast(pa.schema([("k", pa.string()),
-                                            ("n", pa.int64())]))
+        t = j.to_arrow().cast(pa.schema([("k", pa.string()),
+                                         ("n", pa.int64())]))
+        return _add_hash_partition(t, num_partitions, col="k")
 
+    def pair_fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64())})
+        out = (pl.from_arrow(part.select(["k", "n"]))
+               .group_by("k").agg(pl.col("n").sum().alias("n_ab")))
+        return out.to_arrow().cast(pa.schema([("k", pa.string()),
+                                              ("n_ab", pa.int64())]))
+
+    # explicit hash-partition + per-partition polars fold instead of
+    # groupby(k).aggregate: Ray's sort-based aggregate would sort the
+    # full pair stream by LONG string keys (measured 69 s of an 86 s
+    # run at sf0.1); partitioning on the int32 bucket cuts that to the
+    # shuffle itself
     pairs = (inc.map_batches(pair_partial, batch_format="pyarrow",
                              batch_size=None)
-             .groupby("k").aggregate(Sum("n", alias_name="n_ab")))
+             .groupby("p").map_groups(
+                 lambda t: pair_fold(t.drop_columns(["p"])),
+                 batch_format="pyarrow"))
 
-    ent_counts = (inc.map_batches(
-        lambda b: (pl.from_arrow(b).group_by("ent_id").len()
-                   .select([pl.col("ent_id"),
-                            pl.col("len").cast(pl.Int64).alias("n")])
-                   .to_arrow().cast(pa.schema([("ent_id", pa.string()),
-                                               ("n", pa.int64())]))),
-        batch_format="pyarrow", batch_size=None)
-        .groupby("ent_id").aggregate(Sum("n", alias_name="n_ent")))
+    def ent_partial(b: pa.Table) -> pa.Table:
+        t = (pl.from_arrow(b).group_by("ent_id").len()
+             .select([pl.col("ent_id"),
+                      pl.col("len").cast(pl.Int64).alias("n")])
+             .to_arrow().cast(pa.schema([("ent_id", pa.string()),
+                                         ("n", pa.int64())])))
+        return _add_hash_partition(t, num_partitions, col="ent_id")
+
+    def ent_fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"ent_id": pa.array([], pa.string()),
+                             "n_ent": pa.array([], pa.int64())})
+        out = (pl.from_arrow(part.select(["ent_id", "n"]))
+               .group_by("ent_id").agg(pl.col("n").sum()
+                                       .alias("n_ent")))
+        return out.to_arrow().cast(pa.schema([("ent_id", pa.string()),
+                                              ("n_ent", pa.int64())]))
+
+    ent_counts = (inc.map_batches(ent_partial, batch_format="pyarrow",
+                                  batch_size=None)
+                  .groupby("p").map_groups(
+                      lambda t: ent_fold(t.drop_columns(["p"])),
+                      batch_format="pyarrow"))
 
     _PAIR = pa.schema([("ent_a", pa.string()), ("ent_b", pa.string()),
                        ("n_ab", pa.int64())])
@@ -1116,10 +1156,39 @@ def comention_lift(mentions: Dataset, *, min_pairs: int = 2,
             lambda t: resolve(t.drop_columns(["p"])),
             batch_format="pyarrow")
 
-    with_a = attach(surv, "ent_a", "n_a", _PAIR)
-    with_b = attach(with_a, "ent_b", "n_b",
-                    pa.schema(list(_PAIR) + [pa.field("n_a",
-                                                      pa.int64())]))
+    # one pass over the (bounded) count table decides the path: build
+    # the broadcast map until it would exceed broadcast_max, then bail
+    # to the shuffle join — no separate count() execution
+    import ray
+
+    ent_counts = ent_counts.materialize()
+    cmap: dict | None = {}
+    for cb in ent_counts.iter_batches(batch_format="pyarrow"):
+        cmap.update(zip(cb.column("ent_id").to_pylist(),
+                        cb.column("n_ent").to_pylist()))
+        if len(cmap) > broadcast_max:
+            cmap = None
+            break
+    if cmap is not None:
+        # vocabulary is small: ship the count map once (ray.put) and
+        # gather both sides in ONE vectorized pass — saves two full
+        # exchanges of the pair table
+        cref = ray.put(cmap)
+
+        def gather(b: pa.Table) -> pa.Table:
+            m = ray.get(cref)
+            na = [m[x] for x in b.column("ent_a").to_pylist()]
+            nb = [m[x] for x in b.column("ent_b").to_pylist()]
+            return (b.append_column("n_a", pa.array(na, pa.int64()))
+                    .append_column("n_b", pa.array(nb, pa.int64())))
+
+        with_b = surv.map_batches(gather, batch_format="pyarrow",
+                                  batch_size=None)
+    else:   # scale path — forced in tests via broadcast_max=0
+        with_a = attach(surv, "ent_a", "n_a", _PAIR)
+        with_b = attach(with_a, "ent_b", "n_b",
+                        pa.schema(list(_PAIR) + [pa.field("n_a",
+                                                          pa.int64())]))
 
     def lift(b: pa.Table) -> pa.Table:
         na = b.column("n_a").to_numpy(zero_copy_only=False)
