@@ -1414,6 +1414,20 @@ def _q_mention_lift(sf_dir: str):
     return comention_lift(m, min_pairs=2)
 
 
+def _q_kg_entity_support(sf_dir: str):
+    """Per-entity link-support provenance: for every mentioned entity
+    its mention count, distinct-conversation support and first/last
+    witness (conv_id, turn_idx) — the confidence table the linker feeds
+    canonicalization. Two bounded partial streams into one
+    vocabulary-sized groupby; only block-distinct (entity, conv) pairs
+    ever shuffle at mention scale."""
+    from uckg_ray.stages.extract import extract_mentions
+    from uckg_ray.stages.link import entity_support
+    m = _rd_turns(sf_dir, columns=["conv_id", "turn_idx", "text"]) \
+        .map_batches(extract_mentions, batch_format="pyarrow")
+    return entity_support(m)
+
+
 def _q_turn_dupes(sf_dir: str):
     """Within-conversation repeated-turn audit: conversations whose
     transcript repeats a turn text (n_turns vs distinct texts); only
@@ -1567,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_dupes": _q_turn_dupes,
         "kg_char_sets": _q_kg_char_sets,
         "kg_dangling": _q_kg_dangling,
+        "kg_entity_support": _q_kg_entity_support,
     }
 
 
@@ -3277,6 +3292,23 @@ SELECT obj, CAST(count(*) AS BIGINT) AS n_refs FROM edges
 WHERE NOT obj_is_literal AND pred != '{ns.RDF_TYPE}'
   AND obj NOT IN (SELECT DISTINCT subj FROM edges)
 GROUP BY obj""",
+        "kg_entity_support": f"""
+WITH m AS ({_mentions_cte(p)}),
+w AS (SELECT ent_type, ent_id, conv_id,
+             conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 6, '0')
+               AS wk
+      FROM m),
+g AS (SELECT ent_type, ent_id,
+             CAST(count(*) AS BIGINT) AS n_mentions,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+             min(wk) AS fw, max(wk) AS lw
+      FROM w GROUP BY 1, 2)
+SELECT ent_type, ent_id, n_mentions, n_convs,
+       substr(fw, 1, length(fw) - 7) AS first_conv,
+       CAST(substr(fw, length(fw) - 5, 6) AS INTEGER) AS first_turn,
+       substr(lw, 1, length(lw) - 7) AS last_conv,
+       CAST(substr(lw, length(lw) - 5, 6) AS INTEGER) AS last_turn
+FROM g""",
         "q10_returns": """
 WITH li AS (SELECT l_orderkey,
        CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)

@@ -52,3 +52,28 @@ def test_alias_distinct_per_turn(sf_small_fixtures):
     linker = AliasLinker(os.path.join(sf_small_fixtures, "alias_dict.parquet"))
     out = linker(_batch(["nmap nmap nmap"])).to_pylist()
     assert len(out) == 1  # distinct (turn, alias)
+
+
+def test_entity_support_provenance(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.link import entity_support
+
+    # CVE-X: 3 mentions across 2 convs; CWE-Y: single witness
+    m = pa.table({
+        "conv_id": ["conv-b", "conv-a", "conv-a", "conv-a"],
+        "turn_idx": pa.array([2, 7, 1, 1], pa.int32()),
+        "ent_type": ["CVE", "CVE", "CVE", "CWE"],
+        "ent_id": ["CVE-X", "CVE-X", "CVE-X", "CWE-Y"],
+    })
+    out = {r["ent_id"]: r for r in
+           entity_support(ray.data.from_arrow(m).repartition(3))
+           .take_all()}
+    cve = out["CVE-X"]
+    assert cve["n_mentions"] == 3 and cve["n_convs"] == 2
+    assert (cve["first_conv"], cve["first_turn"]) == ("conv-a", 1)
+    assert (cve["last_conv"], cve["last_turn"]) == ("conv-b", 2)
+    cwe = out["CWE-Y"]
+    assert cwe["n_mentions"] == 1 and cwe["n_convs"] == 1
+    assert (cwe["first_conv"], cwe["first_turn"]) == \
+        (cwe["last_conv"], cwe["last_turn"]) == ("conv-a", 1)
