@@ -1428,6 +1428,21 @@ def _q_kg_entity_support(sf_dir: str):
     return entity_support(m)
 
 
+def _q_kg_star_bgp(sf_dir: str):
+    """SPARQL-style star BGP over the KG: weaknesses satisfying ALL of
+    { ?s rdf:type uco#CWE . ?s likelihoodOfExploit ?x .
+      ?s ucoex#hasRelatedAttackPattern ?p . ?s detectionMethods ?d } —
+    the bread-and-butter multi-constraint subject lookup. One tagging
+    scan; everything downstream is bounded by matches × k."""
+    from uckg_ray.stages.graph import star_query
+    return star_query(_distinct_edges_cached(sf_dir), [
+        (ns.RDF_TYPE, f"{UCO}CWE"),
+        (f"{UCO}likelihoodOfExploit", None),
+        (f"{UCOEX}hasRelatedAttackPattern", None),
+        (f"{UCO}detectionMethods", None),
+    ])
+
+
 def _q_turn_dupes(sf_dir: str):
     """Within-conversation repeated-turn audit: conversations whose
     transcript repeats a turn text (n_turns vs distinct texts); only
@@ -1582,6 +1597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_char_sets": _q_kg_char_sets,
         "kg_dangling": _q_kg_dangling,
         "kg_entity_support": _q_kg_entity_support,
+        "kg_star_bgp": _q_kg_star_bgp,
     }
 
 
@@ -3309,6 +3325,19 @@ SELECT ent_type, ent_id, n_mentions, n_convs,
        substr(lw, 1, length(lw) - 7) AS last_conv,
        CAST(substr(lw, length(lw) - 5, 6) AS INTEGER) AS last_turn
 FROM g""",
+        "kg_star_bgp": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
+t AS (
+  SELECT subj, 0 AS idx FROM edges
+   WHERE pred = '{rdft}' AND obj = '{UCO}CWE'
+  UNION
+  SELECT subj, 1 FROM edges WHERE pred = '{UCO}likelihoodOfExploit'
+  UNION
+  SELECT subj, 2 FROM edges
+   WHERE pred = '{UCOEX}hasRelatedAttackPattern'
+  UNION
+  SELECT subj, 3 FROM edges WHERE pred = '{UCO}detectionMethods')
+SELECT subj FROM t GROUP BY subj HAVING count(DISTINCT idx) = 4""",
         "q10_returns": """
 WITH li AS (SELECT l_orderkey,
        CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)

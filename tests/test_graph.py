@@ -294,3 +294,24 @@ def test_comention_lift_forced_shuffle_path(ray_session):
     assert broad == shuf
     assert broad == [("A", "B", 2, 4, 2, 1_000_000),
                      ("A", "C", 2, 4, 2, 1_000_000)]
+
+
+def test_star_query_all_patterns_required(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.graph import star_query
+
+    e = pa.table({
+        "subj": ["s1", "s1", "s1", "s2", "s2", "s3", "s3", "s3"],
+        "pred": ["type", "p", "q", "type", "p", "type", "q", "q"],
+        "obj":  ["C",   "x", "y", "C",    "z", "D",    "y", "w"],
+    })
+    ds = ray.data.from_arrow(e).repartition(3)
+    # bound type + two any-object patterns: only s1 has all three
+    got = sorted(r["subj"] for r in star_query(
+        ds, [("type", "C"), ("p", None), ("q", None)]).take_all())
+    assert got == ["s1"]
+    # two patterns: s1 and s2 (typed C with a p edge)
+    got2 = sorted(r["subj"] for r in star_query(
+        ds, [("type", "C"), ("p", None)]).take_all())
+    assert got2 == ["s1", "s2"]

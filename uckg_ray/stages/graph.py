@@ -1314,3 +1314,62 @@ def dangling_refs(edges: Dataset) -> Dataset:
                        Max("is_subj", alias_name="is_subj"))
             .map_batches(keep_dangling, batch_format="pyarrow",
                          batch_size=None))
+
+
+def star_query(edges: Dataset,
+               patterns: list[tuple[str, str | None]]) -> Dataset:
+    """SPARQL-style star basic-graph-pattern match: subjects satisfying
+    ALL ``k`` patterns ``(pred, obj)`` — a bound object IRI/literal, or
+    ``None`` for "any object" (``?var``). The workhorse lookup shape of
+    a KG query engine (``SELECT ?s WHERE { ?s p1 o1 . ?s p2 ?x . … }``)
+    expressed Ray-Data-first.
+
+    Plan: one scan filters the edge stream to the k patterns and tags
+    the pattern index (block-local distinct ``(subj, idx)`` combiner),
+    then two vocabulary-bounded exchanges: a global ``(subj, idx)``
+    distinct followed by a per-subject Count — a subject matches iff
+    its distinct pattern count equals k. Everything past the scan is
+    bounded by matches × k, never by the edge count."""
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    k = len(patterns)
+    if k == 0:
+        raise ValueError("star_query needs at least one pattern")
+    _TAG = pa.schema([("subj", pa.string()), ("idx", pa.int32())])
+
+    preds = [p for p, _ in patterns]
+    objs = [o for _, o in patterns]
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _TAG.empty_table()
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        parts = []
+        for i, (p, o) in enumerate(zip(preds, objs)):
+            m = df.filter(
+                (pl.col("pred") == p)
+                & ((pl.col("obj") == o) if o is not None else pl.lit(True)))
+            if m.height:
+                parts.append(m.select(
+                    "subj", idx=pl.lit(i, pl.Int32)))
+        if not parts:
+            return _TAG.empty_table()
+        u = pl.concat(parts).unique()
+        return pa.table({"subj": u["subj"].to_arrow().cast(pa.string()),
+                         "idx": u["idx"].to_arrow()})
+
+    def keep_full(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n" not in b.schema.names:
+            return pa.table({"subj": pa.array([], pa.string())})
+        f = b.filter(pc.equal(b.column("n"), k))
+        return pa.table({"subj": f.column("subj").cast(pa.string())})
+
+    return (edges.select_columns(["subj", "pred", "obj"])
+            .map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby(["subj", "idx"])
+            .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+            .groupby("subj")
+            .aggregate(Count(alias_name="n"))
+            .map_batches(keep_full, batch_format="pyarrow",
+                         batch_size=None))
