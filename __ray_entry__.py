@@ -1443,6 +1443,25 @@ def _q_kg_star_bgp(sf_dir: str):
     ])
 
 
+_SHACL_RULES = [
+    ("cwe-detection", "CWE", "detectionMethods", 1),
+    ("cwe-likelihood", "CWE", "likelihoodOfExploit", 1),
+    ("cwe-related2", "CWE", "relatedWeakness", 2),
+    ("et-vulnerability", "ExploitTarget", "hasVulnerability", 1),
+]
+
+
+def _q_kg_shacl(sf_dir: str):
+    """SHACL-style sh:minCount shape validation over the KG: per
+    declared (target class, path, minCount) rule, the focus nodes whose
+    distinct path-value count falls short — the pre-release constraint
+    report. One tagging scan, bounded exchanges, one merge groupby."""
+    from uckg_ray.stages.graph import shacl_min_counts
+    return shacl_min_counts(_distinct_edges_cached(sf_dir), [
+        (sid, f"{UCO}{cls}", f"{UCO}{pred}", m)
+        for sid, cls, pred, m in _SHACL_RULES])
+
+
 def _q_turn_dupes(sf_dir: str):
     """Within-conversation repeated-turn audit: conversations whose
     transcript repeats a turn text (n_turns vs distinct texts); only
@@ -1598,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dangling": _q_kg_dangling,
         "kg_entity_support": _q_kg_entity_support,
         "kg_star_bgp": _q_kg_star_bgp,
+        "kg_shacl": _q_kg_shacl,
     }
 
 
@@ -3338,6 +3358,22 @@ t AS (
   UNION
   SELECT subj, 3 FROM edges WHERE pred = '{UCO}detectionMethods')
 SELECT subj FROM t GROUP BY subj HAVING count(DISTINCT idx) = 4""",
+        "kg_shacl": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
+targets AS ({" UNION ALL ".join(
+    f"SELECT '{sid}' AS shape, subj AS focus FROM edges "
+    f"WHERE pred = '{rdft}' AND obj = '{UCO}{cls}'"
+    for sid, cls, _, _ in _SHACL_RULES)}),
+vals AS ({" UNION ALL ".join(
+    f"SELECT '{sid}' AS shape, subj AS focus, "
+    f"count(DISTINCT obj) AS n FROM edges "
+    f"WHERE pred = '{UCO}{pred}' GROUP BY 1, 2"
+    for sid, _, pred, _ in _SHACL_RULES)})
+SELECT t.shape, t.focus, CAST(COALESCE(v.n, 0) AS BIGINT) AS n_values
+FROM targets t LEFT JOIN vals v
+  ON t.shape = v.shape AND t.focus = v.focus
+WHERE COALESCE(v.n, 0) < CASE t.shape {" ".join(
+    f"WHEN '{sid}' THEN {m}" for sid, _, _, m in _SHACL_RULES)} END""",
         "q10_returns": """
 WITH li AS (SELECT l_orderkey,
        CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)

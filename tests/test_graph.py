@@ -315,3 +315,26 @@ def test_star_query_all_patterns_required(ray_session):
     got2 = sorted(r["subj"] for r in star_query(
         ds, [("type", "C"), ("p", None)]).take_all())
     assert got2 == ["s1", "s2"]
+
+
+def test_shacl_min_counts(ray_session):
+    import ray.data
+
+    from uckg_ray import namespaces as ns
+    from uckg_ray.stages.graph import shacl_min_counts
+
+    e = pa.table({
+        "subj": ["a", "a", "a", "b", "c", "c", "c", "c"],
+        "pred": [ns.RDF_TYPE, "p", "p", ns.RDF_TYPE,
+                 ns.RDF_TYPE, "p", "p", "p"],
+        # a: typed C, 1 distinct p value (dup collapsed); b: typed C,
+        # zero p; c: typed C, 2 distinct values
+        "obj":  ["C", "x", "x", "C", "C", "y", "y", "z"],
+    })
+    ds = ray.data.from_arrow(e).repartition(3)
+    got = {(r["shape"], r["focus"]): r["n_values"]
+           for r in shacl_min_counts(
+               ds, [("need1", "C", "p", 1),
+                    ("need2", "C", "p", 2)]).take_all()}
+    assert got == {("need1", "b"): 0,
+                   ("need2", "a"): 1, ("need2", "b"): 0}

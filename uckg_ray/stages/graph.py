@@ -1373,3 +1373,107 @@ def star_query(edges: Dataset,
             .aggregate(Count(alias_name="n"))
             .map_batches(keep_full, batch_format="pyarrow",
                          batch_size=None))
+
+
+def shacl_min_counts(edges: Dataset,
+                     rules: list[tuple[str, str, str, int]]) -> Dataset:
+    """SHACL-style ``sh:minCount`` shape validation: for each rule
+    ``(shape_id, target_class_iri, path_pred, min_count)``, report the
+    focus nodes typed ``target_class`` whose distinct ``path_pred``
+    value count is below ``min_count`` — the constraint report a KG
+    publisher runs before release (the reference's ontology carries
+    the analogous owl:minQualifiedCardinality axioms; see
+    ``entail_min1_restrictions``). Output: one violation row
+    ``(shape, focus, n_values)`` per failing focus node.
+
+    Plan (mirrors ``dangling_refs``): one scan emits two tagged
+    streams — target membership rows and block-distinct
+    ``(shape, focus, value)`` rows; a global distinct collapses value
+    multiplicity, per-block partials count values, and ONE final
+    ``(shape, focus)`` groupby merges ``Sum(n_values) / Max(is_target)``.
+    Everything past the scan is bounded by targets + distinct values,
+    never the edge count."""
+    import polars as pl
+    from ray.data.aggregate import Count, Max, Sum
+
+    mins = {sid: m for sid, _, _, m in rules}
+    _ROW = pa.schema([("shape", pa.string()), ("focus", pa.string()),
+                      ("n_values", pa.int64()), ("is_target", pa.int8())])
+    _VAL = pa.schema([("shape", pa.string()), ("focus", pa.string()),
+                      ("val", pa.string())])
+
+    def targets(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _ROW.empty_table()
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        parts = []
+        for sid, cls, _, _ in rules:
+            m = df.filter((pl.col("pred") == ns.RDF_TYPE)
+                          & (pl.col("obj") == cls))
+            if m.height:
+                parts.append(m.select(focus="subj")
+                             .with_columns(shape=pl.lit(sid)).unique())
+        if not parts:
+            return _ROW.empty_table()
+        u = pl.concat(parts)
+        n = u.height
+        return pa.table({"shape": u["shape"].to_arrow().cast(pa.string()),
+                         "focus": u["focus"].to_arrow().cast(pa.string()),
+                         "n_values": pa.nulls(n, pa.int64()).fill_null(0),
+                         "is_target": pa.nulls(n, pa.int8()).fill_null(1)})
+
+    def values(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _VAL.empty_table()
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        parts = []
+        for sid, _, pred, _ in rules:
+            m = df.filter(pl.col("pred") == pred)
+            if m.height:
+                parts.append(m.select(focus="subj", val="obj")
+                             .with_columns(shape=pl.lit(sid))
+                             .select("shape", "focus", "val").unique())
+        if not parts:
+            return _VAL.empty_table()
+        u = pl.concat(parts)
+        return pa.table({"shape": u["shape"].to_arrow().cast(pa.string()),
+                         "focus": u["focus"].to_arrow().cast(pa.string()),
+                         "val": u["val"].to_arrow().cast(pa.string())})
+
+    def count_vals(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "val" not in b.column_names:
+            return _ROW.empty_table()
+        g = (pl.from_arrow(b.select(["shape", "focus"]))
+             .group_by(["shape", "focus"])
+             .agg(pl.len().cast(pl.Int64).alias("n_values")))
+        n = g.height
+        return pa.table({"shape": g["shape"].to_arrow().cast(pa.string()),
+                         "focus": g["focus"].to_arrow().cast(pa.string()),
+                         "n_values": g["n_values"].to_arrow(),
+                         "is_target": pa.nulls(n, pa.int8()).fill_null(0)})
+
+    def violations(b: pa.Table) -> pa.Table:
+        out = pa.schema([("shape", pa.string()), ("focus", pa.string()),
+                         ("n_values", pa.int64())])
+        if b.num_rows == 0 or "is_target" not in b.schema.names:
+            return out.empty_table()
+        df = pl.from_arrow(b).filter(pl.col("is_target") == 1)
+        df = df.filter(pl.col("n_values")
+                       < pl.col("shape").replace_strict(mins,
+                                                        return_dtype=pl.Int64))
+        return pa.table({"shape": df["shape"].to_arrow().cast(pa.string()),
+                         "focus": df["focus"].to_arrow().cast(pa.string()),
+                         "n_values": df["n_values"].to_arrow()})
+
+    src = edges.select_columns(["subj", "pred", "obj"])
+    t = src.map_batches(targets, batch_format="pyarrow", batch_size=None)
+    v = (src.map_batches(values, batch_format="pyarrow", batch_size=None)
+         .groupby(["shape", "focus", "val"])
+         .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+         .map_batches(count_vals, batch_format="pyarrow", batch_size=None))
+    return (t.union(v)
+            .groupby(["shape", "focus"])
+            .aggregate(Sum("n_values", alias_name="n_values"),
+                       Max("is_target", alias_name="is_target"))
+            .map_batches(violations, batch_format="pyarrow",
+                         batch_size=None))
