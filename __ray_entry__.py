@@ -1451,6 +1451,14 @@ _SHACL_RULES = [
 ]
 
 
+def _q_events_streaks(sf_dir: str):
+    """Gaps-and-islands: per-user active-day count, streak count and
+    longest consecutive-day streak; one bounded (user, day) distinct
+    exchange, per-partition vectorized run-break scan."""
+    from uckg_ray.stages.windows import activity_streaks
+    return activity_streaks(_table(sf_dir, "events"))
+
+
 def _q_kg_shacl(sf_dir: str):
     """SHACL-style sh:minCount shape validation over the KG: per
     declared (target class, path, minCount) rule, the focus nodes whose
@@ -1618,6 +1626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_support": _q_kg_entity_support,
         "kg_star_bgp": _q_kg_star_bgp,
         "kg_shacl": _q_kg_shacl,
+        "events_streaks": _q_events_streaks,
     }
 
 
@@ -3374,6 +3383,19 @@ FROM targets t LEFT JOIN vals v
   ON t.shape = v.shape AND t.focus = v.focus
 WHERE COALESCE(v.n, 0) < CASE t.shape {" ".join(
     f"WHEN '{sid}' THEN {m}" for sid, _, _, m in _SHACL_RULES)} END""",
+        "events_streaks": """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp
+      FROM d),
+s AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, grp)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM s GROUP BY 1""",
         "q10_returns": """
 WITH li AS (SELECT l_orderkey,
        CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)

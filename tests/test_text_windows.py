@@ -983,3 +983,26 @@ def test_turn_dupe_stats(ray_session):
     r = rows[0]
     assert (r["conv_id"], r["n_turns"], r["n_distinct_texts"],
             r["n_dupes"]) == ("c1", 4, 2, 2)
+
+
+def test_activity_streaks_islands(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.windows import activity_streaks
+
+    DAY = 86_400_000_000
+    # user 1: days 0,1,2 then 5,6 (streaks 3 and 2, two events day 0);
+    # user 2: single day
+    rows = [(1, 0), (1, 0), (1, DAY), (1, 2 * DAY), (1, 5 * DAY),
+            (1, 6 * DAY + 7), (2, 3 * DAY)]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([ts for _, ts in rows], pa.timestamp("us")),
+    })
+    got = {r["user_id"]: r for r in
+           activity_streaks(ray.data.from_arrow(t).repartition(3))
+           .take_all()}
+    assert got[1]["n_active_days"] == 5
+    assert got[1]["n_streaks"] == 2 and got[1]["max_streak"] == 3
+    assert got[2] == {"user_id": 2, "n_active_days": 1,
+                      "n_streaks": 1, "max_streak": 1}

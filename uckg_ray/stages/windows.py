@@ -765,3 +765,78 @@ def latest_per_key(events: Dataset, *, key_col: str = "user_id",
             .map_batches(partial, batch_format="pyarrow",
                          batch_size=None)
             .groupby(key_col).map_groups(merge, batch_format="pandas"))
+
+
+def activity_streaks(events: Dataset) -> Dataset:
+    """Gaps-and-islands per user: collapse the event log to distinct
+    active days, then report each user's total active days, number of
+    maximal consecutive-day streaks, and longest streak — the
+    engagement/retention statistic behind "7-day streak" product
+    metrics, and the classic windowed islands query expressed without
+    a global sort.
+
+    Plan: block-distinct ``(user, epoch_day)`` combiner → ONE global
+    distinct exchange (bounded by users × days, not events) → hash
+    partition by user (a user's distinct days are calendar-bounded, so
+    even the hottest user fits a partition) → per-partition vectorized
+    run-break scan (sort + diff, no Python per group)."""
+    import pandas as pd
+    import polars as pl
+
+    from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import key_partition_ids
+
+    DAY_US = 86_400_000_000
+    n_parts = default_num_partitions()
+
+    _DAYS = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _DAYS.empty_table()
+        ts = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        u = (b.column("user_id").cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        d = (pl.DataFrame({"user_id": u, "day": ts // DAY_US})
+             .unique())
+        return pa.table({"user_id": d["user_id"].to_arrow(),
+                         "day": d["day"].to_arrow()})
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "q", pa.array(key_partition_ids(u, n_parts), pa.int32()))
+
+    def islands_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_active_days": pd.Series([], dtype="int64"),
+                "n_streaks": pd.Series([], dtype="int64"),
+                "max_streak": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "day"], ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        brk = np.ones(len(d), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | ((d[1:] - d[:-1]) > 1)
+        sid = np.cumsum(brk) - 1
+        run_len = np.bincount(sid).astype(np.int64)
+        runs = pd.DataFrame({"user_id": u[brk], "len": run_len})
+        out = (runs.groupby("user_id", sort=False)["len"]
+               .agg(n_active_days="sum", n_streaks="size",
+                    max_streak="max").reset_index())
+        return out.astype({"user_id": "int64", "n_active_days": "int64",
+                           "n_streaks": "int64", "max_streak": "int64"})
+
+    from ray.data.aggregate import Count
+
+    return (events.select_columns(["user_id", "ts"])
+            .map_batches(day_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby(["user_id", "day"])
+            .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+            .map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby("q")
+            .map_groups(lambda g: islands_partition(g.drop(columns=["q"])),
+                        batch_format="pandas"))
