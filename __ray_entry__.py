@@ -1451,6 +1451,15 @@ _SHACL_RULES = [
 ]
 
 
+def _q_dedup_containment(sf_dir: str):
+    """Asymmetric word-set containment near-dup (|A∩B|/min ≥ 9/10):
+    the subset/superset detector Jaccard misses. Exact blocked M·Mᵀ
+    variant; the scale path is minhash candidates + in-task
+    containment verify."""
+    from uckg_ray.stages.dedup import containment_pairs
+    return containment_pairs(_table(sf_dir, "documents"))
+
+
 def _q_events_streaks(sf_dir: str):
     """Gaps-and-islands: per-user active-day count, streak count and
     longest consecutive-day streak; one bounded (user, day) distinct
@@ -1627,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_star_bgp": _q_kg_star_bgp,
         "kg_shacl": _q_kg_shacl,
         "events_streaks": _q_events_streaks,
+        "dedup_containment": _q_dedup_containment,
     }
 
 
@@ -2986,6 +2996,17 @@ pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
 SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
 FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE 3 * inter >= 2 * (sa.n + sb.n - inter)""",
+        "dedup_containment": """
+WITH w AS (SELECT DISTINCT doc_id, source,
+           unnest(string_split(text, ' ')) AS word FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM w a JOIN w b ON a.word = b.word AND a.source = b.source
+                         AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, inter, least(sa.n, sb.n) AS min_size
+FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE 10 * inter >= 9 * least(sa.n, sb.n)""",
         # char-5-gram shingle Jaccard: substring() and length() are both
         # code-point based, matching Python slicing; empty shingle sets
         # (len(text) < 5) are excluded by the uni > 0 guard on both sides

@@ -240,3 +240,26 @@ def test_corpus_delta_dedup(ray_session):
     got = {r["doc_id"]: r["is_known"]
            for r in corpus_delta_dedup(new, corpus).take_all()}
     assert got == {10: 1, 11: 1, 12: 0}
+
+
+def test_containment_asymmetric(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.dedup import containment_pairs
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": ["s", "s", "s"],
+        # doc 1 ⊂ doc 2 (containment 1.0, Jaccard only 3/8);
+        # doc 3 shares nothing
+        "text": ["a b c",
+                 "a b c d e f g h",
+                 "x y z"],
+    })
+    got = containment_pairs(ray.data.from_arrow(t).repartition(2),
+                            num=9, den=10).take_all()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["inter"] == 3 and r["min_size"] == 3

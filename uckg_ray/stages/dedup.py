@@ -136,6 +136,49 @@ def token_jaccard_pairs(docs: Dataset, *, block_col: str = "source",
                         batch_format="pandas"))
 
 
+
+def containment_pairs(docs: Dataset, *, block_col: str = "source",
+                      num: int = 9, den: int = 10) -> Dataset:
+    """Asymmetric word-set CONTAINMENT near-dup pairs (doc_a < doc_b,
+    same block): |A ∩ B| / min(|A|, |B|) ≥ num/den — the subset/superset
+    detector Jaccard misses (a short doc pasted into a longer one keeps
+    containment ≈ 1 while Jaccard collapses with the length ratio;
+    Broder's resemblance-vs-containment distinction). Integer-threshold
+    compare, no floats.
+
+    Same distributed shape as ``token_jaccard_pairs`` (one blocking
+    shuffle, vectorized M·Mᵀ per block) — the exact, oracle-checked
+    variant; at corpus scale hand the candidate generation to
+    ``minhash_lsh_pairs`` and verify containment in-task."""
+    def per_block(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        sets = [set(t.split(" ")) for t in group["text"].to_numpy()[order]]
+        vocab = {}
+        for s in sets:
+            for w in s:
+                vocab.setdefault(w, len(vocab))
+        M = np.zeros((len(ids), len(vocab)), dtype=np.int32)
+        for i, s in enumerate(sets):
+            for w in s:
+                M[i, vocab[w]] = 1
+        inter = M @ M.T
+        sizes = M.sum(axis=1)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        it = inter[iu, ju].astype(np.int64)
+        mn = np.minimum(sizes[iu], sizes[ju]).astype(np.int64)
+        keep = den * it >= num * mn
+        return pd.DataFrame({
+            "doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
+            "inter": it[keep], "min_size": mn[keep]})
+
+    return (docs.select_columns(["doc_id", block_col, "text"])
+            .groupby(block_col)
+            .map_groups(lambda g: per_block(g.drop(columns=[block_col])),
+                        batch_format="pandas"))
+
+
 def ngram_jaccard_pairs(docs: Dataset, *, n: int = 5,
                         block_col: str = "source",
                         num: int = 7, den: int = 10) -> Dataset:
