@@ -1451,6 +1451,16 @@ _SHACL_RULES = [
 ]
 
 
+def _q_sentence_dedup(sf_dir: str):
+    """Corpus-wide sentence-level exact dedup (C4-style): every
+    repeated sentence survives only at its global first occurrence;
+    docs are reassembled from the survivors. Witness exchange ships
+    digests, never sentence text; survivors make one doc-keyed
+    exchange."""
+    from uckg_ray.stages.text import sentence_dedup
+    return sentence_dedup(_table(sf_dir, "documents"))
+
+
 def _q_dedup_containment(sf_dir: str):
     """Asymmetric word-set containment near-dup (|A∩B|/min ≥ 9/10):
     the subset/superset detector Jaccard misses. Exact blocked M·Mᵀ
@@ -1637,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_shacl": _q_kg_shacl,
         "events_streaks": _q_events_streaks,
         "dedup_containment": _q_dedup_containment,
+        "sentence_dedup": _q_sentence_dedup,
     }
 
 
@@ -3007,6 +3018,22 @@ pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
 SELECT doc_a, doc_b, inter, least(sa.n, sb.n) AS min_size
 FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE 10 * inter >= 9 * least(sa.n, sb.n)""",
+        "sentence_dedup": """
+WITH sp AS (SELECT doc_id, string_split(text, '.') AS parts
+            FROM documents),
+s AS (SELECT doc_id, u.i - 1 AS pos, trim(parts[u.i], ' ') AS sent
+      FROM sp, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) u),
+f AS (SELECT doc_id, pos, sent, doc_id * 1048576 + pos AS w
+      FROM s WHERE sent <> ''),
+win AS (SELECT sent, min(w) AS mw FROM f GROUP BY sent),
+kept AS (SELECT f.doc_id, f.pos, f.sent FROM f JOIN win
+         ON f.sent = win.sent AND f.w = win.mw),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents
+        FROM f GROUP BY doc_id)
+SELECT k.doc_id, t.n_sents, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(k.sent, '. ' ORDER BY k.pos) AS text_dedup
+FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id, t.n_sents""",
         # char-5-gram shingle Jaccard: substring() and length() are both
         # code-point based, matching Python slicing; empty shingle sets
         # (len(text) < 5) are excluded by the uni > 0 guard on both sides

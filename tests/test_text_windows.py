@@ -1006,3 +1006,24 @@ def test_activity_streaks_islands(ray_session):
     assert got[1]["n_streaks"] == 2 and got[1]["max_streak"] == 3
     assert got[2] == {"user_id": 2, "n_active_days": 1,
                       "n_streaks": 1, "max_streak": 1}
+
+
+def test_sentence_dedup_first_occurrence(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.text import sentence_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # "b" repeats inside doc 1 and again in doc 2; doc 3 is fully
+        # duplicated and must vanish from the output
+        "text": ["a. b .b", "b. c", "a"],
+    })
+    out = {r["doc_id"]: r for r in
+           sentence_dedup(ray.data.from_arrow(t).repartition(3),
+                          num_partitions=4).take_all()}
+    assert out[1]["text_dedup"] == "a. b"
+    assert out[1]["n_sents"] == 3 and out[1]["n_kept"] == 2
+    assert out[2]["text_dedup"] == "c"
+    assert out[2]["n_sents"] == 2 and out[2]["n_kept"] == 1
+    assert 3 not in out
