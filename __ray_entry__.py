@@ -1451,6 +1451,15 @@ _SHACL_RULES = [
 ]
 
 
+def _q_semantic_contamination(sf_dir: str):
+    """Embedding-space decontamination: eval-split vectors (id%10==0)
+    with cosine ≥ 0.45 to any train vector — paraphrase-level leakage
+    the n-gram check misses. LSH candidates + in-task exact verify,
+    then one eval-bounded Count/Min fold."""
+    from uckg_ray.stages.similarity import semantic_contamination
+    return semantic_contamination(_table(sf_dir, "embeddings"), tau=0.45)
+
+
 def _q_sentence_dedup(sf_dir: str):
     """Corpus-wide sentence-level exact dedup (C4-style): every
     repeated sentence survives only at its global first occurrence;
@@ -1648,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_streaks": _q_events_streaks,
         "dedup_containment": _q_dedup_containment,
         "sentence_dedup": _q_sentence_dedup,
+        "semantic_contamination": _q_semantic_contamination,
     }
 
 
@@ -3034,6 +3044,18 @@ SELECT k.doc_id, t.n_sents, CAST(count(*) AS BIGINT) AS n_kept,
        string_agg(k.sent, '. ' ORDER BY k.pos) AS text_dedup
 FROM kept k JOIN tot t ON k.doc_id = t.doc_id
 GROUP BY k.doc_id, t.n_sents""",
+        # same float-threshold contract (and fixture cosine margin) as
+        # _SQL_EMBED_NEARDUP; counts/min-id are exact integers
+        "semantic_contamination": """
+WITH m AS (
+  SELECT e.vec_id AS ev, t.vec_id AS tv
+  FROM embeddings e, embeddings t
+  WHERE e.vec_id % 10 = 0 AND t.vec_id % 10 <> 0
+    AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                               CAST(t.embedding AS DOUBLE[])) >= 0.45)
+SELECT ev AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(tv) AS BIGINT) AS first_match
+FROM m GROUP BY 1""",
         # char-5-gram shingle Jaccard: substring() and length() are both
         # code-point based, matching Python slicing; empty shingle sets
         # (len(text) < 5) are excluded by the uni > 0 guard on both sides

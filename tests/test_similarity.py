@@ -209,3 +209,29 @@ def test_quantize_int8(ray_session):
     # codes 127, -(250000*127//500000) = -63, 100000*127//500000 = 25
     assert got == {(1, 1): 127, (1, 2): -63, (1, 3): 25,
                    (2, 1): 0, (2, 2): 0, (2, 3): 0}
+
+
+def test_semantic_contamination_eval_train(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.similarity import semantic_contamination
+
+    # ids 10, 20 are the eval split (%10==0). Eval 10 duplicates train
+    # ids 3 and 7 (cos=1); eval 20 is orthogonal to every train vector.
+    vecs = {
+        3: [1.0, 0.0, 0.0, 0.0],
+        7: [1.0, 0.0, 0.0, 0.0],
+        4: [0.0, 1.0, 0.0, 0.0],
+        10: [2.0, 0.0, 0.0, 0.0],
+        20: [0.0, 0.0, 0.0, 5.0],
+    }
+    t = pa.table({
+        "vec_id": pa.array(list(vecs), pa.int64()),
+        "embedding": pa.array(list(vecs.values()),
+                              pa.list_(pa.float32())),
+    })
+    got = {r["vec_id"]: r for r in semantic_contamination(
+        ray.data.from_arrow(t).repartition(2), tau=0.9).take_all()}
+    assert list(got) == [10]
+    assert got[10]["n_matches"] == 2 and got[10]["first_match"] == 3

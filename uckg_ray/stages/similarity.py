@@ -612,3 +612,46 @@ def quantize_int8(emb: Dataset, *, id_col: str = "vec_id",
             "code": pa.array(codes.ravel(), pa.int64())})
 
     return emb.map_batches(partial, batch_format="pyarrow")
+
+
+def semantic_contamination(emb: Dataset, *, tau: float = 0.45,
+                           eval_mod: int = 10,
+                           id_col: str = "vec_id") -> Dataset:
+    """Cross-corpus semantic (embedding-space) contamination check:
+    eval-split vectors (``id % eval_mod == 0``) whose cosine to ANY
+    train-split vector reaches ``tau`` — the decontamination gate an
+    LLM data pipeline runs before training (the embedding-space
+    sibling of the n-gram ``ngram_contamination`` detector; flags
+    paraphrased benchmark leakage that exact n-grams miss). Output per
+    contaminated eval vector: ``(vec_id, n_matches, first_match)``
+    with ``first_match`` the smallest matching train id (order-free —
+    no float argmax to reconcile across engines).
+
+    Composes the banded-LSH candidate machinery of
+    ``embedding_neardup_lsh_pairs`` (in-task exact-cosine verify,
+    broadcast/shuffle-join switch), then filters the verified pair
+    stream to eval↔train crossings and folds it with one
+    eval-id-bounded Count/Min groupby."""
+    from ray.data.aggregate import Count, Min
+
+    pairs = embedding_neardup_lsh_pairs(emb, tau=tau, id_col=id_col)
+
+    def crossings(b: pa.Table) -> pa.Table:
+        out = pa.schema([("vec_id", pa.int64()), ("train_id", pa.int64())])
+        if b.num_rows == 0:
+            return out.empty_table()
+        a = b.column("vec_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = b.column("vec_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        a_eval = (a % eval_mod) == 0
+        b_eval = (c % eval_mod) == 0
+        keep = a_eval != b_eval
+        ev = np.where(a_eval[keep], a[keep], c[keep])
+        tr = np.where(a_eval[keep], c[keep], a[keep])
+        return pa.table({"vec_id": pa.array(ev, pa.int64()),
+                         "train_id": pa.array(tr, pa.int64())})
+
+    return (pairs.map_batches(crossings, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("vec_id")
+            .aggregate(Count(alias_name="n_matches"),
+                       Min("train_id", alias_name="first_match")))
