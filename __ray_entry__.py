@@ -1428,6 +1428,19 @@ def _q_kg_entity_support(sf_dir: str):
     return entity_support(m)
 
 
+def _q_kg_triple_support(sf_dir: str):
+    """Per-triple provenance: distinct supporting turns/conversations
+    and first witness for every transcript-witnessed (s, p, o) — the
+    evidence-count confidence signal for extracted facts. Witness-
+    preserving extraction; dual bounded partial streams into one
+    triple-keyed merge."""
+    from uckg_ray.pipelines.kg import extract_edges
+    from uckg_ray.stages.materialize import triple_support
+    raw = extract_edges(_rd_turns(sf_dir), _fixdir(sf_dir),
+                        keep_witnesses=True)
+    return triple_support(raw)
+
+
 def _q_kg_star_bgp(sf_dir: str):
     """SPARQL-style star BGP over the KG: weaknesses satisfying ALL of
     { ?s rdf:type uco#CWE . ?s likelihoodOfExploit ?x .
@@ -1658,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": _q_dedup_containment,
         "sentence_dedup": _q_sentence_dedup,
         "semantic_contamination": _q_semantic_contamination,
+        "kg_triple_support": _q_kg_triple_support,
     }
 
 
@@ -1776,13 +1790,29 @@ def _attack_pred_case() -> str:
     return f"CASE {whens} END"
 
 
-def _edges_union(p) -> str:
-    """All template emissions as UNION ALL terms over the shared CTEs."""
+_SIDE_CTES = ("cwed", "cved", "capd", "d3d", "an", "ar", "(SELECT")
+
+
+def _edges_union(p, lineage: bool = False) -> str:
+    """All template emissions as UNION ALL terms over the shared CTEs.
+    With ``lineage`` each term also projects its (conv_id, turn_idx)
+    witness — driver-built side-table terms (dictionary CTEs, matching
+    the Ray stream's ``side_table_edges`` lineage) emit ('', -1).
+    Join terms over two mention CTEs pass an explicit qualified ``lin``
+    (the join equates both sides' witnesses, so either qualifies)."""
     E = []  # (subj, pred, obj, lit, dt, from_clause)
 
-    def t(subj, pred, obj, lit, dt, frm):
-        E.append(f"SELECT {subj} AS subj, {pred} AS pred, {obj} AS obj, "
-                 f"{lit} AS obj_is_literal, '{dt}' AS obj_datatype FROM {frm}")
+    def t(subj, pred, obj, lit, dt, frm, lin=None):
+        sel = (f"SELECT {subj} AS subj, {pred} AS pred, {obj} AS obj, "
+               f"{lit} AS obj_is_literal, '{dt}' AS obj_datatype")
+        if lineage:
+            if lin is None:
+                lin = "'', CAST(-1 AS INTEGER)" \
+                    if frm.strip().startswith(_SIDE_CTES) \
+                    else "conv_id, turn_idx"
+            a, b = lin.rsplit(",", 1)
+            sel += f", {a.strip()} AS conv_id, {b.strip()} AS turn_idx"
+        E.append(sel + f" FROM {frm}")
 
     U, X = f"'{UCO}'", f"'{UCOEX}'"
     # R1/R2 — CVE
@@ -1801,20 +1831,23 @@ def _edges_union(p) -> str:
     t(f"{U} || id", f"'{UCO}name'", "name", "true", ns.XSD_STRING, "cwe")
     t(f"{U} || 'ExploitTarget-' || w.id", f"'{UCO}hasVulnerability'",
       f"{U} || 'VULN-' || v.id", "false", "",
-      "cwe w JOIN cve v ON v.conv_id = w.conv_id AND v.turn_idx = w.turn_idx")
+      "cwe w JOIN cve v ON v.conv_id = w.conv_id AND v.turn_idx = w.turn_idx",
+      lin="w.conv_id, w.turn_idx")
     # R8 — CAPEC
     capec_iri = f"'{CAPEC_PFX}' || split_part(id, '-', 2) || '.html'"
     t(capec_iri, f"'{RT}'", f"{X} || 'CAPEC'", "false", "", "capec")
     t(capec_iri, f"'{RL}'", "id", "true", ns.XSD_STRING, "capec")
     t(f"'{CAPEC_PFX}' || split_part(pp.id, '-', 2) || '.html'",
       f"'{UCOEX}hasRelatedWeakness'", f"{U} || w.id", "false", "",
-      "capec pp JOIN cwe w ON w.conv_id = pp.conv_id AND w.turn_idx = pp.turn_idx")
+      "capec pp JOIN cwe w ON w.conv_id = pp.conv_id AND w.turn_idx = pp.turn_idx",
+      lin="pp.conv_id, pp.turn_idx")
     # R10 — ATT&CK mentions
     t(f"{X} || id", f"'{RT}'", f"{X} || 'MITREATTACK'", "false", "", "att")
     # R12 — D3FEND
     t(f"{X} || id", f"'{RT}'", f"{X} || 'MITRED3FEND'", "false", "", "d3")
     t(f"{X} || d.id", f"'{UCOEX}hasMITREATTACK'", f"{X} || a.id", "false", "",
-      "d3 d JOIN att a ON a.conv_id = d.conv_id AND a.turn_idx = d.turn_idx")
+      "d3 d JOIN att a ON a.conv_id = d.conv_id AND a.turn_idx = d.turn_idx",
+      lin="d.conv_id, d.turn_idx")
     # R3/J1 — CPE
     t(f"{X} || id", f"'{RT}'", f"{X} || 'CPE'", "false", "", "cpe")
     t(f"{X} || c.id", f"'{UCOEX}cpeNameId'", "d.cpeNameId", "true", ns.XSD_STRING,
@@ -1829,7 +1862,8 @@ def _edges_union(p) -> str:
       "cpe c LEFT JOIN cped d ON d.cpeName = c.id WHERE d.cpeName IS NULL")
     # P3 quirk — first CPE ↔ CVEs of the turn
     t(f"{U} || v.id", f"'{UCOEX}hasCPE'", f"{X} || cf.id", "false", "",
-      "cpefirst cf JOIN cve v ON v.conv_id = cf.conv_id AND v.turn_idx = cf.turn_idx")
+      "cpefirst cf JOIN cve v ON v.conv_id = cf.conv_id AND v.turn_idx = cf.turn_idx",
+      lin="cf.conv_id, cf.turn_idx")
     # tool turns
     t(f"{X} || 'tool-' || tool", f"'{RT}'", f"{X} || 'Tool'", "false", "",
       "tt WHERE role = 'tool' AND tool <> ''")
@@ -3423,6 +3457,20 @@ SELECT ent_type, ent_id, n_mentions, n_convs,
        CAST(substr(fw, length(fw) - 5, 6) AS INTEGER) AS first_turn,
        substr(lw, 1, length(lw) - 7) AS last_conv,
        CAST(substr(lw, length(lw) - 5, 6) AS INTEGER) AS last_turn
+FROM g""",
+        "kg_triple_support": f"""WITH {_kg_ctes(p)},
+raw AS (SELECT DISTINCT subj, pred, obj, conv_id, turn_idx
+        FROM ({_edges_union(p, lineage=True)}) WHERE conv_id <> ''),
+w AS (SELECT *, conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 6, '0')
+        AS wk FROM raw),
+g AS (SELECT subj, pred, obj,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+             min(wk) AS fw
+      FROM w GROUP BY 1, 2, 3)
+SELECT subj, pred, obj, n_turns, n_convs,
+       substr(fw, 1, length(fw) - 7) AS first_conv,
+       CAST(substr(fw, length(fw) - 5, 6) AS INTEGER) AS first_turn
 FROM g""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),

@@ -85,3 +85,74 @@ def test_export_sinks_roundtrip(ray_session, tmp_path):
             in lines)
     assert ("<http://x/s3> <http://x/p> \"2024-01-01T00:00:00\""
             "^^<http://www.w3.org/2001/XMLSchema#dateTime> ." in lines)
+
+
+def test_triple_support_provenance(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.materialize import triple_support
+
+    def row(s, p, o, conv, turn):
+        return {"subj": s, "pred": p, "obj": o, "obj_is_literal": False,
+                "obj_datatype": "", "conv_id": conv, "turn_idx": turn}
+
+    rows = [
+        # triple A: 3 turn witnesses over 2 convs (one conv repeats)
+        row("a", "p", "b", "conv-b", 2),
+        row("a", "p", "b", "conv-a", 5),
+        row("a", "p", "b", "conv-a", 1),
+        # triple B: single witness
+        row("x", "q", "y", "conv-c", 0),
+        # dictionary-side emission: excluded
+        row("d", "r", "e", "", -1),
+    ]
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    t = t.set_column(t.schema.get_field_index("turn_idx"), "turn_idx",
+                     t.column("turn_idx").cast(pa.int32()))
+    got = {(r["subj"], r["pred"], r["obj"]): r
+           for r in triple_support(
+               ray.data.from_arrow(t).repartition(3)).take_all()}
+    a = got[("a", "p", "b")]
+    assert a["n_turns"] == 3 and a["n_convs"] == 2
+    assert (a["first_conv"], a["first_turn"]) == ("conv-a", 1)
+    b = got[("x", "q", "y")]
+    assert b["n_turns"] == 1 and b["n_convs"] == 1
+    assert ("d", "r", "e") not in got
+
+
+def test_keep_witnesses_preserves_multiplicity(ray_session, sf_small_fixtures):
+    import os
+
+    import pyarrow as pa
+
+    from uckg_ray.stages.extract import TripleEmitter
+
+    args = (os.path.join(sf_small_fixtures, "cwe_dict.parquet"),
+            os.path.join(sf_small_fixtures, "cpe_dict.parquet"),
+            os.path.join(sf_small_fixtures, "alias_dict.parquet"))
+    batch = pa.table({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "role": ["user"] * 3,
+        # the same CVE mentioned in three turns (twice in one turn)
+        "text": ["see CVE-2021-0001 and CVE-2021-0001",
+                 "again CVE-2021-0001", "also CVE-2021-0001"],
+        "tool": [""] * 3,
+        "ts": pa.array([0, 1, 2], pa.timestamp("us")),
+    })
+    collapsed = TripleEmitter(*args)(batch)
+    kept = TripleEmitter(*args, False, True)(batch)
+
+    def wit(t):
+        m = pa.compute.equal(t.column("pred"),
+                             "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        f = t.filter(m)
+        f = f.filter(pa.compute.equal(
+            f.column("subj"),
+            "http://purl.org/cyber/uco#VULN-CVE-2021-0001"))
+        return sorted(zip(f.column("conv_id").to_pylist(),
+                          f.column("turn_idx").to_pylist()))
+
+    assert wit(collapsed) == [("c1", 0)]          # min witness only
+    assert wit(kept) == [("c1", 0), ("c1", 1), ("c2", 0)]  # per-turn distinct

@@ -54,11 +54,15 @@ def read_transcripts(paths: list[str] | str) -> Dataset:
 
 def extract_edges(turns: Dataset, fixture_dir: str,
                   cfg: PipelineConfig | None = None, *,
-                  mark_aliases: bool = False) -> Dataset:
+                  mark_aliases: bool = False,
+                  keep_witnesses: bool = False) -> Dataset:
     """Transcript turns → edge stream with lineage (one text pass: regex
     mention templates + dictionary gate + CPE lookup join + alias link).
     With ``mark_aliases`` the stream also carries observed-alias marker
-    rows so canonicalization needs no second pass over the text."""
+    rows so canonicalization needs no second pass over the text. With
+    ``keep_witnesses`` every distinct (triple, conv, turn) witness
+    survives the block combiner (provenance counting) instead of each
+    triple collapsing to its min witness."""
     cfg = cfg or PipelineConfig()
     return turns.map_batches(
         TripleEmitter,
@@ -67,6 +71,7 @@ def extract_edges(turns: Dataset, fixture_dir: str,
             os.path.join(fixture_dir, "cpe_dict.parquet"),
             os.path.join(fixture_dir, "alias_dict.parquet"),
             mark_aliases,
+            keep_witnesses,
         ),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,

@@ -148,8 +148,15 @@ class TripleEmitter:
 
     def __init__(self, cwe_dict_path: str, cpe_dict_path: str,
                  alias_dict_path: str | None = None,
-                 mark_aliases: bool = False):
+                 mark_aliases: bool = False,
+                 keep_witnesses: bool = False):
         self.mark_aliases = mark_aliases
+        # keep_witnesses: preserve EVERY distinct (triple, conv, turn)
+        # witness instead of collapsing each triple to its min witness —
+        # the provenance-counting input (triple_support); the default
+        # collapses (witness_dedup) because every other consumer dedups
+        # globally and the collapse cuts extraction output ~4×.
+        self.keep_witnesses = keep_witnesses
         cwe = pq.read_table(cwe_dict_path, columns=["id_value", "name"])
         self.cwe_names = dict(zip(cwe.column("id_value").to_pylist(),
                                   cwe.column("name").to_pylist()))
@@ -419,7 +426,21 @@ class TripleEmitter:
              pa.concat_arrays(T)],
             schema=EDGE_SCHEMA,
         )
+        if self.keep_witnesses:
+            return witness_distinct(raw)
         return witness_dedup(raw)
+
+
+def witness_distinct(tbl: pa.Table) -> pa.Table:
+    """Witness-preserving block combiner: distinct over the FULL row
+    (triple + conv_id + turn_idx) — collapses same-turn re-emissions
+    (the per-turn ``_uniq`` contract) while keeping one row per
+    distinct witness for provenance counting."""
+    import polars as pl
+    if tbl.num_rows == 0:
+        return tbl
+    out = pl.from_arrow(tbl).unique(maintain_order=False)
+    return out.select(tbl.column_names).to_arrow().cast(EDGE_SCHEMA)
 
 
 def witness_dedup(tbl: pa.Table) -> pa.Table:

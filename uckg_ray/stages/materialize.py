@@ -1061,3 +1061,110 @@ def entail_min1_restrictions(
         distinct.map_batches(_asserted_type_slice(classes),
                              batch_format="pyarrow", batch_size=None),
         ("subj", "pred", "obj"), _ENT3_SCHEMA, num_partitions)
+
+
+def triple_support(witness_edges: Dataset) -> Dataset:
+    """Per-triple provenance/confidence over the witness-preserving
+    edge stream (``extract_edges(..., keep_witnesses=True)``): for
+    every transcript-witnessed (subj, pred, obj) the number of distinct
+    supporting turns, distinct supporting conversations, and the first
+    witness under stable turn ordering — the support signal that ranks
+    extracted facts by evidence before they enter the canonical graph
+    (single-witness triples are extraction-noise candidates; the
+    reference's count audits track record-level analogues,
+    ``data_collection/cve_collection.py:311-336``). Dictionary-side
+    emissions carry no turn witness (conv_id = '') and are excluded.
+
+    ONE linear pipeline (branching the extraction Dataset would run the
+    emitter actor pool twice and contend for its CPU reservation):
+    block partials pre-aggregate per (triple, conv) — turn count + min
+    witness; a (triple, conv)-keyed merge makes those rows globally
+    unique, so the following per-block per-triple fold (Σ turns,
+    #convs, min witness) plus one triple-keyed Sum/Min merge is exact.
+    Both exchanges are bounded by distinct (triple, conv) pairs, never
+    raw emissions. Triple key rides as one \x1f-joined string (the
+    repo's single-key shuffle convention)."""
+    import polars as pl
+
+    from ray.data.aggregate import Min, Sum
+
+    from uckg_ray.stages.extract import ALIAS_MARKER_PRED
+
+    _PC = pa.schema([("k", pa.string()), ("conv_id", pa.string()),
+                     ("n_turns", pa.int64()), ("first_w", pa.string())])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b.select(["subj", "pred", "obj",
+                                      "conv_id", "turn_idx"]))
+              .filter((pl.col("pred") != ALIAS_MARKER_PRED)
+                      & (pl.col("conv_id") != "")))
+        if df.height == 0:
+            return _PC.empty_table()
+        g = (df.with_columns(
+                k=pl.col("subj") + "\x1f" + pl.col("pred") + "\x1f"
+                + pl.col("obj"),
+                wk=pl.col("conv_id") + "#"
+                + pl.col("turn_idx").cast(pl.Utf8).str.zfill(6))
+             .group_by(["k", "conv_id"])
+             .agg(pl.len().cast(pl.Int64).alias("n_turns"),
+                  pl.col("wk").min().alias("first_w")))
+        return pa.table({"k": g["k"].to_arrow().cast(pa.string()),
+                         "conv_id": g["conv_id"].to_arrow()
+                         .cast(pa.string()),
+                         "n_turns": g["n_turns"].to_arrow(),
+                         "first_w": g["first_w"].to_arrow()
+                         .cast(pa.string())})
+
+    _TP = pa.schema([("k", pa.string()), ("n_turns", pa.int64()),
+                     ("n_convs", pa.int64()), ("first_w", pa.string())])
+
+    def triple_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "conv_id" not in b.column_names:
+            return _TP.empty_table()
+        g = (pl.from_arrow(b.select(["k", "n_turns", "first_w"]))
+             .group_by("k")
+             .agg(pl.col("n_turns").sum(),
+                  pl.len().cast(pl.Int64).alias("n_convs"),
+                  pl.col("first_w").min()))
+        return pa.table({"k": g["k"].to_arrow().cast(pa.string()),
+                         "n_turns": g["n_turns"].to_arrow(),
+                         "n_convs": g["n_convs"].to_arrow(),
+                         "first_w": g["first_w"].to_arrow()
+                         .cast(pa.string())})
+
+    merged = (witness_edges
+              .map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=None)
+              .groupby(["k", "conv_id"])
+              .aggregate(Sum("n_turns", alias_name="n_turns"),
+                         Min("first_w", alias_name="first_w"))
+              .map_batches(triple_partial, batch_format="pyarrow",
+                           batch_size=None)
+              .groupby("k")
+              .aggregate(Sum("n_turns", alias_name="n_turns"),
+                         Sum("n_convs", alias_name="n_convs"),
+                         Min("first_w", alias_name="first_w")))
+
+    _FIN = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                      ("obj", pa.string()), ("n_turns", pa.int64()),
+                      ("n_convs", pa.int64()), ("first_conv", pa.string()),
+                      ("first_turn", pa.int32())])
+
+    def unpack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _FIN.empty_table()
+        df = pl.from_arrow(b).with_columns(
+            pl.col("k").str.split_exact("\x1f", 2)
+            .struct.rename_fields(["subj", "pred", "obj"]).alias("_t"))
+        out = df.select(
+            pl.col("_t").struct.field("subj"),
+            pl.col("_t").struct.field("pred"),
+            pl.col("_t").struct.field("obj"),
+            "n_turns", "n_convs",
+            pl.col("first_w").str.head(-7).alias("first_conv"),
+            pl.col("first_w").str.tail(6).cast(pl.Int32)
+            .alias("first_turn"))
+        return out.to_arrow().cast(_FIN)
+
+    return merged.map_batches(unpack, batch_format="pyarrow",
+                              batch_size=None)
