@@ -1441,6 +1441,18 @@ def _q_kg_triple_support(sf_dir: str):
     return triple_support(raw)
 
 
+def _q_kg_version_diff(sf_dir: str):
+    """Triple-level diff between the KGs of two transcript partitions
+    (even/odd conv ids as versions A/B): facts present in exactly one
+    version — the versioned-KG re-sync audit. One pass over the
+    witness-preserving stream, one triple-keyed flag-merge exchange."""
+    from uckg_ray.pipelines.kg import extract_edges
+    from uckg_ray.stages.materialize import kg_version_diff
+    raw = extract_edges(_rd_turns(sf_dir), _fixdir(sf_dir),
+                        keep_witnesses=True)
+    return kg_version_diff(raw)
+
+
 def _q_kg_star_bgp(sf_dir: str):
     """SPARQL-style star BGP over the KG: weaknesses satisfying ALL of
     { ?s rdf:type uco#CWE . ?s likelihoodOfExploit ?x .
@@ -1672,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_dedup": _q_sentence_dedup,
         "semantic_contamination": _q_semantic_contamination,
         "kg_triple_support": _q_kg_triple_support,
+        "kg_version_diff": _q_kg_version_diff,
     }
 
 
@@ -3472,6 +3485,18 @@ SELECT subj, pred, obj, n_turns, n_convs,
        substr(fw, 1, length(fw) - 7) AS first_conv,
        CAST(substr(fw, length(fw) - 5, 6) AS INTEGER) AS first_turn
 FROM g""",
+        "kg_version_diff": f"""WITH {_kg_ctes(p)},
+raw AS (SELECT DISTINCT subj, pred, obj,
+               CASE WHEN right(conv_id, 1) IN ('1','3','5','7','9')
+                    THEN 1 ELSE 0 END AS side
+        FROM ({_edges_union(p, lineage=True)}) WHERE conv_id <> ''),
+g AS (SELECT subj, pred, obj,
+             max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+      FROM raw GROUP BY 1, 2, 3)
+SELECT subj, pred, obj,
+       CASE WHEN in_b = 1 THEN 'add' ELSE 'del' END AS status
+FROM g WHERE in_a <> in_b""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
 t AS (

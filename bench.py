@@ -175,7 +175,10 @@ def run_bench() -> dict:
                  "q18_big_orders", "kg_class_sizes", "events_latest",
                  "kg_untyped", "q10_returns", "q4_priority",
                  "profile_stats", "cap_per_source", "turn_dupes",
-                 "kg_char_sets", "kg_dangling", "mention_lift"):
+                 "kg_char_sets", "kg_dangling", "mention_lift",
+                 "kg_entity_support", "kg_star_bgp", "kg_shacl",
+                 "events_streaks", "dedup_containment", "sentence_dedup",
+                 "semantic_contamination", "kg_triple_support"):
         # conv_neardup is deliberately NOT in the sweep: a full-corpus
         # conversation-level minhash (~120 s at sf0.1) would dominate
         # the bench wall-time; it stays oracle-checked and unit-tested.

@@ -156,3 +156,29 @@ def test_keep_witnesses_preserves_multiplicity(ray_session, sf_small_fixtures):
 
     assert wit(collapsed) == [("c1", 0)]          # min witness only
     assert wit(kept) == [("c1", 0), ("c1", 1), ("c2", 0)]  # per-turn distinct
+
+
+def test_kg_version_diff_add_del(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from uckg_ray.stages.materialize import kg_version_diff
+
+    def row(s, conv):
+        return {"subj": s, "pred": "p", "obj": "o",
+                "obj_is_literal": False, "obj_datatype": "",
+                "conv_id": conv, "turn_idx": 0}
+
+    rows = [
+        row("both", "conv-0"), row("both", "conv-1"),   # in A and B
+        row("only_a", "conv-2"),                        # del
+        row("only_b", "conv-3"),                        # add
+        row("side", ""),                                # dict-side: excluded
+    ]
+    t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+    t = t.set_column(t.schema.get_field_index("turn_idx"), "turn_idx",
+                     t.column("turn_idx").cast(pa.int32()))
+    got = {r["subj"]: r["status"] for r in
+           kg_version_diff(ray.data.from_arrow(t).repartition(3))
+           .take_all()}
+    assert got == {"only_a": "del", "only_b": "add"}

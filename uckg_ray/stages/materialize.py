@@ -1168,3 +1168,82 @@ def triple_support(witness_edges: Dataset) -> Dataset:
 
     return merged.map_batches(unpack, batch_format="pyarrow",
                               batch_size=None)
+
+
+def kg_version_diff(witness_edges: Dataset,
+                    split_fn=None) -> Dataset:
+    """Triple-level diff between two KG versions built from two
+    partitions of the SAME transcript table (the versioned-KG /
+    incremental-re-sync audit: which facts appear only in the new crawl,
+    which disappeared — the graph-level sibling of ``snapshot_diff``
+    and of the reference's daily re-sync count audit,
+    ``airflow/dags/ingestion_dag.py:27-77``). Input is the
+    witness-preserving edge stream; ``split_fn(conv_id Arrow array) →
+    bool mask`` assigns each witness to version B (default: odd last
+    digit of conv_id). Output: transcript-witnessed triples present in
+    exactly one version, with status 'add' (B only) or 'del' (A only).
+
+    One pass, one triple-keyed exchange: block partials fold each
+    triple's side presence into two int8 flags (Max-merged), so the
+    exchange is bounded by distinct triples per block — never raw
+    witnesses. Dictionary-side emissions (no turn witness) belong to
+    both versions by construction and are excluded."""
+    import polars as pl
+
+    from ray.data.aggregate import Max
+
+    from uckg_ray.stages.extract import ALIAS_MARKER_PRED
+
+    _P = pa.schema([("k", pa.string()), ("in_a", pa.int8()),
+                    ("in_b", pa.int8())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b.select(["subj", "pred", "obj", "conv_id"]))
+              .filter((pl.col("pred") != ALIAS_MARKER_PRED)
+                      & (pl.col("conv_id") != "")))
+        if df.height == 0:
+            return _P.empty_table()
+        if split_fn is None:
+            # odd-digit final character → version B; any other ending
+            # (including non-digit ids) → A. Total and deterministic.
+            side_b = df["conv_id"].str.tail(1) \
+                .is_in(["1", "3", "5", "7", "9"])
+        else:
+            side_b = pl.Series(split_fn(df["conv_id"].to_arrow()))
+        g = (df.with_columns(
+                k=pl.col("subj") + "\x1f" + pl.col("pred") + "\x1f"
+                + pl.col("obj"),
+                _b=side_b)
+             .group_by("k")
+             .agg((~pl.col("_b")).any().cast(pl.Int8).alias("in_a"),
+                  pl.col("_b").any().cast(pl.Int8).alias("in_b")))
+        return pa.table({"k": g["k"].to_arrow().cast(pa.string()),
+                         "in_a": g["in_a"].to_arrow(),
+                         "in_b": g["in_b"].to_arrow()})
+
+    _FIN = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                      ("obj", pa.string()), ("status", pa.string())])
+
+    def emit_diff(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _FIN.empty_table()
+        df = (pl.from_arrow(b)
+              .filter(pl.col("in_a") != pl.col("in_b"))
+              .with_columns(
+                  pl.col("k").str.split_exact("\x1f", 2)
+                  .struct.rename_fields(["subj", "pred", "obj"])
+                  .alias("_t"),
+                  status=pl.when(pl.col("in_b") == 1)
+                  .then(pl.lit("add")).otherwise(pl.lit("del"))))
+        out = df.select(pl.col("_t").struct.field("subj"),
+                        pl.col("_t").struct.field("pred"),
+                        pl.col("_t").struct.field("obj"), "status")
+        return out.to_arrow().cast(_FIN)
+
+    return (witness_edges.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=None)
+            .groupby("k")
+            .aggregate(Max("in_a", alias_name="in_a"),
+                       Max("in_b", alias_name="in_b"))
+            .map_batches(emit_diff, batch_format="pyarrow",
+                         batch_size=None))
