@@ -1441,6 +1441,22 @@ def _q_kg_triple_support(sf_dir: str):
     return triple_support(raw)
 
 
+def _q_events_gaps(sf_dir: str):
+    """Inter-arrival gap statistics per event type (exact integer µs):
+    user-keyed co-partition ordering, gap stream folds to a
+    types-bounded Sum/Min/Max groupby."""
+    from uckg_ray.stages.windows import event_gap_stats
+    return event_gap_stats(_table(sf_dir, "events"))
+
+
+def _q_kg_fill_rates(sf_dir: str):
+    """KG completeness profile: members per (class, predicate) — the
+    per-class property fill matrix (soft sibling of kg_shacl; join
+    against kg_class_sizes for rates). Node-bounded exchanges."""
+    from uckg_ray.stages.graph import class_property_fill
+    return class_property_fill(_distinct_edges_cached(sf_dir))
+
+
 def _q_kg_version_diff(sf_dir: str):
     """Triple-level diff between the KGs of two transcript partitions
     (even/odd conv ids as versions A/B): facts present in exactly one
@@ -1685,6 +1701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_contamination": _q_semantic_contamination,
         "kg_triple_support": _q_kg_triple_support,
         "kg_version_diff": _q_kg_version_diff,
+        "kg_fill_rates": _q_kg_fill_rates,
+        "events_gaps": _q_events_gaps,
     }
 
 
@@ -3497,6 +3515,24 @@ g AS (SELECT subj, pred, obj,
 SELECT subj, pred, obj,
        CASE WHEN in_b = 1 THEN 'add' ELSE 'del' END AS status
 FROM g WHERE in_a <> in_b""",
+        "kg_fill_rates": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
+ty AS (SELECT DISTINCT subj, obj AS cls FROM edges
+       WHERE pred = '{rdft}'),
+pr AS (SELECT DISTINCT subj, pred FROM edges WHERE pred <> '{rdft}')
+SELECT cls, pred, CAST(count(*) AS BIGINT) AS n_subjects
+FROM ty JOIN pr USING (subj) GROUP BY 1, 2""",
+        "events_gaps": """
+WITH o AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                  lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                      PARTITION BY user_id
+                      ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(ts_us - prev) AS BIGINT) AS sum_gap_us,
+       CAST(min(ts_us - prev) AS BIGINT) AS min_gap_us,
+       CAST(max(ts_us - prev) AS BIGINT) AS max_gap_us
+FROM o WHERE prev IS NOT NULL GROUP BY 1""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
 t AS (

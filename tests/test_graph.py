@@ -338,3 +338,23 @@ def test_shacl_min_counts(ray_session):
                     ("need2", "C", "p", 2)]).take_all()}
     assert got == {("need1", "b"): 0,
                    ("need2", "a"): 1, ("need2", "b"): 0}
+
+
+def test_class_property_fill(ray_session):
+    import ray.data
+
+    from uckg_ray import namespaces as ns
+    from uckg_ray.stages.graph import class_property_fill
+
+    e = pa.table({
+        "subj": ["a", "a", "a", "b", "b", "c", "c"],
+        "pred": [ns.RDF_TYPE, "p", "p", ns.RDF_TYPE, "q",
+                 ns.RDF_TYPE, "p"],
+        "obj":  ["C", "x", "y", "C", "z", "D", "w"],
+    })
+    got = {(r["cls"], r["pred"]): r["n_subjects"]
+           for r in class_property_fill(
+               ray.data.from_arrow(e).repartition(3),
+               num_partitions=4).take_all()}
+    # a and b are C; only a has p, only b has q; c is D with p
+    assert got == {("C", "p"): 1, ("C", "q"): 1, ("D", "p"): 1}

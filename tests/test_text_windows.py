@@ -1027,3 +1027,29 @@ def test_sentence_dedup_first_occurrence(ray_session):
     assert out[2]["text_dedup"] == "c"
     assert out[2]["n_sents"] == 2 and out[2]["n_kept"] == 1
     assert 3 not in out
+
+
+def test_event_gap_stats(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.windows import event_gap_stats
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        # user 1: gaps 10 (to click), 5 (to view); user 2: no gap
+        "user_id": pa.array([1, 1, 1, 2, 1], pa.int64()),
+        "ts": pa.array([100, 110, 115, 50, 90], pa.timestamp("us")),
+        "event_type": ["view", "click", "view", "view", "view"],
+        "value": [0.0] * 5,
+        "props": ["{}"] * 5,
+    })
+    got = {r["event_type"]: r for r in
+           event_gap_stats(ray.data.from_arrow(t).repartition(3))
+           .take_all()}
+    # user 1 ordered: 90,100,110,115 → gaps: 10 (→view@100)... wait:
+    # 90→100 gap 10 lands on view@100; 100→110 gap 10 on click;
+    # 110→115 gap 5 on view
+    assert got["click"]["n_gaps"] == 1 and got["click"]["sum_gap_us"] == 10
+    v = got["view"]
+    assert v["n_gaps"] == 2 and v["sum_gap_us"] == 15
+    assert v["min_gap_us"] == 5 and v["max_gap_us"] == 10

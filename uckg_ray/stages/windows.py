@@ -840,3 +840,73 @@ def activity_streaks(events: Dataset) -> Dataset:
             .groupby("q")
             .map_groups(lambda g: islands_partition(g.drop(columns=["q"])),
                         batch_format="pandas"))
+
+
+def event_gap_stats(events: Dataset) -> Dataset:
+    """Inter-arrival profile: exact integer statistics of the gaps
+    between each user's consecutive events, grouped by the TYPE of the
+    later event — (event_type, n_gaps, sum_gap_us, min_gap_us,
+    max_gap_us), the arrival-process descriptor behind rate-limit /
+    burst tuning. Per-user ordering is established inside (user,
+    time-bucket) co-partitions with carry rows (the ``sessionize`` /
+    ``running_aggregates`` partitioning), expressed here with a direct
+    user-keyed partition: a user's events are calendar-bounded, so the
+    hot-user partition load is bounded; the gap stream then folds to a
+    ≤ |types|-row Sum/Min/Max groupby with block partials."""
+    import pandas as pd
+
+    from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import key_partition_ids
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    n_parts = default_num_partitions()
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        u = (b.column("user_id").cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "event_type": b.column("event_type").cast(pa.string()),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "q": pa.array(key_partition_ids(u, n_parts), pa.int32())})
+
+    def gaps_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "sum_gap_us": pd.Series([], dtype="int64"),
+                "min_gap_us": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="int64")})
+        # event_id tiebreak keeps simultaneous events deterministic
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gap = np.empty(len(u), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        d = pd.DataFrame({"event_type": g["event_type"].to_numpy()[same],
+                          "gap": gap[same]})
+        out = (d.groupby("event_type", sort=False)["gap"]
+               .agg(n_gaps="size", sum_gap_us="sum", min_gap_us="min",
+                    max_gap_us="max").reset_index())
+        return out.astype({"n_gaps": "int64", "sum_gap_us": "int64",
+                           "min_gap_us": "int64", "max_gap_us": "int64"})
+
+    return (events.select_columns(["user_id", "ts", "event_type",
+                                   "event_id"])
+            .map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby("q")
+            .map_groups(lambda g: gaps_partition(g.drop(columns=["q"])),
+                        batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("n_gaps", alias_name="n_gaps"),
+                       Sum("sum_gap_us", alias_name="sum_gap_us"),
+                       Min("min_gap_us", alias_name="min_gap_us"),
+                       Max("max_gap_us", alias_name="max_gap_us")))
