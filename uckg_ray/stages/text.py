@@ -1853,7 +1853,6 @@ def sentence_dedup(docs: Dataset, *, id_col: str = "doc_id",
     import hashlib
 
     import numpy as np
-    import pandas as pd
     import polars as pl
 
     from ray.data.aggregate import Min
@@ -1952,43 +1951,42 @@ def sentence_dedup(docs: Dataset, *, id_col: str = "doc_id",
             "side": pa.array(np.ones(n, np.int8), pa.int8()),
             "p": pa.array(key_partition_ids(pk, n_parts), pa.int32())})
 
-    def keep_survivors(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "doc": pd.Series([], dtype="int64"),
-                "pos": pd.Series([], dtype="int64"),
-                "sent": pd.Series([], dtype="object"),
-                "n_sents": pd.Series([], dtype="int64"),
-                "q": pd.Series([], dtype="int32")})
-        df = pl.from_pandas(g)
+    _KEPT = pa.schema([("doc", pa.int64()), ("pos", pa.int64()),
+                       ("sent", pa.string()), ("n_sents", pa.int64()),
+                       ("q", pa.int32())])
+
+    def keep_survivors(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _KEPT.empty_table()
+        df = pl.from_arrow(part)
         wins = (df.filter(pl.col("side") == 1)
                 .select("h", mw="w"))
         rows = (df.filter(pl.col("side") == 0)
                 .join(wins, on="h", how="inner")
                 .filter(pl.col("w") == pl.col("mw")))
         doc = rows["doc"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "doc": doc,
-            "pos": rows["pos"].to_numpy().astype(np.int64),
-            "sent": rows["sent"].to_numpy(),
-            "n_sents": rows["n_sents"].to_numpy().astype(np.int64),
-            "q": key_partition_ids(doc, n_parts)})
+        return pa.table({
+            "doc": pa.array(doc, pa.int64()),
+            "pos": rows["pos"].to_arrow().cast(pa.int64()),
+            "sent": rows["sent"].to_arrow().cast(pa.string()),
+            "n_sents": rows["n_sents"].to_arrow().cast(pa.int64()),
+            "q": pa.array(key_partition_ids(doc, n_parts), pa.int32())})
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype="int64"),
-                "n_sents": pd.Series([], dtype="int64"),
-                "n_kept": pd.Series([], dtype="int64"),
-                "text_dedup": pd.Series([], dtype="object")})
-        out = (pl.from_pandas(g)
+    _OUT = pa.schema([("doc_id", pa.int64()), ("n_sents", pa.int64()),
+                      ("n_kept", pa.int64()), ("text_dedup", pa.string())])
+
+    def reassemble(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        out = (pl.from_arrow(part)
                .sort(["doc", "pos"])
                .group_by("doc", maintain_order=True)
                .agg(pl.col("n_sents").first(),
                     pl.len().cast(pl.Int64).alias("n_kept"),
                     pl.col("sent").str.join(". ").alias("text_dedup"))
-               .rename({"doc": "doc_id"}))
-        return out.to_pandas()
+               .rename({"doc": "doc_id"})
+               .select(["doc_id", "n_sents", "n_kept", "text_dedup"]))
+        return out.to_arrow().cast(_OUT)
 
     sents = docs.map_batches(sent_rows, batch_format="pyarrow",
                              batch_size=None)
@@ -1996,8 +1994,8 @@ def sentence_dedup(docs: Dataset, *, id_col: str = "doc_id",
                                batch_size=None)
     return (sents.union(wtag)
             .groupby("p")
-            .map_groups(lambda g: keep_survivors(g.drop(columns=["p"])),
-                        batch_format="pandas")
+            .map_groups(lambda t: keep_survivors(t.drop_columns(["p"])),
+                        batch_format="pyarrow")
             .groupby("q")
-            .map_groups(lambda g: reassemble(g.drop(columns=["q"])),
-                        batch_format="pandas"))
+            .map_groups(lambda t: reassemble(t.drop_columns(["q"])),
+                        batch_format="pyarrow"))
