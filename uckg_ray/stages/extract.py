@@ -110,22 +110,33 @@ def scan_mentions_flat(texts: list[str | None]) -> dict:
 
 
 def extract_mentions(batch: pa.Table) -> pa.Table:
-    """Stateless map_batches fn → mention rows (all occurrences, in order)."""
-    conv = batch.column("conv_id").to_pylist()
-    turn = batch.column("turn_idx").to_pylist()
-    per_row = scan_mentions_batch(batch.column("text").to_pylist())
-    o_conv, o_turn, o_type, o_id = [], [], [], []
-    for c, t, row in zip(conv, turn, per_row):
-        for et, eid in row:
-            o_conv.append(c)
-            o_turn.append(t)
-            o_type.append(et)
-            o_id.append(eid)
-    return pa.Table.from_pydict(
-        {"conv_id": o_conv, "turn_idx": pa.array(o_turn, pa.int32()),
-         "ent_type": o_type, "ent_id": o_id},
-        schema=MENTION_SCHEMA,
-    )
+    """Stateless map_batches fn → mention rows (all occurrences;
+    type-major within the batch — every consumer aggregates or
+    hash-compares, so row order is not part of the contract).
+    Fully vectorized: the Rust ``scan_mentions_flat`` scan feeds Arrow
+    ``take`` per type — no Python loop per mention (the per-mention
+    list-append version measured ~2× slower on mention-heavy
+    batches)."""
+    def _cc(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+
+    conv = _cc(batch.column("conv_id"))
+    turn = _cc(batch.column("turn_idx").cast(pa.int32()))
+    flat = scan_mentions_flat(_cc(batch.column("text")))
+    parts = []
+    for name, _ in PER_TYPE_RX:
+        idx, ids = flat[name]
+        if len(idx) == 0:
+            continue
+        parts.append(pa.Table.from_arrays(
+            [conv.take(pa.array(idx)), turn.take(pa.array(idx)),
+             pa.array([name] * len(idx), pa.string()),
+             pa.array(ids, pa.string())],
+            schema=MENTION_SCHEMA))
+    if not parts:
+        return MENTION_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
 
 
 def _uniq(seq):
