@@ -71,18 +71,6 @@ def _text_frame(texts) -> "object":
     return pl.DataFrame({"t": s.fill_null("")})
 
 
-def scan_mentions_batch(texts: list[str | None]) -> list[list[tuple[str, str]]]:
-    """Batch variant of ``scan_mentions`` with identical per-row output
-    (type-major order within a row), built from the flat per-type scan."""
-    flat = scan_mentions_flat(texts)
-    out: list[list[tuple[str, str]]] = [[] for _ in texts]
-    for name, _ in PER_TYPE_RX:
-        idx, ids = flat[name]
-        for i, mid in zip(idx, ids):
-            out[i].append((name, mid))
-    return out
-
-
 def scan_mentions_flat(texts: list[str | None]) -> dict:
     """Per-TYPE flat mention streams: ``{type: (row_idx ndarray, ids)}``
     in match order, feeding the vectorized family-level emission in
