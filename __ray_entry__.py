@@ -1441,6 +1441,14 @@ def _q_kg_triple_support(sf_dir: str):
     return triple_support(raw)
 
 
+def _q_doc_novelty(sf_dir: str):
+    """Per-doc corpus novelty: distinct word-8-grams appearing in no
+    other doc (exact integer counts) — the inverse duplication signal
+    for curation. All-Rust gram explosion, one gram-keyed exchange."""
+    from uckg_ray.stages.text import doc_novelty
+    return doc_novelty(_table(sf_dir, "documents"))
+
+
 def _q_events_gaps(sf_dir: str):
     """Inter-arrival gap statistics per event type (exact integer µs):
     user-keyed co-partition ordering, gap stream folds to a
@@ -1703,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_version_diff": _q_kg_version_diff,
         "kg_fill_rates": _q_kg_fill_rates,
         "events_gaps": _q_events_gaps,
+        "doc_novelty": _q_doc_novelty,
     }
 
 
@@ -3533,6 +3542,15 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(min(ts_us - prev) AS BIGINT) AS min_gap_us,
        CAST(max(ts_us - prev) AS BIGINT) AS max_gap_us
 FROM o WHERE prev IS NOT NULL GROUP BY 1""",
+        "doc_novelty": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(greatest(len(t) - 7, 0)),
+        i -> array_to_string(t[i + 1:i + 8], ' ')))) AS gram FROM toks),
+cnt AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM g JOIN cnt USING (gram) GROUP BY 1""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
 t AS (

@@ -1053,3 +1053,21 @@ def test_event_gap_stats(ray_session):
     v = got["view"]
     assert v["n_gaps"] == 2 and v["sum_gap_us"] == 15
     assert v["min_gap_us"] == 5 and v["max_gap_us"] == 10
+
+
+def test_doc_novelty_unique_grams(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.text import doc_novelty
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # 2-grams: doc1 {a b, b c}; doc2 {a b, b d}; doc3 too short
+        "text": ["a b c", "a b d", "x"],
+    })
+    got = {r["doc_id"]: r for r in
+           doc_novelty(ray.data.from_arrow(t).repartition(3), n=2,
+                       num_partitions=4).take_all()}
+    assert got[1]["n_grams"] == 2 and got[1]["n_novel"] == 1   # "b c"
+    assert got[2]["n_grams"] == 2 and got[2]["n_novel"] == 1   # "b d"
+    assert 3 not in got

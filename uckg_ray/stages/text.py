@@ -1999,3 +1999,70 @@ def sentence_dedup(docs: Dataset, *, id_col: str = "doc_id",
             .groupby("q")
             .map_groups(lambda t: reassemble(t.drop_columns(["q"])),
                         batch_format="pyarrow"))
+
+
+def doc_novelty(docs: Dataset, *, n: int = 8,
+                num_partitions: int = 32) -> Dataset:
+    """Per-document corpus novelty: of a doc's distinct word
+    ``n``-grams, how many appear in NO other document —
+    ``(doc_id, n_grams, n_novel)``, exact integers (novel ratio =
+    n_novel / n_grams downstream). The inverse of the duplication
+    signals: near-duplicate and boilerplate docs score low, fresh
+    content scores high — a standard curation feature next to quality
+    and repetition scores. Docs shorter than ``n`` tokens have no
+    grams and are absent (the SQL oracle mirrors this).
+
+    All-Rust gram construction (token explode + per-doc shifted
+    concat_str — no Python loop over rows or grams), per-doc distinct
+    in-block (a doc lives in one block, so (doc, gram) rows are
+    globally unique), ONE gram-keyed exchange: each partition counts
+    a gram's distinct docs and credits docs whose gram count is 1;
+    per-doc partials then fold through a doc-keyed Sum merge."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    _G = pa.schema([("doc_id", pa.int64()), ("gram", pa.string()),
+                    ("p", pa.int32())])
+
+    def grams(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _G.empty_table()
+        ex = (pl.from_arrow(b.select(["doc_id", "text"]))
+              .with_columns(tok=pl.col("text").str.split(" "))
+              .drop("text")
+              .explode("tok"))
+        parts = [pl.col("tok")] + \
+            [pl.col("tok").shift(-k).over("doc_id") for k in range(1, n)]
+        g = (ex.with_columns(gram=pl.concat_str(parts, separator=" "))
+             .drop_nulls("gram")
+             .select("doc_id", "gram")
+             .unique()
+             .with_columns(p=(pl.col("gram").hash(seed=0) % num_partitions)
+                           .cast(pl.Int32)))
+        return g.select(["doc_id", "gram", "p"]).to_arrow().cast(_G)
+
+    _PART = pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()),
+                       ("n_novel", pa.int64())])
+
+    def fold_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _PART.empty_table()
+        df = pl.from_arrow(part.select(["doc_id", "gram"]))
+        g = (df.with_columns(
+                nd=pl.len().over("gram"))
+             .group_by("doc_id")
+             .agg(pl.len().cast(pl.Int64).alias("n_grams"),
+                  (pl.col("nd") == 1).sum().cast(pl.Int64)
+                  .alias("n_novel")))
+        return g.select(["doc_id", "n_grams", "n_novel"]) \
+            .to_arrow().cast(_PART)
+
+    return (docs.select_columns(["doc_id", "text"])
+            .map_batches(grams, batch_format="pyarrow", batch_size=None)
+            .groupby("p")
+            .map_groups(lambda t: fold_partition(t.drop_columns(["p"])),
+                        batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_grams", alias_name="n_grams"),
+                       Sum("n_novel", alias_name="n_novel")))
