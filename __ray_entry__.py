@@ -1441,6 +1441,20 @@ def _q_kg_triple_support(sf_dir: str):
     return triple_support(raw)
 
 
+def _q_kg_gate_dropped(sf_dir: str):
+    """Dictionary-gate audit: CWE-shaped mentions whose id is NOT in
+    the CWE dictionary — exactly what the reference's membership gate
+    (cve_collection.py:384-389) silently drops from the KG, surfaced
+    with support counts so a curator can extend the dictionary.
+    Broadcast frozenset gate inverted + a vocabulary-bounded Count."""
+    from uckg_ray.stages.extract import extract_mentions
+    from uckg_ray.stages.link import gate_dropped_mentions
+    m = _rd_turns(sf_dir, columns=["conv_id", "turn_idx", "text"]) \
+        .map_batches(extract_mentions, batch_format="pyarrow")
+    return gate_dropped_mentions(
+        m, os.path.join(_fixdir(sf_dir), "cwe_dict.parquet"))
+
+
 def _q_doc_novelty(sf_dir: str):
     """Per-doc corpus novelty: distinct word-8-grams appearing in no
     other doc (exact integer counts) — the inverse duplication signal
@@ -1712,6 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fill_rates": _q_kg_fill_rates,
         "events_gaps": _q_events_gaps,
         "doc_novelty": _q_doc_novelty,
+        "kg_gate_dropped": _q_kg_gate_dropped,
     }
 
 
@@ -3551,6 +3566,14 @@ cnt AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
 FROM g JOIN cnt USING (gram) GROUP BY 1""",
+        "kg_gate_dropped": f"""
+WITH m AS ({_mentions_cte(p)}),
+f AS (SELECT ent_id, conv_id FROM m WHERE ent_type = 'cwe'
+      AND ent_id NOT IN (SELECT id_value
+                         FROM read_parquet('{p['CWED']}')))
+SELECT ent_id, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM f GROUP BY 1""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
 t AS (

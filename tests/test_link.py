@@ -77,3 +77,26 @@ def test_entity_support_provenance(ray_session):
     assert cwe["n_mentions"] == 1 and cwe["n_convs"] == 1
     assert (cwe["first_conv"], cwe["first_turn"]) == \
         (cwe["last_conv"], cwe["last_turn"]) == ("conv-a", 1)
+
+
+def test_gate_dropped_mentions(ray_session, sf_small_fixtures):
+    import ray.data
+
+    from uckg_ray.stages.link import gate_dropped_mentions
+
+    m = pa.table({
+        "conv_id": ["c1", "c1", "c2", "c1"],
+        "turn_idx": pa.array([0, 1, 0, 2], pa.int32()),
+        "ent_type": ["cwe", "cwe", "cwe", "cve"],
+        # CWE-999999 is not in the fixture dictionary; CWE ids that ARE
+        # in the dict must not appear; cve rows are out of scope
+        "ent_id": ["CWE-999999", "CWE-999999", "CWE-999999",
+                   "CVE-2021-0001"],
+    })
+    got = gate_dropped_mentions(
+        ray.data.from_arrow(m).repartition(2),
+        os.path.join(sf_small_fixtures, "cwe_dict.parquet")).take_all()
+    assert len(got) == 1
+    r = got[0]
+    assert r["ent_id"] == "CWE-999999"
+    assert r["n_mentions"] == 3 and r["n_convs"] == 2

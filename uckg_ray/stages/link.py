@@ -209,3 +209,60 @@ class AliasLinker:
                 "entity_type": ex["entity_type"].tolist(),
             }
         )
+
+
+def gate_dropped_mentions(mentions, cwe_dict_path: str,
+                          ent_type: str = "cwe") -> "ray.data.Dataset":
+    """Dictionary-gate audit: mentions of ``ent_type`` whose id is NOT
+    in the dictionary — the rows the reference's membership gate
+    (``data_collection/cve_collection.py:384-389``) silently drops
+    from the KG. Reported with mention and conversation support so a
+    curator can triage dictionary gaps. The dictionary is the small
+    side: loaded once on the driver, shipped as a frozenset closure
+    (ray.put semantics via task capture); the fold is the
+    vocabulary-bounded (id, conv) partial + Sum shape."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    ids = frozenset(
+        pq.read_table(cwe_dict_path, columns=["id_value"])
+        .column("id_value").to_pylist())
+
+    _P = pa.schema([("ent_id", pa.string()), ("conv_id", pa.string()),
+                    ("n_mentions", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _P.empty_table()
+        df = (pl.from_arrow(b.select(["ent_type", "ent_id", "conv_id"]))
+              .filter((pl.col("ent_type") == ent_type)
+                      & ~pl.col("ent_id").is_in(list(ids))))
+        if df.height == 0:
+            return _P.empty_table()
+        g = (df.group_by(["ent_id", "conv_id"])
+             .agg(pl.len().cast(pl.Int64).alias("n_mentions")))
+        return g.select(["ent_id", "conv_id", "n_mentions"]) \
+            .to_arrow().cast(_P)
+
+    def conv_fold(b: pa.Table) -> pa.Table:
+        out = pa.schema([("ent_id", pa.string()),
+                         ("n_mentions", pa.int64()),
+                         ("n_convs", pa.int64())])
+        if b.num_rows == 0 or "conv_id" not in b.column_names:
+            return out.empty_table()
+        g = (pl.from_arrow(b.select(["ent_id", "n_mentions"]))
+             .group_by("ent_id")
+             .agg(pl.col("n_mentions").sum(),
+                  pl.len().cast(pl.Int64).alias("n_convs")))
+        return g.select(["ent_id", "n_mentions", "n_convs"]) \
+            .to_arrow().cast(out)
+
+    return (mentions
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["ent_id", "conv_id"])
+            .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+            .map_batches(conv_fold, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("ent_id")
+            .aggregate(Sum("n_mentions", alias_name="n_mentions"),
+                       Sum("n_convs", alias_name="n_convs")))
