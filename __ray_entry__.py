@@ -1441,6 +1441,14 @@ def _q_kg_triple_support(sf_dir: str):
     return triple_support(raw)
 
 
+def _q_kg_negatives(sf_dir: str):
+    """Deterministic TransE-style negative sampling over relationship
+    edges: o_neg = next same-predicate object in cyclic md5 order —
+    type-compatible corruption with no RNG; two bounded exchanges."""
+    from uckg_ray.stages.graph import negative_samples
+    return negative_samples(_distinct_edges_cached(sf_dir))
+
+
 def _q_kg_gate_dropped(sf_dir: str):
     """Dictionary-gate audit: CWE-shaped mentions whose id is NOT in
     the CWE dictionary — exactly what the reference's membership gate
@@ -1727,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gaps": _q_events_gaps,
         "doc_novelty": _q_doc_novelty,
         "kg_gate_dropped": _q_kg_gate_dropped,
+        "kg_negatives": _q_kg_negatives,
     }
 
 
@@ -3574,6 +3583,18 @@ f AS (SELECT ent_id, conv_id FROM m WHERE ent_type = 'cwe'
 SELECT ent_id, CAST(count(*) AS BIGINT) AS n_mentions,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM f GROUP BY 1""",
+        "kg_negatives": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})
+          WHERE NOT obj_is_literal AND pred <> '{rdft}'),
+objs AS (SELECT DISTINCT pred, obj FROM edges),
+succ AS (SELECT pred, obj,
+                coalesce(lead(obj) OVER w,
+                         first_value(obj) OVER w) AS neg
+         FROM objs
+         WINDOW w AS (PARTITION BY pred ORDER BY md5(obj), obj))
+SELECT e.subj, e.pred, e.obj, s.neg AS obj_neg
+FROM edges e JOIN succ s ON e.pred = s.pred AND e.obj = s.obj
+WHERE s.neg <> e.obj""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
 t AS (

@@ -358,3 +358,29 @@ def test_class_property_fill(ray_session):
                num_partitions=4).take_all()}
     # a and b are C; only a has p, only b has q; c is D with p
     assert got == {("C", "p"): 1, ("C", "q"): 1, ("D", "p"): 1}
+
+
+def test_negative_samples_cyclic_successor(ray_session):
+    import ray.data
+
+    from uckg_ray import namespaces as ns
+    from uckg_ray.stages.graph import negative_samples
+
+    e = pa.table({
+        "subj": ["s1", "s2", "s3", "s4", "s5", "s6"],
+        "pred": ["p", "p", "p", "q", ns.RDF_TYPE, "lit"],
+        "obj":  ["o1", "o2", "o1", "z", "C", "text"],
+        "obj_is_literal": [False, False, False, False, False, True],
+    })
+    got = {(r["subj"], r["pred"], r["obj"]): r["obj_neg"]
+           for r in negative_samples(
+               ray.data.from_arrow(e).repartition(3),
+               num_partitions=4).take_all()}
+    # two objects form a 2-cycle: each one's successor is the other
+    assert got[("s1", "p", "o1")] == "o2"
+    assert got[("s2", "p", "o2")] == "o1"
+    assert got[("s3", "p", "o1")] == "o2"
+    # single-object predicate q: no negative; type/literal edges excluded
+    assert ("s4", "q", "z") not in got
+    assert ("s5", ns.RDF_TYPE, "C") not in got
+    assert ("s6", "lit", "text") not in got

@@ -1535,3 +1535,123 @@ def class_property_fill(edges: Dataset,
                         batch_format="pyarrow")
             .groupby(["cls", "pred"])
             .aggregate(Sum("n_subjects", alias_name="n_subjects")))
+
+
+def negative_samples(edges: Dataset,
+                     num_partitions: int | None = None) -> Dataset:
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-family corrupted triples): for every non-literal,
+    non-rdf:type edge (s, p, o), emit (s, p, o, o_neg) where ``o_neg``
+    is the NEXT distinct object of the same predicate in the cyclic
+    md5 order — a type-compatible corruption (same-predicate objects
+    share a range) that both engines order identically, with no RNG to
+    reconcile. Predicates with a single distinct object yield no
+    negative (o_neg would equal o).
+
+    Two bounded exchanges: (1) block-distinct (pred, obj) rows
+    partition by predicate; each partition sorts its predicates'
+    object vocabularies once (md5 per DISTINCT object only) and emits
+    the cyclic-successor map; (2) the successor map re-keys by
+    (pred, obj) and co-partitions with the edge stream — fine-grained
+    keys, so a hot predicate spreads across partitions instead of
+    funneling one."""
+    import hashlib
+
+    import polars as pl
+
+    n_parts = num_partitions or _default_partitions()
+
+    def _rel(df: "pl.DataFrame") -> "pl.DataFrame":
+        return df.filter((pl.col("pred") != ns.RDF_TYPE)
+                         & ~pl.col("obj_is_literal"))
+
+    _OBJ = pa.schema([("pred", pa.string()), ("obj", pa.string()),
+                      ("p", pa.int32())])
+
+    def obj_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _OBJ.empty_table()
+        u = (_rel(pl.from_arrow(b.select(["pred", "obj",
+                                          "obj_is_literal"])))
+             .select("pred", "obj").unique()
+             .with_columns(p=(pl.col("pred").hash(seed=0) % n_parts)
+                           .cast(pl.Int32)))
+        return u.select(["pred", "obj", "p"]).to_arrow().cast(_OBJ)
+
+    _ROW = pa.schema([("pred", pa.string()), ("obj", pa.string()),
+                      ("subj", pa.string()), ("neg", pa.string()),
+                      ("side", pa.int8()), ("q", pa.int32())])
+
+    def succ_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _ROW.empty_table()
+        df = pl.from_arrow(part.select(["pred", "obj"])).unique()
+        objs = df["obj"].to_list()
+        dmap = {o: hashlib.md5(o.encode()).hexdigest()
+                for o in set(objs)}
+        df = (df.with_columns(
+                  h=pl.Series([dmap[o] for o in objs]))
+              .sort(["pred", "h", "obj"])
+              .with_columns(
+                  neg=pl.col("obj").shift(-1).over("pred")
+                  .fill_null(pl.col("obj").first().over("pred"))))
+        n = df.height
+        out = pa.table({
+            "pred": df["pred"].to_arrow().cast(pa.string()),
+            "obj": df["obj"].to_arrow().cast(pa.string()),
+            "subj": pa.nulls(n, pa.string()),
+            "neg": df["neg"].to_arrow().cast(pa.string()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "q": pa.array(np.zeros(n, np.int32), pa.int32())})
+        return _retag(out)
+
+    def _retag(t: pa.Table) -> pa.Table:
+        import polars as pl2
+        key = pl2.from_arrow(t.column("pred").combine_chunks()) \
+            + "\x1f" + pl2.from_arrow(t.column("obj").combine_chunks())
+        q = (key.hash(seed=0) % n_parts).cast(pl2.Int32).to_numpy()
+        return t.set_column(t.schema.get_field_index("q"), "q",
+                            pa.array(q, pa.int32()))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _ROW.empty_table()
+        df = _rel(pl.from_arrow(b.select(["subj", "pred", "obj",
+                                          "obj_is_literal"])))
+        n = df.height
+        out = pa.table({
+            "pred": df["pred"].to_arrow().cast(pa.string()),
+            "obj": df["obj"].to_arrow().cast(pa.string()),
+            "subj": df["subj"].to_arrow().cast(pa.string()),
+            "neg": pa.nulls(n, pa.string()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "q": pa.array(np.zeros(n, np.int32), pa.int32())})
+        return _retag(out)
+
+    _FIN = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                      ("obj", pa.string()), ("obj_neg", pa.string())])
+
+    def join_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _FIN.empty_table()
+        df = pl.from_arrow(part.select(["pred", "obj", "subj", "neg",
+                                        "side"]))
+        succ = df.filter(pl.col("side") == 1).select("pred", "obj", "neg")
+        e = df.filter(pl.col("side") == 0).select("subj", "pred", "obj")
+        out = (e.join(succ, on=["pred", "obj"], how="inner")
+               .filter(pl.col("neg") != pl.col("obj"))
+               .select("subj", "pred", "obj",
+                       obj_neg="neg"))
+        return out.to_arrow().cast(_FIN)
+
+    src = edges.select_columns(["subj", "pred", "obj", "obj_is_literal"])
+    succ = (src.map_batches(obj_partial, batch_format="pyarrow",
+                            batch_size=None)
+            .groupby("p")
+            .map_groups(lambda t: succ_partition(t.drop_columns(["p"])),
+                        batch_format="pyarrow"))
+    e = src.map_batches(edge_rows, batch_format="pyarrow",
+                        batch_size=None)
+    return (e.union(succ)
+            .groupby("q")
+            .map_groups(join_partition, batch_format="pyarrow"))
