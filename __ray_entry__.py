@@ -1441,6 +1441,16 @@ def _q_kg_triple_support(sf_dir: str):
     return triple_support(raw)
 
 
+def _q_trending_entities(sf_dir: str):
+    """Top-5 mentioned entities per UTC day (exact counts,
+    deterministic ties) — windowed heavy-hitters over the mention
+    stream; one vocabulary-bounded Sum groupby + per-day rank."""
+    from uckg_ray.stages.link import trending_entities
+    return trending_entities(
+        _rd_turns(sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]),
+        k=5)
+
+
 def _q_kg_negatives(sf_dir: str):
     """Deterministic TransE-style negative sampling over relationship
     edges: o_neg = next same-predicate object in cyclic md5 order —
@@ -1736,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": _q_doc_novelty,
         "kg_gate_dropped": _q_kg_gate_dropped,
         "kg_negatives": _q_kg_negatives,
+        "trending_entities": _q_trending_entities,
     }
 
 
@@ -3595,6 +3606,19 @@ succ AS (SELECT pred, obj,
 SELECT e.subj, e.pred, e.obj, s.neg AS obj_neg
 FROM edges e JOIN succ s ON e.pred = s.pred AND e.obj = s.obj
 WHERE s.neg <> e.obj""",
+        "trending_entities": f"""
+WITH m AS ({" UNION ALL ".join(
+    f"SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+    f"'{name}' AS ent_type, "
+    f"unnest(regexp_extract_all(text, '{rx}')) AS ent_id "
+    f"FROM read_parquet('{p['T']}')"
+    for name, rx in px.MENTION_TYPES)}),
+c AS (SELECT day, ent_type, ent_id, CAST(count(*) AS BIGINT) AS n
+      FROM m GROUP BY 1, 2, 3),
+r AS (SELECT *, row_number() OVER (PARTITION BY day
+            ORDER BY n DESC, ent_type, ent_id) AS rank FROM c)
+SELECT day, ent_type, ent_id, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
 t AS (

@@ -100,3 +100,35 @@ def test_gate_dropped_mentions(ray_session, sf_small_fixtures):
     r = got[0]
     assert r["ent_id"] == "CWE-999999"
     assert r["n_mentions"] == 3 and r["n_convs"] == 2
+
+
+def test_trending_entities_topk(ray_session):
+    import ray.data
+
+    from uckg_ray.schema import TRANSCRIPT_SCHEMA
+    from uckg_ray.stages.link import trending_entities
+
+    DAY = 86_400_000_000
+    texts = ["CVE-2021-0001 and CVE-2021-0001",   # day 0: cve x2
+             "CVE-2021-0002 T1059",               # day 0: cve2, attack
+             "T1059 T1059 T1059"]                 # day 1: attack x3
+    t = pa.table({
+        "conv_id": ["c1", "c2", "c3"],
+        "turn_idx": pa.array([0, 0, 0], pa.int32()),
+        "role": ["user"] * 3,
+        "text": texts,
+        "tool": [""] * 3,
+        "ts": pa.array([10, DAY - 1, DAY + 5], pa.timestamp("us")),
+    }, schema=TRANSCRIPT_SCHEMA)
+    got = trending_entities(ray.data.from_arrow(t).repartition(2),
+                            k=2).take_all()
+    by_day = {}
+    for r in got:
+        by_day.setdefault(r["day"], []).append(r)
+    d0 = sorted(by_day[0], key=lambda r: r["rank"])
+    assert (d0[0]["ent_id"], d0[0]["n"], d0[0]["rank"]) == \
+        ("CVE-2021-0001", 2, 1)
+    assert d0[1]["rank"] == 2 and d0[1]["n"] == 1  # tie broken by type/id
+    assert len(d0) == 2
+    d1 = by_day[1]
+    assert len(d1) == 1 and d1[0]["ent_id"] == "T1059" and d1[0]["n"] == 3

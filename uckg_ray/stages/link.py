@@ -266,3 +266,70 @@ def gate_dropped_mentions(mentions, cwe_dict_path: str,
             .groupby("ent_id")
             .aggregate(Sum("n_mentions", alias_name="n_mentions"),
                        Sum("n_convs", alias_name="n_convs")))
+
+
+def trending_entities(turns, *, k: int = 5) -> "ray.data.Dataset":
+    """Windowed heavy-hitters over the mention stream: the top-``k``
+    mentioned entities per UTC day with exact counts — the "trending
+    CVEs this week" feed a SOC dashboard draws from the transcript
+    stream. Deterministic ties: (count DESC, ent_type, ent_id).
+
+    One scan folds (day, entity) count partials in-block (Rust regex
+    scan shared with ``extract_mentions``); ONE Sum groupby bounded by
+    days × entity vocabulary; per-day rank inside day-keyed groups
+    (each day's row set is vocabulary-bounded)."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from uckg_ray.stages.extract import scan_mentions_flat
+
+    DAY_US = 86_400_000_000
+    _P = pa.schema([("day", pa.int64()), ("ent_type", pa.string()),
+                    ("ent_id", pa.string()), ("n", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _P.empty_table()
+        ts = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        days = ts // DAY_US
+        flat = scan_mentions_flat(
+            b.column("text").combine_chunks()
+            if isinstance(b.column("text"), pa.ChunkedArray)
+            else b.column("text"))
+        frames = []
+        for name, (idx, ids) in flat.items():
+            if len(idx) == 0:
+                continue
+            frames.append(pl.DataFrame({
+                "day": days[idx], "ent_id": pl.Series(ids, dtype=pl.String)
+            }).with_columns(ent_type=pl.lit(name)))
+        if not frames:
+            return _P.empty_table()
+        g = (pl.concat(frames)
+             .group_by(["day", "ent_type", "ent_id"])
+             .agg(pl.len().cast(pl.Int64).alias("n")))
+        return g.select(["day", "ent_type", "ent_id", "n"]) \
+            .to_arrow().cast(_P)
+
+    _OUT = pa.schema([("day", pa.int64()), ("ent_type", pa.string()),
+                      ("ent_id", pa.string()), ("n", pa.int64()),
+                      ("rank", pa.int64())])
+
+    def topk_day(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        df = (pl.from_arrow(part)
+              .sort(["day", "n", "ent_type", "ent_id"],
+                    descending=[False, True, False, False])
+              .with_columns(rank=pl.int_range(pl.len()).over("day") + 1)
+              .filter(pl.col("rank") <= k))
+        return df.select(["day", "ent_type", "ent_id", "n", "rank"]) \
+            .to_arrow().cast(_OUT)
+
+    return (turns.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby(["day", "ent_type", "ent_id"])
+            .aggregate(Sum("n", alias_name="n"))
+            .groupby("day")
+            .map_groups(topk_day, batch_format="pyarrow"))
