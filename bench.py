@@ -178,12 +178,14 @@ def run_bench() -> dict:
                  "kg_char_sets", "kg_dangling", "mention_lift",
                  "kg_entity_support", "kg_star_bgp", "kg_shacl",
                  "events_streaks", "dedup_containment", "sentence_dedup",
-                 "semantic_contamination"):
-        # kg_triple_support joins conv_neardup on the exclusion list: its
-        # output is inherently turn-scaled (publishedDateTime objects embed
-        # per-turn timestamps → 4.2M provenance rows, ~166 s at sf0.1) and
-        # would dominate the sweep wall-time; it stays oracle-checked
-        # (sf0.001 + sf0.01) and unit-tested.
+                 "semantic_contamination", "events_gaps", "doc_novelty",
+                 "kg_gate_dropped", "trending_entities", "kg_negatives",
+                 "kg_fill_rates"):
+        # kg_triple_support and kg_version_diff join conv_neardup on the
+        # exclusion list: their outputs are inherently turn-scaled
+        # (publishedDateTime objects embed per-turn timestamps → ~4M
+        # rows, 70-170 s each at sf0.1) and would dominate the sweep;
+        # both stay oracle-checked (sf0.001 + sf0.01) and unit-tested.
         # conv_neardup is deliberately NOT in the sweep: a full-corpus
         # conversation-level minhash (~120 s at sf0.1) would dominate
         # the bench wall-time; it stays oracle-checked and unit-tested.
