@@ -224,9 +224,9 @@ def gate_dropped_mentions(mentions, cwe_dict_path: str,
     import polars as pl
     from ray.data.aggregate import Sum
 
-    ids = frozenset(
+    ids = sorted(set(
         pq.read_table(cwe_dict_path, columns=["id_value"])
-        .column("id_value").to_pylist())
+        .column("id_value").to_pylist()))
 
     _P = pa.schema([("ent_id", pa.string()), ("conv_id", pa.string()),
                     ("n_mentions", pa.int64())])
@@ -236,7 +236,7 @@ def gate_dropped_mentions(mentions, cwe_dict_path: str,
             return _P.empty_table()
         df = (pl.from_arrow(b.select(["ent_type", "ent_id", "conv_id"]))
               .filter((pl.col("ent_type") == ent_type)
-                      & ~pl.col("ent_id").is_in(list(ids))))
+                      & ~pl.col("ent_id").is_in(ids)))
         if df.height == 0:
             return _P.empty_table()
         g = (df.group_by(["ent_id", "conv_id"])
