@@ -1441,6 +1441,14 @@ def _q_kg_triple_support(sf_dir: str):
     return triple_support(raw)
 
 
+def _q_events_burst(sf_dir: str):
+    """Per-user peak trailing-hour burst (max events in any [t-1h, t]
+    window): exact RANGE-window semantics, one user-keyed exchange,
+    vectorized two-sided searchsorted per user."""
+    from uckg_ray.stages.windows import peak_burst
+    return peak_burst(_table(sf_dir, "events"))
+
+
 def _q_trending_entities(sf_dir: str):
     """Top-5 mentioned entities per UTC day (exact counts,
     deterministic ties) — windowed heavy-hitters over the mention
@@ -1747,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_gate_dropped": _q_kg_gate_dropped,
         "kg_negatives": _q_kg_negatives,
         "trending_entities": _q_trending_entities,
+        "events_burst": _q_events_burst,
     }
 
 
@@ -3619,6 +3628,15 @@ r AS (SELECT *, row_number() OVER (PARTITION BY day
             ORDER BY n DESC, ent_type, ent_id) AS rank FROM c)
 SELECT day, ent_type, ent_id, n, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 5""",
+        "events_burst": """
+WITH b AS (SELECT user_id,
+                  count(*) OVER (PARTITION BY user_id
+                                 ORDER BY CAST(epoch_us(ts) AS BIGINT)
+                                 RANGE BETWEEN 3600000000 PRECEDING
+                                       AND CURRENT ROW) AS c
+           FROM events)
+SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst
+FROM b GROUP BY 1""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
 t AS (

@@ -1071,3 +1071,30 @@ def test_doc_novelty_unique_grams(ray_session):
     assert got[1]["n_grams"] == 2 and got[1]["n_novel"] == 1   # "b c"
     assert got[2]["n_grams"] == 2 and got[2]["n_novel"] == 1   # "b d"
     assert 3 not in got
+
+
+def test_peak_burst_trailing_window(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.windows import peak_burst
+
+    MIN = 60_000_000
+    # user 1: events at 0, 30m, 59m, 61m → [t-60m, t] windows peak at 3
+    # (anchors 59m and 61m each cover three events); user 2: single
+    ts = [0, 30 * MIN, 59 * MIN, 61 * MIN, 5 * MIN]
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    got = {r["user_id"]: r["max_burst"] for r in
+           peak_burst(ray.data.from_arrow(t).repartition(3))
+           .take_all()}
+    assert got == {1: 3, 2: 1}
+    # boundary inclusivity: events exactly W apart share one window
+    t2 = pa.table({
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array([0, 60 * MIN], pa.timestamp("us")),
+    })
+    got2 = {r["user_id"]: r["max_burst"] for r in
+            peak_burst(ray.data.from_arrow(t2)).take_all()}
+    assert got2 == {7: 2}

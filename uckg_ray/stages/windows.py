@@ -910,3 +910,64 @@ def event_gap_stats(events: Dataset) -> Dataset:
                        Sum("sum_gap_us", alias_name="sum_gap_us"),
                        Min("min_gap_us", alias_name="min_gap_us"),
                        Max("max_gap_us", alias_name="max_gap_us")))
+
+
+def peak_burst(events: Dataset, *, window_minutes: int = 60) -> Dataset:
+    """Per-user peak burst rate: the maximum number of events falling
+    in ANY trailing ``window_minutes`` window ``[t - W, t]`` anchored
+    at an event — the rate-limit / abuse-detection statistic a
+    tumbling window underestimates (a burst straddling two tumbling
+    buckets splits; the trailing window sees it whole). Exact RANGE
+    window semantics: events sharing the anchor timestamp count as
+    peers (matches SQL ``RANGE BETWEEN W PRECEDING AND CURRENT ROW``).
+
+    One user-keyed exchange; each partition sorts its users' events
+    once and runs a two-sided ``searchsorted`` per user — the inner
+    scan is numpy over that user's timestamps (calendar-bounded), the
+    per-user Python step is bounded by users-per-partition, not
+    events."""
+    import pandas as pd
+
+    from uckg_ray.config import default_num_partitions
+    from uckg_ray.partitioning import key_partition_ids
+
+    W = window_minutes * 60 * 1_000_000
+    n_parts = default_num_partitions()
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        u = (b.column("user_id").cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "q": pa.array(key_partition_ids(u, n_parts), pa.int32())})
+
+    def burst_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "max_burst": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "ts_us"], ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        bounds = np.r_[starts, len(u)]
+        users, peaks = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            t = ts[s:e]
+            # left side on the lower bound: [t-W, t] inclusive both
+            # ends, = SQL RANGE BETWEEN W PRECEDING AND CURRENT ROW
+            lo = np.searchsorted(t, t - W, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            users.append(u[s])
+            peaks.append(int((hi - lo).max()))
+        return pd.DataFrame({"user_id": np.array(users, np.int64),
+                             "max_burst": np.array(peaks, np.int64)})
+
+    return (events.select_columns(["user_id", "ts"])
+            .map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby("q")
+            .map_groups(lambda g: burst_partition(g.drop(columns=["q"])),
+                        batch_format="pandas"))
