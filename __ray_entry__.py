@@ -1441,6 +1441,14 @@ def _q_kg_triple_support(sf_dir: str):
     return triple_support(raw)
 
 
+def _q_kg_pred_cooc(sf_dir: str):
+    """Schema-graph discovery: subjects carrying each unordered
+    predicate pair — the pairwise relaxation of characteristic sets;
+    one subject-keyed exchange, pair-bounded merge."""
+    from uckg_ray.stages.graph import predicate_cooccurrence
+    return predicate_cooccurrence(_distinct_edges_cached(sf_dir))
+
+
 def _q_events_burst(sf_dir: str):
     """Per-user peak trailing-hour burst (max events in any [t-1h, t]
     window): exact RANGE-window semantics, one user-keyed exchange,
@@ -1756,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,
         "trending_entities": _q_trending_entities,
         "events_burst": _q_events_burst,
+        "kg_pred_cooc": _q_kg_pred_cooc,
     }
 
 
@@ -3637,6 +3646,12 @@ WITH b AS (SELECT user_id,
            FROM events)
 SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst
 FROM b GROUP BY 1""",
+        "kg_pred_cooc": f"""WITH {_kg_ctes(p)},
+edges AS (SELECT DISTINCT subj, pred FROM ({_edges_union(p)}))
+SELECT a.pred AS pred_a, b.pred AS pred_b,
+       CAST(count(*) AS BIGINT) AS n_subjects
+FROM edges a JOIN edges b ON a.subj = b.subj AND a.pred < b.pred
+GROUP BY 1, 2""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
 t AS (

@@ -384,3 +384,21 @@ def test_negative_samples_cyclic_successor(ray_session):
     assert ("s4", "q", "z") not in got
     assert ("s5", ns.RDF_TYPE, "C") not in got
     assert ("s6", "lit", "text") not in got
+
+
+def test_predicate_cooccurrence_pairs(ray_session):
+    import ray.data
+
+    from uckg_ray.stages.graph import predicate_cooccurrence
+
+    e = pa.table({
+        "subj": ["a", "a", "a", "b", "b", "c"],
+        "pred": ["p", "q", "q", "p", "q", "p"],
+        "obj":  ["1", "2", "3", "4", "5", "6"],
+    })
+    got = {(r["pred_a"], r["pred_b"]): r["n_subjects"]
+           for r in predicate_cooccurrence(
+               ray.data.from_arrow(e).repartition(3),
+               num_partitions=4).take_all()}
+    # a and b carry both p and q (a's duplicate q collapses); c only p
+    assert got == {("p", "q"): 2}

@@ -1655,3 +1655,54 @@ def negative_samples(edges: Dataset,
     return (e.union(succ)
             .groupby("q")
             .map_groups(join_partition, batch_format="pyarrow"))
+
+
+def predicate_cooccurrence(edges: Dataset,
+                           num_partitions: int | None = None) -> Dataset:
+    """Schema-graph discovery: for every unordered predicate pair
+    (pred_a < pred_b), the number of subjects carrying BOTH — the
+    pairwise relaxation of ``characteristic_sets`` (which groups by
+    the exact set) and the statistic a query planner / ontology
+    curator reads to find predicates that always travel together.
+
+    Block-distinct (subj, pred) rows → one subject-keyed exchange →
+    per-partition per-subject pair expansion (bounded by
+    preds-per-subject², predicates are a small vocabulary) → one
+    pair-bounded Sum merge."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    n_parts = num_partitions or _default_partitions()
+    _SP = pa.schema([("subj", pa.string()), ("pred", pa.string()),
+                     ("p", pa.int32())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _SP.empty_table()
+        u = (pl.from_arrow(b.select(["subj", "pred"])).unique()
+             .with_columns(p=(pl.col("subj").hash(seed=0) % n_parts)
+                           .cast(pl.Int32)))
+        return u.select(["subj", "pred", "p"]).to_arrow().cast(_SP)
+
+    _OUT = pa.schema([("pred_a", pa.string()), ("pred_b", pa.string()),
+                      ("n_subjects", pa.int64())])
+
+    def pairs_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        df = pl.from_arrow(part.select(["subj", "pred"])).unique()
+        g = (df.join(df, on="subj")
+             .filter(pl.col("pred") < pl.col("pred_right"))
+             .group_by(["pred", "pred_right"])
+             .agg(pl.len().cast(pl.Int64).alias("n_subjects"))
+             .rename({"pred": "pred_a", "pred_right": "pred_b"}))
+        return g.select(["pred_a", "pred_b", "n_subjects"]) \
+            .to_arrow().cast(_OUT)
+
+    return (edges.select_columns(["subj", "pred"])
+            .map_batches(tag, batch_format="pyarrow", batch_size=None)
+            .groupby("p")
+            .map_groups(lambda t: pairs_partition(t.drop_columns(["p"])),
+                        batch_format="pyarrow")
+            .groupby(["pred_a", "pred_b"])
+            .aggregate(Sum("n_subjects", alias_name="n_subjects")))
