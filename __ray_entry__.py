@@ -1441,6 +1441,16 @@ def _q_kg_triple_support(sf_dir: str):
     return triple_support(raw)
 
 
+def _q_tool_skipgrams(sf_dir: str):
+    """Skip-gram tool co-usage (pairs ≤ 5 turns apart in a
+    conversation) — workflow mining beyond adjacent bigrams; one conv
+    exchange over tool turns only, vectorized inequality join."""
+    from uckg_ray.stages.text import tool_skipgrams
+    return tool_skipgrams(
+        _rd_turns(sf_dir, columns=["conv_id", "turn_idx", "role", "tool"]),
+        window=5)
+
+
 def _q_kg_pred_cooc(sf_dir: str):
     """Schema-graph discovery: subjects carrying each unordered
     predicate pair — the pairwise relaxation of characteristic sets;
@@ -1765,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_entities": _q_trending_entities,
         "events_burst": _q_events_burst,
         "kg_pred_cooc": _q_kg_pred_cooc,
+        "tool_skipgrams": _q_tool_skipgrams,
     }
 
 
@@ -3651,6 +3662,16 @@ edges AS (SELECT DISTINCT subj, pred FROM ({_edges_union(p)}))
 SELECT a.pred AS pred_a, b.pred AS pred_b,
        CAST(count(*) AS BIGINT) AS n_subjects
 FROM edges a JOIN edges b ON a.subj = b.subj AND a.pred < b.pred
+GROUP BY 1, 2""",
+        "tool_skipgrams": f"""
+WITH t AS (SELECT conv_id, turn_idx, tool
+           FROM read_parquet('{p['T']}')
+           WHERE role = 'tool' AND tool <> '')
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM t a JOIN t b ON a.conv_id = b.conv_id
+                 AND b.turn_idx > a.turn_idx
+                 AND b.turn_idx <= a.turn_idx + 5
 GROUP BY 1, 2""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),

@@ -1098,3 +1098,32 @@ def test_peak_burst_trailing_window(ray_session):
     got2 = {r["user_id"]: r["max_burst"] for r in
             peak_burst(ray.data.from_arrow(t2)).take_all()}
     assert got2 == {7: 2}
+
+
+def test_tool_skipgrams_window(ray_session):
+    import ray.data
+
+    from uckg_ray.schema import TRANSCRIPT_SCHEMA
+    from uckg_ray.stages.text import tool_skipgrams
+
+    rows = [
+        # conv c1 tool turns at 0 (nmap), 2 (ffuf), 9 (hydra):
+        # window 5 pairs: (nmap,ffuf); hydra is 9-2=7 > 5 from ffuf
+        ("c1", 0, "tool", "nmap"), ("c1", 1, "user", ""),
+        ("c1", 2, "tool", "ffuf"), ("c1", 9, "tool", "hydra"),
+        # conv c2: adjacent pair + non-tool role with tool name ignored
+        ("c2", 0, "tool", "nmap"), ("c2", 1, "tool", "nmap"),
+        ("c2", 2, "user", "nmap"),
+    ]
+    t = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": [r[2] for r in rows],
+        "text": [""] * len(rows),
+        "tool": [r[3] for r in rows],
+        "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+    }, schema=TRANSCRIPT_SCHEMA)
+    got = {(r["tool_a"], r["tool_b"]): r["n_pairs"] for r in
+           tool_skipgrams(ray.data.from_arrow(t).repartition(2),
+                          window=5).take_all()}
+    assert got == {("nmap", "ffuf"): 1, ("nmap", "nmap"): 1}

@@ -2066,3 +2066,68 @@ def doc_novelty(docs: Dataset, *, n: int = 8,
             .groupby("doc_id")
             .aggregate(Sum("n_grams", alias_name="n_grams"),
                        Sum("n_novel", alias_name="n_novel")))
+
+
+def tool_skipgrams(turns: Dataset, *, window: int = 5,
+                   num_partitions: int | None = None) -> Dataset:
+    """Skip-gram tool co-usage mining: (tool_a, tool_b, n_pairs) for
+    every ordered pair of tool invocations in the SAME conversation at
+    most ``window`` turns apart — the workflow-pattern generalization
+    of the adjacent-only ``tool_sequences`` bigrams (an agent that runs
+    a scanner and, a few turns later, an exploit tool shows up here but
+    not in adjacent bigrams). Pairs are (earlier tool, later tool).
+
+    The scan filters to tool turns at the read (tiny fraction of the
+    log); one conversation-keyed exchange; each partition runs a
+    vectorized inequality join (turn distance ∈ (0, window]) — volume
+    is bounded by tool-turns-per-conversation², not the log — and
+    folds to pair partials; one pair-vocabulary-bounded Sum merge."""
+    import polars as pl
+
+    from uckg_ray.partitioning import default_partitions, key_partition_ids
+
+    n_parts = num_partitions or default_partitions()
+    _T = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int64()),
+                    ("tool", pa.string()), ("q", pa.int32())])
+
+    def tool_rows(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b.select(["conv_id", "turn_idx", "role",
+                                      "tool"]))
+              .filter((pl.col("role") == "tool") & (pl.col("tool") != ""))
+              .select("conv_id",
+                      pl.col("turn_idx").cast(pl.Int64), "tool"))
+        if df.height == 0:
+            return _T.empty_table()
+        h = df["conv_id"].hash(seed=0).to_numpy()
+        return df.to_arrow().cast(_T.remove(3)).append_column(
+            "q", pa.array((h % n_parts).astype("int32"), pa.int32()))
+
+    _OUT = pa.schema([("tool_a", pa.string()), ("tool_b", pa.string()),
+                      ("n_pairs", pa.int64())])
+
+    def pairs_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return _OUT.empty_table()
+        df = pl.from_arrow(part.select(["conv_id", "turn_idx", "tool"]))
+        right = df.rename({"turn_idx": "t2", "tool": "tool_b"})
+        g = (df.join_where(
+                 right,
+                 pl.col("conv_id") == pl.col("conv_id_right"),
+                 pl.col("t2") > pl.col("turn_idx"),
+                 pl.col("t2") <= pl.col("turn_idx") + window)
+             .group_by(["tool", "tool_b"])
+             .agg(pl.len().cast(pl.Int64).alias("n_pairs"))
+             .rename({"tool": "tool_a"}))
+        return g.select(["tool_a", "tool_b", "n_pairs"]) \
+            .to_arrow().cast(_OUT)
+
+    from ray.data.aggregate import Sum
+
+    return (turns.select_columns(["conv_id", "turn_idx", "role", "tool"])
+            .map_batches(tool_rows, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("q")
+            .map_groups(lambda t: pairs_partition(t.drop_columns(["q"])),
+                        batch_format="pyarrow")
+            .groupby(["tool_a", "tool_b"])
+            .aggregate(Sum("n_pairs", alias_name="n_pairs")))
