@@ -1441,6 +1441,14 @@ def _q_kg_triple_support(sf_dir: str):
     return triple_support(raw)
 
 
+def _q_kg_growth(sf_dir: str):
+    """KG growth curve: new entities first mentioned per UTC day —
+    vocabulary-bounded Min groupby + days-sized count fold."""
+    from uckg_ray.stages.link import entity_discovery_curve
+    return entity_discovery_curve(
+        _rd_turns(sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]))
+
+
 def _q_tool_skipgrams(sf_dir: str):
     """Skip-gram tool co-usage (pairs ≤ 5 turns apart in a
     conversation) — workflow mining beyond adjacent bigrams; one conv
@@ -1776,6 +1784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burst": _q_events_burst,
         "kg_pred_cooc": _q_kg_pred_cooc,
         "tool_skipgrams": _q_tool_skipgrams,
+        "kg_growth": _q_kg_growth,
     }
 
 
@@ -3673,6 +3682,16 @@ FROM t a JOIN t b ON a.conv_id = b.conv_id
                  AND b.turn_idx > a.turn_idx
                  AND b.turn_idx <= a.turn_idx + 5
 GROUP BY 1, 2""",
+        "kg_growth": f"""
+WITH m AS ({" UNION ALL ".join(
+    f"SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+    f"'{name}' || chr(31) || "
+    f"unnest(regexp_extract_all(text, '{rx}')) AS ent "
+    f"FROM read_parquet('{p['T']}')"
+    for name, rx in px.MENTION_TYPES)}),
+f AS (SELECT ent, min(day) AS day FROM m GROUP BY ent)
+SELECT day, CAST(count(*) AS BIGINT) AS n_new_entities
+FROM f GROUP BY 1""",
         "kg_star_bgp": f"""WITH {_kg_ctes(p)},
 edges AS (SELECT DISTINCT subj, pred, obj FROM ({_edges_union(p)})),
 t AS (

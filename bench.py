@@ -181,7 +181,7 @@ def run_bench() -> dict:
                  "semantic_contamination", "events_gaps", "doc_novelty",
                  "kg_gate_dropped", "trending_entities", "kg_negatives",
                  "kg_fill_rates", "events_burst", "kg_pred_cooc",
-                 "tool_skipgrams"):
+                 "tool_skipgrams", "kg_growth"):
         # kg_triple_support and kg_version_diff join conv_neardup on the
         # exclusion list: their outputs are inherently turn-scaled
         # (publishedDateTime objects embed per-turn timestamps → ~4M

@@ -132,3 +132,27 @@ def test_trending_entities_topk(ray_session):
     assert len(d0) == 2
     d1 = by_day[1]
     assert len(d1) == 1 and d1[0]["ent_id"] == "T1059" and d1[0]["n"] == 3
+
+
+def test_entity_discovery_curve(ray_session):
+    import ray.data
+
+    from uckg_ray.schema import TRANSCRIPT_SCHEMA
+    from uckg_ray.stages.link import entity_discovery_curve
+
+    DAY = 86_400_000_000
+    texts = ["CVE-2021-0001 T1059",      # day 0: two new entities
+             "CVE-2021-0001",            # day 1: nothing new
+             "CVE-2021-0002"]            # day 2: one new
+    t = pa.table({
+        "conv_id": ["c1", "c2", "c3"],
+        "turn_idx": pa.array([0, 0, 0], pa.int32()),
+        "role": ["user"] * 3,
+        "text": texts,
+        "tool": [""] * 3,
+        "ts": pa.array([5, DAY + 5, 2 * DAY + 5], pa.timestamp("us")),
+    }, schema=TRANSCRIPT_SCHEMA)
+    got = {r["day"]: r["n_new_entities"] for r in
+           entity_discovery_curve(ray.data.from_arrow(t).repartition(2))
+           .take_all()}
+    assert got == {0: 2, 2: 1}

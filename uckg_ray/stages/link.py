@@ -343,3 +343,64 @@ def trending_entities(turns, *, k: int = 5) -> "ray.data.Dataset":
             .groupby("p")
             .map_groups(lambda t: topk_day(t.drop_columns(["p"])),
                         batch_format="pyarrow"))
+
+
+def entity_discovery_curve(turns) -> "ray.data.Dataset":
+    """KG growth curve: how many NEW entities (never mentioned on any
+    earlier day) each UTC day contributes — ``(day, n_new_entities)``,
+    the discovery-rate series that tells a KG operator whether the
+    entity vocabulary is saturating or still growing with ingest.
+
+    Block partials fold (entity → min day) in-block; one
+    vocabulary-bounded Min groupby pins each entity's first day; a
+    ≤ days-sized Sum groupby counts the curve. Nothing day- or
+    mention-scaled ever leaves the combiners."""
+    import polars as pl
+    from ray.data.aggregate import Min, Sum
+
+    from uckg_ray.stages.extract import scan_mentions_flat
+
+    DAY_US = 86_400_000_000
+    _P = pa.schema([("ent", pa.string()), ("day", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _P.empty_table()
+        ts = (b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        days = ts // DAY_US
+        flat = scan_mentions_flat(
+            b.column("text").combine_chunks()
+            if isinstance(b.column("text"), pa.ChunkedArray)
+            else b.column("text"))
+        frames = []
+        for name, (idx, ids) in flat.items():
+            if len(idx) == 0:
+                continue
+            frames.append(pl.DataFrame({
+                "day": days[idx],
+                "ent_id": pl.Series(ids, dtype=pl.String)
+            }).with_columns(ent=pl.lit(name) + "\x1f" + pl.col("ent_id")))
+        if not frames:
+            return _P.empty_table()
+        g = (pl.concat(frames).group_by("ent")
+             .agg(pl.col("day").min()))
+        return g.select(["ent", "day"]).to_arrow().cast(_P)
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        out = pa.schema([("day", pa.int64()),
+                         ("n_new_entities", pa.int64())])
+        if b.num_rows == 0:
+            return out.empty_table()
+        g = (pl.from_arrow(b.select(["day"]))
+             .group_by("day")
+             .agg(pl.len().cast(pl.Int64).alias("n_new_entities")))
+        return g.to_arrow().cast(out)
+
+    return (turns.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("ent").aggregate(Min("day", alias_name="day"))
+            .map_batches(day_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("day")
+            .aggregate(Sum("n_new_entities", alias_name="n_new_entities")))
